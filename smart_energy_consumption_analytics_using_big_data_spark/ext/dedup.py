@@ -1,0 +1,163 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md SS7).
+
+Beyond-reference scope: exact dedup, n-gram Jaccard, MinHash+LSH and
+SimHash near-dup detection over the `documents` table. All operators
+are pure DataFrame compositions - explode/groupBy/join - so they
+shuffle on content-derived keys and scale horizontally:
+
+* shingling fans out to (doc, shingle) pairs - linear in corpus size;
+* document-frequency pruning drops hot shingles BEFORE the pair join,
+  the standard guard against quadratic blowup on stop-shingles;
+* MinHash/LSH replaces the all-pairs join with a per-band bucket join,
+  the 100 TB-safe candidate generation path;
+* hashes are md5-based so every engine (and the DuckDB oracle)
+  computes identical signatures - no JVM-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+    tokens_ws,
+    word_shingles,
+)
+
+HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash: canonical (min) id + count.
+
+    Grouping on md5(text) instead of raw text keeps shuffle keys small -
+    at 100 TB you never want multi-KB strings as shuffle keys.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word n-grams, df-pruned.
+
+    `max_df` drops shingles occurring in more than that many documents
+    (stop-shingles) before any pair join - this is what keeps the
+    candidate join from going quadratic on common phrases.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(tokens_ws(F.col(text_col)), n)).alias("shingle"),
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_count = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(df_count))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    return sh
+
+
+def jaccard_pairs(shingles: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """All-pairs n-gram Jaccard over a (doc_id, shingle) table.
+
+    Self-join on shingle -> common counts; sizes joined back in;
+    jaccard = common / (|A| + |B| - common). Exact but quadratic in
+    co-occurrence - use lsh_candidate_pairs at scale and reserve this
+    for verification of candidates.
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 6) -> DataFrame:
+    """MinHash signature per document.
+
+    Hash family h_i(s) = md5(i || '|' || s); the signature component is
+    the lexicographic minimum - engine-portable and deterministic.
+    One aggregation produces all components (single shuffle).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 6, band_size: int = 2) -> DataFrame:
+    """LSH banding: pairs agreeing on at least one band of the signature.
+
+    Bands become bucket keys; the pair join runs per bucket - candidate
+    generation cost is proportional to bucket sizes, not corpus^2.
+    """
+    n_bands = num_hashes // band_size
+    bands = None
+    for band in range(n_bands):
+        cols = [f"mh_{band * band_size + j}" for j in range(band_size)]
+        proj = signatures.select(
+            "doc_id", F.lit(band).alias("band"), F.concat(*cols).alias("band_key")
+        )
+        bands = proj if bands is None else bands.unionByName(proj)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint as a `bits`-char 0/1 string.
+
+    Token hash bits come from md5 hex digits (digit >= '8' -> 1), token
+    multiplicity weights naturally via explode; one groupBy computes all
+    bit sums - a single shuffle regardless of `bits`.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_ws(F.col(text_col))).alias("token")
+    ).withColumn("h", F.md5("token"))
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.substring("h", j + 1, 1).isin(*HEX_HIGH), 1).otherwise(-1)
+            )
+            > 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_cols)
+    return agg.select("doc_id", F.concat(*[f"b{j}" for j in range(bits)]).alias("simhash"))

@@ -1,0 +1,69 @@
+"""Multimodal column plumbing (SURVEY.md SS7).
+
+Image/audio/video payloads are opaque BINARY columns with typed
+metadata. The container has no media libraries, so the decode step is a
+clearly-marked deterministic stub - but the Spark-side plumbing
+(schemas, binary columns, Arrow-batched mapInPandas, partition-sized
+batches) is real and tested. Swapping `_fake_decode` for a PIL/ffmpeg
+call changes nothing structurally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DECODE_OUTPUT_SCHEMA = "doc_id bigint, n_bytes int, mean_byte double, feature_dim int"
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload + typed metadata (UTF-8 bytes of
+    the text stand in for an image/audio blob)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.withColumn("payload", payload).withColumn(
+        "payload_meta",
+        F.struct(
+            F.octet_length(F.col(text_col)).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.sha2(F.col(text_col), 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[float, int]:
+    """STUB for the real media decode (no image/audio libs in this
+    container). Deterministic: mean byte value + fake feature dim.
+    Replace with e.g. PIL.Image.open(BytesIO(payload)) in production."""
+    if payload is None or len(payload) == 0:
+        return 0.0, 0
+    return sum(payload) / len(payload), 4
+
+
+def decode_features(docs_with_payload: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams partition-local record batches through Python -
+    the scalable shape for media decode (no collect, no per-row UDF
+    overhead); the decode itself is the stub above.
+    """
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, dims = [], []
+            for payload in pdf["payload"]:
+                mean_byte, dim = _fake_decode(payload)
+                means.append(mean_byte)
+                dims.append(dim)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)).astype("int32"),
+                    "mean_byte": means,
+                    "feature_dim": pd.Series(dims, dtype="int32"),
+                }
+            )
+
+    return docs_with_payload.select(id_col, "payload").mapInPandas(
+        extract, schema=DECODE_OUTPUT_SCHEMA
+    )

@@ -1,0 +1,98 @@
+"""Similarity search over embedding columns (SURVEY.md SS7).
+
+Brute-force cosine top-k as the exact baseline, plus deterministic
+random-hyperplane LSH bucketing as the scale path (bucket first, then
+brute-force within buckets - turns O(N*Q) into O(bucket * Q)).
+
+Hyperplane weights derive from md5 in *Python* at plan-build time and
+are embedded as literal arrays, so the plan is pure JVM column math
+(zip_with/aggregate) - no Python at execution time, fully portable to
+the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import cosine
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic +-1.0 weights for one hyperplane (md5-seeded)."""
+    out = []
+    for i in range(dim):
+        digest = hashlib.md5(f"{plane}_{i}".encode()).hexdigest()
+        out.append(1.0 if digest[0] in "89abcdef" else -1.0)
+    return out
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a 1-row query DataFrame.
+
+    The query side broadcasts (it is one row); similarity is computed
+    in a single scan over the corpus, then TakeOrdered picks k - no
+    global sort materialization.
+    """
+    q = query.select(F.col(vec_col).alias("__qvec"))
+    scored = embeddings.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    return (
+        scored.drop("__qvec", vec_col)
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector ('0101...' string).
+
+    Vectors in the same bucket are cosine-similar with high probability;
+    ANN search = bucket equi-join + in-bucket brute force.
+    """
+    bits = []
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)])
+        prods = F.zip_with(F.col(vec_col), signs, lambda x, w: x.cast("double") * w)
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: restrict brute force to the query's bucket."""
+    buckets = lsh_buckets(embeddings, n_planes, dim, vec_col, id_col)
+    corpus = embeddings.join(buckets, id_col)
+    qb = query.join(buckets, id_col).select(
+        F.col(vec_col).alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    scored = corpus.join(
+        F.broadcast(qb), F.col("bucket") == F.col("__qbucket")
+    ).withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6))
+    return (
+        scored.select(id_col, "bucket", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

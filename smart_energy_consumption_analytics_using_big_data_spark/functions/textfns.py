@@ -1,0 +1,90 @@
+"""Text-analysis scalar functions (extension scope, SURVEY.md SS7).
+
+The reference has no Spark-side string functions (SURVEY.md F11); these
+back the training-data-pipeline extensions: tokenization, quality
+scoring, language-ID heuristics, and document fingerprinting. All are
+built-in expressions (split/transform/aggregate/md5) - no Python UDFs -
+so they scale with whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny English stopword core used by the heuristics; deliberately small
+# and deterministic so oracle SQL can mirror it.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokenization: split on single spaces."""
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(text))
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """BPE-ish token estimate: letter runs, digit runs, lone symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0))
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens that are known stopwords (array filter, JVM-side)."""
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens_ws(text), lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    n_tokens = token_count_ws(text)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[.,!?;:]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(F.try_divide(F.length(F.regexp_replace(text, " ", "")), n_tokens), 6),
+        "punct_ratio": F.round(F.try_divide(punct, n_chars), 6),
+        "stopword_ratio": F.round(F.try_divide(stopword_hits(text), n_tokens), 6),
+    }
+
+
+def predicted_lang(text: Column, min_hits: int = 1) -> Column:
+    """Stopword-hit language-ID heuristic: 'en' if enough English
+    stopword tokens, else 'unk'. (A real n-gram model plugs in here;
+    the plumbing - pure column expressions - is the point.)"""
+    return F.when(stopword_hits(text) >= min_hits, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of case/space-normalized text."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def min_shingle_hash(text: Column, k: int = 8) -> Column:
+    """Rolling-hash-style fingerprint: min md5 over all k-char shingles.
+
+    Equivalent to a 1-hash MinHash over character shingles; the full
+    MinHash/LSH pipeline lives in ext/dedup.py.
+    """
+    n = F.greatest(F.length(text) - (k - 1), F.lit(1))
+    shingles = F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(text.substr(i, F.lit(k))))
+    return F.array_min(shingles)
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles from a token array (JVM-side).
+
+    Guards short docs: sequence(1, size-n+1) is only valid when the doc
+    has >= n tokens (Spark's sequence() counts *down* otherwise).
+    """
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,66 @@
+"""Hybrid K-Means + per-cluster z-score anomaly detection.
+
+Re-expresses `anomaly_detection.py:55-196` with one deliberate
+replacement: the reference computes distance-to-centroid with a
+row-at-a-time Python UDF (`anomaly_detection.py:51-53,127-128`),
+forcing JVM<->Python serialization per row. Here the k centroids
+(driver-side, tiny) are baked into a native column expression over
+``vector_to_array`` - pure Catalyst, whole-stage codegen, zero Python
+in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+    with_partition_zscore,
+)
+
+SEED = 42  # anomaly_detection.py:110
+K = 5  # anomaly_detection.py:110
+
+
+def _centroid_distance_expr(centers: list[list[float]]) -> F.Column:
+    """Euclidean distance to the row's assigned centroid, natively.
+
+    CASE over the k cluster ids; each branch is
+    sqrt(aggregate(zip_with(x, c, (a,b)->(a-b)^2))). Replaces the
+    Python UDF at anomaly_detection.py:51-53.
+    """
+    x = vector_to_array(F.col("features"))
+    expr = None
+    for idx, center in enumerate(centers):
+        c = F.array(*[F.lit(float(v)) for v in center])
+        diff2 = F.zip_with(x, c, lambda a, b: (a - b) * (a - b))
+        dist = F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v))
+        expr = F.when(F.col("cluster") == idx, dist) if expr is None else expr.when(
+            F.col("cluster") == idx, dist
+        )
+    return expr
+
+
+def detect_anomalies(
+    features: DataFrame,
+    feature_cols: list[str],
+    k: int = K,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """K-Means clusters + per-cluster distance z-score + flag
+    (`anomaly_detection.py:108-143`)."""
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features_raw", handleInvalid="skip")
+    scaler = StandardScaler(inputCol="features_raw", outputCol="features")
+    kmeans = KMeans(k=k, seed=SEED, featuresCol="features", predictionCol="cluster")
+    model = Pipeline(stages=[assembler, scaler, kmeans]).fit(features)
+    clustered = model.transform(features)
+    centers = [c.tolist() for c in model.stages[-1].clusterCenters()]
+    scored = clustered.withColumn("distance_to_center", _centroid_distance_expr(centers))
+    scored = with_partition_zscore(scored, "distance_to_center", "cluster", out="z_score")
+    scored = scored.withColumn(
+        "is_anomaly", (F.coalesce(F.col("z_score"), F.lit(0.0)) > z_threshold).cast("int")
+    )
+    return scored.drop("features_raw", "features")

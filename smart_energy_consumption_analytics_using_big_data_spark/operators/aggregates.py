@@ -1,0 +1,96 @@
+"""Aggregations.
+
+SURVEY.md SS2.4 (A1-A12). All aggregates are expressed as
+``groupBy().agg()`` so Spark plans partial (map-side) + final hash
+aggregation automatically - the two-level rollup chain of the reference
+(`data_preprocessing.py:231-261`) costs exactly two shuffles, and the
+second one is tiny because the first already reduced cardinality.
+
+Determinism notes:
+
+* `sum_exact` accumulates DOUBLE measures in DECIMAL so the result is
+  independent of partitioning / accumulation order - a cross-engine
+  reproducibility requirement (a plain double sum differs between runs
+  at high row counts).
+* the reference's nondeterministic ``first()`` per group
+  (`data_preprocessing.py:255-258`) is replaced by ``min_by/max_by``
+  with an explicit ordering column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def sum_exact(col: str | Column, scale: int = 6, precision: int = 25) -> Column:
+    """Order-independent sum of a double column via decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def rollup_time(
+    df: DataFrame,
+    entity: str,
+    ts: str,
+    measure: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Per-entity time rollup (A1; `data_preprocessing.py:231-234`).
+
+    grain='hour' -> keys (entity, date, hour); grain='day' -> (entity, date).
+    Measures: exact sum, avg, count - the reference's triple.
+    """
+    keys: list[Column] = [F.col(entity), F.to_date(ts).alias("date")]
+    if grain == "hour":
+        keys.append(F.hour(ts).alias("hour"))
+    return df.groupBy(*keys).agg(
+        sum_exact(measure).alias(f"{grain}ly_{measure}"),
+        F.round(F.avg(measure), 6).alias(f"avg_{measure}"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+def reaggregate(
+    hourly: DataFrame,
+    keys: list[str],
+    sum_col: str,
+    avg_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Second-level rollup over a first rollup (A2;
+    `data_preprocessing.py:246-261`)."""
+    return hourly.groupBy(*keys).agg(
+        sum_exact(sum_col).alias(f"daily_{sum_col}"),
+        F.round(F.avg(sum_col), 6).alias(f"avg_{avg_col}"),
+        F.sum(count_col).alias(f"total_{count_col}"),
+    )
+
+
+def top_k_groups(df: DataFrame, key: str, k: int, count_alias: str = "n") -> DataFrame:
+    """Frequency count + deterministic top-N (A9;
+    `streamlit_app.py:481,958`). Secondary sort on the key makes the
+    result set unique under count ties."""
+    counted = df.groupBy(key).agg(F.count(F.lit(1)).alias(count_alias))
+    return counted.orderBy(F.desc(count_alias), F.asc(key)).limit(k)
+
+
+def grouped_profile(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Grouped mean/stddev/count profile (A8; `streamlit_app.py:694`)."""
+    return df.groupBy(key).agg(
+        F.round(F.avg(value), 6).alias(f"avg_{value}"),
+        F.round(F.stddev(value), 6).alias(f"std_{value}"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def hierarchy_rollup(df: DataFrame, levels: list[str], measure: str) -> DataFrame:
+    """ROLLUP over a dimension hierarchy (A12).
+
+    The reference re-aggregates manually stage by stage; `rollup` emits
+    all prefixes of `levels` in ONE shuffle (partial aggregation covers
+    every grouping set).
+    """
+    return df.rollup(*levels).agg(
+        sum_exact(measure).alias(f"total_{measure}"),
+        F.count(F.lit(1)).alias("n"),
+    )

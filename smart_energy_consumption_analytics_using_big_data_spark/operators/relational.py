@@ -1,0 +1,83 @@
+"""Relational core: projection, filtering, casts, dedup, set ops.
+
+Maps SURVEY.md SS2.2 (P1-P12) and SS2.7 (U1-U3) onto built-in Catalyst
+expressions. Everything here stays inside whole-stage codegen; filters
+and projections push down to the Parquet scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def project(df: DataFrame, columns: dict[str, str | Column]) -> DataFrame:
+    """Projection with renames (P1/P2): {output_name: input_col_or_expr}.
+
+    Reference: select at `anomaly_detection.py:85`, renames at
+    `data_preprocessing.py:119,123`.
+    """
+    return df.select(
+        *[
+            (F.col(src) if isinstance(src, str) else src).alias(out)
+            for out, src in columns.items()
+        ]
+    )
+
+
+def drop_null_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """NOT NULL predicate (P3/P4; `data_preprocessing.py:111,141`)."""
+    return df.na.drop(subset=subset)
+
+
+def sentinel_to_null(df: DataFrame, column: str, sentinel: str, cast_to: str | None = None) -> DataFrame:
+    """Rewrite a literal sentinel string to NULL, optionally retyping (P5).
+
+    Reference: `data_preprocessing.py:132-137`. Uses `nullif` +
+    `try_cast` so it is safe under ANSI mode even if other garbage
+    strings appear.
+    """
+    col = F.nullif(F.col(column), F.lit(sentinel))
+    if cast_to is not None:
+        col = col.try_cast(cast_to)
+    return df.withColumn(column, col)
+
+
+def filter_range(df: DataFrame, column: str, lower=None, upper=None) -> DataFrame:
+    """Half-open range predicate on a typed column (P6).
+
+    Reference compares *string* dates lexicographically
+    (`forecasting_model.py:186-188`); on typed columns Catalyst can push
+    the predicate into the scan and prune partitions.
+    """
+    if lower is not None:
+        df = df.filter(F.col(column) >= F.lit(lower))
+    if upper is not None:
+        df = df.filter(F.col(column) < F.lit(upper))
+    return df
+
+
+def filter_in(df: DataFrame, column: str, values: Iterable) -> DataFrame:
+    """IN-list predicate (P7; `feature_engineering.py:127,315`)."""
+    return df.filter(F.col(column).isin(list(values)))
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact row-level dedup (P12 analog): hash-shuffle on the key
+    columns; at scale prefer a subset of low-cardinality-safe keys."""
+    return df.dropDuplicates(subset=subset)
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """UNION ALL by column name (U1).
+
+    The reference chains 168 binary unions in a loop
+    (`data_ingestion.py:100-103`); unionByName over the list keeps the
+    plan balanced, but the real fix is a single multi-path read
+    (sources/readers.py).
+    """
+    out = dfs[0]
+    for other in dfs[1:]:
+        out = out.unionByName(other)
+    return out

@@ -1,0 +1,791 @@
+"""Core relational/aggregate/window queries with DuckDB oracles.
+
+One named query per operator row of SURVEY.md SS2.1-SS2.8. Each
+docstring cites the reference behavior being re-expressed.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators import (
+    aggregates as A,
+    joins as J,
+    relational as R,
+    windows as W,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.functions import timefns as TF
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
+from smart_energy_consumption_analytics_using_big_data_spark.sources import readers
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+# ---------------------------------------------------------------------------
+# SS2.1 scans / sources
+
+
+@q("q_scan_parquet", "SELECT r_regionkey, r_name FROM region")
+def q_scan_parquet(spark, sf_dir):
+    """S3: Parquet scan (`data_preprocessing.py:97`)."""
+    return t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@q("q_scan_csv", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_csv(spark, sf_dir):
+    """S1/S2: typed multi-file-capable CSV scan (`data_ingestion.py:59,87-103`).
+
+    Reads the committed CSV copy of the (sf-invariant) nation table with
+    an explicit schema - no inferSchema extra pass.
+    """
+    configure_runtime(spark)
+    return readers.read_csv(
+        spark,
+        str(_REPO_ROOT / "fixtures" / "nation.csv"),
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        null_value=None,
+    )
+
+
+@q(
+    "q_scan_localdf",
+    "SELECT * FROM (VALUES ('Normal', CAST(1.0 AS DOUBLE)), ('Low', CAST(0.5 AS DOUBLE)), "
+    "('High', CAST(2.0 AS DOUBLE))) AS t(tariff, rate)",
+)
+def q_scan_localdf(spark, sf_dir):
+    """S5: driver-local dimension adapter (`data_preprocessing.py:57-64`)."""
+    pdf = pd.DataFrame({"tariff": ["Normal", "Low", "High"], "rate": [1.0, 0.5, 2.0]})
+    return readers.dim_from_pandas(
+        spark, pdf, schema="tariff string, rate double", expected_columns=["tariff", "rate"]
+    )
+
+
+@q(
+    "q_limit",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+def q_limit(spark, sf_dir):
+    """S11/O3: deterministic limit (unique-key order; `convert_to_csv.py:69`)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.2 projections / filters / predicates
+
+
+@q(
+    "q_project",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice AS price FROM lineitem",
+)
+def q_project(spark, sf_dir):
+    """P1/P2: projection + rename (`data_preprocessing.py:119-123`)."""
+    return R.project(
+        t(spark, sf_dir, "lineitem"),
+        {"l_orderkey": "l_orderkey", "l_linenumber": "l_linenumber", "price": "l_extendedprice"},
+    )
+
+
+@q(
+    "q_filter_notnull",
+    "SELECT event_id, user_id, value FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL",
+)
+def q_filter_notnull(spark, sf_dir):
+    """P3/P4: multi-column NOT NULL (`data_preprocessing.py:111,141`)."""
+    df = R.drop_null_rows(t(spark, sf_dir, "events"), subset=["user_id", "value"])
+    return df.select("event_id", "user_id", "value")
+
+
+@q(
+    "q_cast_sentinel",
+    "SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS evt_clean, "
+    "CAST(user_id AS DOUBLE) AS uid_d FROM events",
+)
+def q_cast_sentinel(spark, sf_dir):
+    """P5/P9: sentinel-to-NULL rewrite + cast (`data_preprocessing.py:132-137`)."""
+    df = t(spark, sf_dir, "events")
+    return df.select(
+        "event_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("evt_clean"),
+        F.col("user_id").cast("double").alias("uid_d"),
+    )
+
+
+@q(
+    "q_filter_range",
+    "SELECT event_id, user_id, value FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'",
+)
+def q_filter_range(spark, sf_dir):
+    """P6: typed time-range predicate (vs string compare at
+    `forecasting_model.py:186-188`); pushes to the scan."""
+    df = R.filter_range(t(spark, sf_dir, "events"), "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return df.select("event_id", "user_id", "value")
+
+
+@q(
+    "q_filter_in",
+    "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'purchase')",
+)
+def q_filter_in(spark, sf_dir):
+    """P7: IN-list (`feature_engineering.py:127,315`)."""
+    return R.filter_in(t(spark, sf_dir, "events"), "event_type", ["click", "purchase"]).select(
+        "event_id", "event_type"
+    )
+
+
+@q(
+    "q_filter_eq",
+    "SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'",
+)
+def q_filter_eq(spark, sf_dir):
+    """P8: equality predicate (`anomaly_detection.py:146`)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@q("q_distinct", "SELECT DISTINCT user_id, event_type FROM events")
+def q_distinct(spark, sf_dir):
+    """U2/P12: DISTINCT (`data_preprocessing.py:105`)."""
+    return t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# SS2.3 joins
+
+
+@q(
+    "q_join_left_dim",
+    "SELECT l_orderkey, l_linenumber, l_quantity, p_brand "
+    "FROM lineitem LEFT JOIN part ON l_partkey = p_partkey",
+)
+def q_join_left_dim(spark, sf_dir):
+    """J1: broadcast dimension left join (`data_preprocessing.py:182`)."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part")
+    joined = J.join_dim(li, pt, li["l_partkey"] == pt["p_partkey"], "left")
+    return joined.select("l_orderkey", "l_linenumber", "l_quantity", "p_brand")
+
+
+@q(
+    "q_join_left_multikey",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date,
+             {dsum} AS click_value, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id, CAST(ts AS DATE) AS event_date,
+             {dsum} AS purchase_value, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.event_date, c.click_value, c.n_clicks,
+           p.purchase_value, p.n_purchases
+    FROM c LEFT JOIN p USING (user_id, event_date)
+    """.format(dsum=DSUM("value")),
+)
+def q_join_left_multikey(spark, sf_dir):
+    """J2/J3: composite-key left join of two fact aggregates
+    (`anomaly_detection.py:85-86`, `merge_csv_for_mongodb.py:62-107`)."""
+    ev = t(spark, sf_dir, "events")
+
+    def per_day(event_type, value_alias, count_alias):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id", F.to_date("ts").alias("event_date"))
+            .agg(sum_exact("value").alias(value_alias), F.count(F.lit(1)).alias(count_alias))
+        )
+
+    clicks = per_day("click", "click_value", "n_clicks")
+    purchases = per_day("purchase", "purchase_value", "n_purchases")
+    return J.join_fact(clicks, purchases, ["user_id", "event_date"], "left")
+
+
+@q(
+    "q_join_inner",
+    "SELECT c_mktsegment, {dsum} AS revenue, count(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment".format(dsum=DSUM("o_totalprice")),
+)
+def q_join_inner(spark, sf_dir):
+    """J4: inner equi-join + aggregate (dashboard-style composition)."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "inner")
+        .groupBy("c_mktsegment")
+        .agg(sum_exact("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "q_join_semi",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def q_join_semi(spark, sf_dir):
+    """J5: left-semi join - customers that have orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return J.semi_join(
+        cust, orders, cust["c_custkey"] == orders["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "q_join_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q_join_anti(spark, sf_dir):
+    """J5: left-anti join - customers without orders."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return J.anti_join(
+        cust, orders, cust["c_custkey"] == orders["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# SS2.4 aggregations
+
+
+@q(
+    "q_agg_multikey",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+           {dsum} AS hourly_value, round(avg(value), 6) AS avg_value,
+           count(*) AS n_readings
+    FROM events GROUP BY 1, 2, 3
+    """.format(dsum=DSUM("value")),
+)
+def q_agg_multikey(spark, sf_dir):
+    """A1: multi-key multi-measure hash aggregate - the hourly rollup
+    (`data_preprocessing.py:231-234`). Partial + final agg via Catalyst."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.to_date("ts").alias("date"), F.hour("ts").alias("hour")
+    ).agg(
+        sum_exact("value").alias("hourly_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+@q(
+    "q_agg_reagg",
+    """
+    WITH hourly AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+             {dsum} AS hourly_value, count(*) AS n_readings
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, date, {hsum} AS daily_value,
+           round(avg(hourly_value), 6) AS avg_hourly_value,
+           CAST(sum(n_readings) AS BIGINT) AS total_readings
+    FROM hourly GROUP BY 1, 2
+    """.format(dsum=DSUM("value"), hsum=DSUM("hourly_value")),
+)
+def q_agg_reagg(spark, sf_dir):
+    """A2: two-level re-aggregation, hourly -> daily
+    (`data_preprocessing.py:246-261`)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date"), F.hour("ts").alias("hour")
+    ).agg(sum_exact("value").alias("hourly_value"), F.count(F.lit(1)).alias("n_readings"))
+    return hourly.groupBy("user_id", "date").agg(
+        sum_exact("hourly_value").alias("daily_value"),
+        F.round(F.avg("hourly_value"), 6).alias("avg_hourly_value"),
+        F.sum("n_readings").alias("total_readings"),
+    )
+
+
+@q(
+    "q_agg_first",
+    "SELECT user_id, min_by(event_type, event_id) AS first_event_type, "
+    "max_by(event_type, event_id) AS last_event_type, count(*) AS n FROM events GROUP BY user_id",
+)
+def q_agg_first(spark, sf_dir):
+    """A3: deterministic first/last per group - min_by/max_by on a
+    unique ordering column replaces the reference's nondeterministic
+    first() (`data_preprocessing.py:255-258`)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "event_id").alias("first_event_type"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q_count_distinct",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def q_count_distinct(spark, sf_dir):
+    """A4: COUNT DISTINCT (`data_preprocessing.py:105` etc.). At scale
+    swap for approx_count_distinct - exact form kept for the oracle."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "q_agg_minmax",
+    "SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts, "
+    "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts FROM events",
+)
+def q_agg_minmax(spark, sf_dir):
+    """A5: global min/max (`forecasting_model.py:191-192`), emitted as
+    microsecond strings for engine-neutral comparison."""
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return t(spark, sf_dir, "events").agg(
+        F.date_format(F.min("ts"), fmt).alias("min_ts"),
+        F.date_format(F.max("ts"), fmt).alias("max_ts"),
+    )
+
+
+@q("q_count", "SELECT count(*) AS n_rows FROM lineitem")
+def q_count(spark, sf_dir):
+    """A6: global count (`data_ingestion.py:148`)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@q(
+    "q_agg_rate",
+    "SELECT CAST(day(ts) AS INTEGER) AS day, "
+    "round(100 * avg(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 6) AS purchase_rate_pct "
+    "FROM events GROUP BY 1",
+)
+def q_agg_rate(spark, sf_dir):
+    """A7: grouped rate, mean of a 0/1 flag (`streamlit_app.py:504-506`)."""
+    ev = t(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return ev.groupBy(F.dayofmonth("ts").alias("day")).agg(
+        F.round(100 * F.avg(flag), 6).alias("purchase_rate_pct")
+    )
+
+
+@q(
+    "q_agg_profile",
+    "SELECT event_type, round(avg(value), 6) AS avg_value, "
+    "round(stddev_samp(value), 6) AS std_value, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_agg_profile(spark, sf_dir):
+    """A8: grouped mean/std/count profile (`streamlit_app.py:694`)."""
+    return A.grouped_profile(t(spark, sf_dir, "events"), "event_type", "value")
+
+
+@q(
+    "q_topk_count",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+    "ORDER BY n DESC, user_id LIMIT 15",
+)
+def q_topk_count(spark, sf_dir):
+    """A9: frequency count + top-N (`streamlit_app.py:481,958`)."""
+    return A.top_k_groups(t(spark, sf_dir, "events"), "user_id", 15)
+
+
+@q(
+    "q_corr",
+    "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def q_corr(spark, sf_dir):
+    """A10: Pearson correlation per group (`streamlit_app.py:544-555`)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"))
+    )
+
+
+@q(
+    "q_agg_stats",
+    "SELECT round(avg(value), 6) AS avg_value, round(min(value), 6) AS min_value, "
+    "round(max(value), 6) AS max_value, round(stddev_samp(value), 6) AS std_value, "
+    "{dsum} AS sum_value FROM events".format(dsum=DSUM("value")),
+)
+def q_agg_stats(spark, sf_dir):
+    """A11: global descriptive stats (`streamlit_app.py:236-240`)."""
+    return t(spark, sf_dir, "events").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.stddev("value"), 6).alias("std_value"),
+        sum_exact("value").alias("sum_value"),
+    )
+
+
+@q(
+    "q_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(day(ts) AS INTEGER) AS day, value FROM events
+    )
+    SELECT event_type, day, {dsum} AS total_value, count(*) AS n
+    FROM e GROUP BY ROLLUP(event_type, day)
+    """.format(dsum=DSUM("value")),
+)
+def q_rollup(spark, sf_dir):
+    """A12: ROLLUP grouping sets - all hierarchy prefixes in one shuffle
+    (replaces the reference's manual hourly->daily->monthly chain)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "value"
+    )
+    return A.hierarchy_rollup(ev, ["event_type", "day"], "value").withColumnsRenamed(
+        {"total_value": "total_value", "n": "n"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.5 windows
+
+_WOVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@q(
+    "q_window_lag",
+    f"SELECT event_id, user_id, value, lag(value, 1) {_WOVER}) AS lag_1, "
+    f"lag(value, 7) {_WOVER}) AS lag_7 FROM events",
+)
+def q_window_lag(spark, sf_dir):
+    """W1: per-entity lag grid (`feature_engineering.py:86-89`)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.entity_window("user_id", "ts", "event_id")
+    return W.with_lags(ev, "value", w, [1, 7], prefix="lag_").select(
+        "event_id", "user_id", "value", "lag_1", "lag_7"
+    )
+
+
+@q(
+    "q_window_rollavg",
+    f"SELECT event_id, user_id, round(avg(value) {_WOVER} "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS rolling_avg_7r FROM events",
+)
+def q_window_rollavg(spark, sf_dir):
+    """W2: trailing 7-row mean excluding current row
+    (`feature_engineering.py:94-99` - leakage-safe frame)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.entity_window("user_id", "ts", "event_id")
+    return W.with_trailing_stats(ev, "value", w, 7, stats=("avg",)).select(
+        "event_id", "user_id", "rolling_avg_7r"
+    )
+
+
+@q(
+    "q_window_rollstd",
+    f"SELECT event_id, user_id, round(stddev_samp(value) {_WOVER} "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS rolling_stddev_7r FROM events",
+)
+def q_window_rollstd(spark, sf_dir):
+    """W3: trailing rolling sample stddev (`feature_engineering.py:104-110`)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.entity_window("user_id", "ts", "event_id")
+    return W.with_trailing_stats(ev, "value", w, 7, stats=("stddev",)).select(
+        "event_id", "user_id", "rolling_stddev_7r"
+    )
+
+
+@q(
+    "q_window_rollminmax",
+    f"SELECT event_id, user_id, min(value) {_WOVER} "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS rolling_min_7r, "
+    f"max(value) {_WOVER} ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS rolling_max_7r "
+    "FROM events",
+)
+def q_window_rollminmax(spark, sf_dir):
+    """W4: trailing rolling min/max (`feature_engineering.py:113-117`)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.entity_window("user_id", "ts", "event_id")
+    return W.with_trailing_stats(ev, "value", w, 7, stats=("min", "max")).select(
+        "event_id", "user_id", "rolling_min_7r", "rolling_max_7r"
+    )
+
+
+@q(
+    "q_window_rollsum",
+    f"SELECT event_id, user_id, round(sum(value) {_WOVER} "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS rolling_sum_7r FROM events",
+)
+def q_window_rollsum(spark, sf_dir):
+    """W5: trailing rolling sum (`feature_engineering.py:120-122`)."""
+    ev = t(spark, sf_dir, "events")
+    w = W.entity_window("user_id", "ts", "event_id")
+    return W.with_trailing_stats(ev, "value", w, 7, stats=("sum",)).select(
+        "event_id", "user_id", "rolling_sum_7r"
+    )
+
+
+@q(
+    "q_window_zscore",
+    "SELECT event_id, event_type, "
+    "round((value - avg(value) OVER (PARTITION BY event_type)) / "
+    "(stddev_samp(value) OVER (PARTITION BY event_type)), 6) AS z_score FROM events",
+)
+def q_window_zscore(spark, sf_dir):
+    """W6: whole-partition z-score (`anomaly_detection.py:132-140`)."""
+    ev = t(spark, sf_dir, "events")
+    return W.with_partition_zscore(ev, "value", "event_type").select(
+        "event_id", "event_type", "z_score"
+    )
+
+
+@q(
+    "q_window_rank",
+    "SELECT event_id, event_type, value, "
+    "rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+    "FROM events",
+)
+def q_window_rank(spark, sf_dir):
+    """W7: rank + row_number per partition (HADOOP_MAPREDUCE_ANALYSIS.md:316-317)."""
+    ev = t(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("value"))
+    w_rn = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w_rank).alias("rnk"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.6 sorts / limits / top-k
+
+
+@q(
+    "q_sort",
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber",
+)
+def q_sort(spark, sf_dir):
+    """O1/O4: global range-partitioned sort (`feature_engineering.py:78`)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@q(
+    "q_topk",
+    "SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+)
+def q_topk(spark, sf_dir):
+    """O2: top-k by score -> TakeOrdered, no full sort
+    (`anomaly_detection.py:150-153`)."""
+    return (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.7 set operations
+
+
+@q(
+    "q_union_all",
+    "SELECT event_id, event_type FROM events WHERE event_type = 'click' "
+    "UNION ALL SELECT event_id, event_type FROM events WHERE event_type = 'purchase'",
+)
+def q_union_all(spark, sf_dir):
+    """U1: UNION ALL by name (`data_ingestion.py:100-103`)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type")
+    return R.union_all(
+        [ev.filter(F.col("event_type") == "click"), ev.filter(F.col("event_type") == "purchase")]
+    )
+
+
+@q(
+    "q_intersect",
+    "SELECT user_id AS id FROM events INTERSECT SELECT c_custkey AS id FROM customer",
+)
+def q_intersect(spark, sf_dir):
+    """U3: INTERSECT (distinct semantics)."""
+    ev = t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id"))
+    return ev.intersect(cust)
+
+
+@q(
+    "q_except",
+    "SELECT user_id FROM events EXCEPT ALL "
+    "SELECT user_id FROM events WHERE event_type = 'purchase'",
+)
+def q_except(spark, sf_dir):
+    """U3: EXCEPT ALL (multiset difference)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select("user_id").exceptAll(
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS2.8 scalar functions
+
+
+@q(
+    "q_scalar_datetime",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, "
+    "CAST(year(ts) AS INTEGER) AS yr, CAST(month(ts) AS INTEGER) AS mo, "
+    "CAST(day(ts) AS INTEGER) AS dom, CAST(hour(ts) AS INTEGER) AS hr, "
+    "CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, "
+    "CAST(weekofyear(ts) AS INTEGER) AS woy FROM events",
+)
+def q_scalar_datetime(spark, sf_dir):
+    """F1/F2: timestamp parse + date-part extraction
+    (`data_preprocessing.py:147-151`). Spark dayofweek is Sunday=1;
+    DuckDB's is Sunday=0 - oracle shifts by one."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        F.weekofyear("ts").alias("woy"),
+    )
+
+
+@q(
+    "q_scalar_datefmt",
+    "SELECT event_id, strftime(ts, '%a') AS weekday_name, "
+    "strftime(ts, '%Y-%m-%d') AS date_str FROM events",
+)
+def q_scalar_datefmt(spark, sf_dir):
+    """F3: date formatting (`data_preprocessing.py:151-152`)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "E").alias("weekday_name"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_str"),
+    )
+
+
+@q(
+    "q_scalar_case",
+    "SELECT event_id, "
+    "CASE WHEN month(ts) IN (12,1,2) THEN 'Winter' WHEN month(ts) IN (3,4,5) THEN 'Spring' "
+    "WHEN month(ts) IN (6,7,8) THEN 'Summer' ELSE 'Autumn' END AS season, "
+    "CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INTEGER) AS is_weekend "
+    "FROM events",
+)
+def q_scalar_case(spark, sf_dir):
+    """F4/F10: CASE WHEN chains - season + weekend flag
+    (`feature_engineering.py:126-138`). DuckDB dow: Sun=0, Sat=6."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        TF.season(F.month("ts")).alias("season"),
+        TF.is_weekend(F.dayofweek("ts")).alias("is_weekend"),
+    )
+
+
+@q(
+    "q_scalar_trig",
+    "SELECT event_id, round(sin(2 * 3.14159 * day(ts) / 31), 6) AS day_sin, "
+    "round(cos(2 * 3.14159 * day(ts) / 31), 6) AS day_cos FROM events",
+)
+def q_scalar_trig(spark, sf_dir):
+    """F5: cyclical sin/cos encoding, reference literal pi
+    (`feature_engineering.py:142-148`)."""
+    ev = t(spark, sf_dir, "events")
+    s, c = TF.cyclical(F.dayofmonth("ts"), 31)
+    return ev.select(
+        "event_id", F.round(s, 6).alias("day_sin"), F.round(c, 6).alias("day_cos")
+    )
+
+
+@q(
+    "q_scalar_arith",
+    "SELECT event_id, round(value * 2 + 1, 6) AS v_scaled, "
+    "round(abs(value - 1.0), 6) AS v_absdev, round(value / 24.0, 6) AS v_per_hour, "
+    "CAST(1 AS INTEGER) AS one FROM events",
+)
+def q_scalar_arith(spark, sf_dir):
+    """F6/F8/F9: column arithmetic, abs, literals
+    (`feature_engineering.py:174-190`, `anomaly_detection.py:77`)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") * 2 + 1, 6).alias("v_scaled"),
+        F.round(F.abs(F.col("value") - 1.0), 6).alias("v_absdev"),
+        F.round(F.col("value") / 24.0, 6).alias("v_per_hour"),
+        F.lit(1).alias("one"),
+    )
+
+
+@q(
+    "q_scalar_trydiv",
+    "SELECT l_orderkey, l_linenumber, "
+    "round(l_extendedprice / nullif(l_quantity - 25, 0), 6) AS price_per_excess "
+    "FROM lineitem",
+)
+def q_scalar_trydiv(spark, sf_dir):
+    """F7: safe division - NULL on zero divisor (`feature_engineering.py:176`).
+    DuckDB float division by zero yields NULL natively; Spark (ANSI)
+    needs try_divide."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25), 6).alias(
+            "price_per_excess"
+        ),
+    )
+
+
+@q(
+    "q_scalar_string",
+    "SELECT p_partkey, lower(p_name) AS name_lower, upper(p_brand) AS brand_upper, "
+    "trim(p_type) AS type_trim, CAST(length(p_name) AS INTEGER) AS name_len, "
+    "regexp_extract(p_name, '^(\\w+)', 1) AS first_word, "
+    "CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words FROM part",
+)
+def q_scalar_string(spark, sf_dir):
+    """F11: string functions (extension beyond reference driver-side
+    `.lower()`, SURVEY.md F11)."""
+    pt = t(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim("p_type").alias("type_trim"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@q(
+    "q_scalar_json",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k_str, "
+    "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events",
+)
+def q_scalar_json(spark, sf_dir):
+    """F12: JSON extraction from the events props column (extension)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))

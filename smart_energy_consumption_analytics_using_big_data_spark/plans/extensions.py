@@ -1,0 +1,298 @@
+"""Extension queries: dedup, similarity search, text analysis,
+multimodal plumbing (SURVEY.md SS7 north-star scope).
+
+Hash-based operators use md5 exclusively so the DuckDB oracle computes
+bit-identical signatures. Array math accumulates left-to-right in both
+engines (Spark `aggregate` / DuckDB `list_sum`), with final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.ext import dedup as D
+from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
+from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
+from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import q, t
+
+# ---------------------------------------------------------------------------
+# dedup
+
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tok WHERE len(toks) >= 3
+),
+sh AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh0
+  ) WHERE df <= 100
+)
+"""
+
+
+@q(
+    "q_dedup_exact",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id, count(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by content hash (hash-groupBy; one shuffle on
+    a small fixed-width key)."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_dedup_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+    FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    """,
+)
+def q_dedup_jaccard(spark, sf_dir):
+    """3-gram word-shingle Jaccard for every co-occurring pair, with
+    document-frequency pruning (df<=100) ahead of the pair join."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    return D.jaccard_pairs(sh, min_jaccard=0.0)
+
+
+@q(
+    "q_dedup_minhash_sig",
+    f"""
+    WITH {_SHINGLES_CTE}
+    SELECT doc_id,
+           min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+           min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+           min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_dedup_minhash_sig(spark, sf_dir):
+    """MinHash signatures (6 md5-family hashes) per document."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    return D.minhash_signatures(sh, num_hashes=6)
+
+
+@q(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs (3 bands x 2 rows) - the scale path:
+    bucket join instead of all-pairs."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    sig = D.minhash_signatures(sh, num_hashes=6)
+    return D.lsh_candidate_pairs(sig, num_hashes=6, band_size=2)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    case = (
+        "CASE WHEN sum(CASE WHEN substr(hh, {j}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    )
+    concat = " || ".join(case.format(j=j + 1) for j in range(bits))
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "h AS (SELECT doc_id, md5(token) AS hh FROM tok) "
+        f"SELECT doc_id, {concat} AS simhash FROM h GROUP BY doc_id"
+    )
+
+
+@q("q_dedup_simhash", _simhash_oracle(32))
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (md5-digit bit source, frequency
+    weighting via explode)."""
+    return D.simhash(t(spark, sf_dir, "documents"), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@q(
+    "q_sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id, e.label,
+           round({_DOT.format(a='e.embedding', b='q.qvec')} /
+                 (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+                  sqrt({_DOT.format(a='q.qvec', b='q.qvec')})), 6) AS cosine
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """,
+)
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against the first vector (exact ANN
+    baseline; single corpus scan + TakeOrdered)."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return S.cosine_topk(emb, query, k=10).select("vec_id", "label", "cosine")
+
+
+def _lsh_bucket_oracle(n_planes: int = 8, dim: int = 64) -> str:
+    bits = []
+    for p in range(n_planes):
+        signs = S.hyperplane_signs(p, dim)
+        lit = "[" + ", ".join(str(s) for s in signs) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len(embedding)), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    concat = " || ".join(bits)
+    return f"SELECT vec_id, {concat} AS bucket FROM embeddings"
+
+
+@q("q_sim_lsh_bucket", _lsh_bucket_oracle())
+def q_sim_lsh_bucket(spark, sf_dir):
+    """Random-hyperplane LSH bucket ids (deterministic md5-seeded
+    planes) - the ANN scale path's partitioning key."""
+    return S.lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+@q("q_sim_ann_lsh")  # rows-only: approximate result, defined by our own bucketing
+def q_sim_ann_lsh(spark, sf_dir):
+    """ANN top-k restricted to the query vector's LSH bucket."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return S.ann_topk_lsh(emb, query, k=10, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_STOPLIST_SQL = "('" + "', '".join(TX.EN_STOPWORDS) + "')"
+
+
+@q(
+    "q_text_tokens",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, "
+    "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpeish_tokens "
+    "FROM documents",
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        TX.token_count_bpeish(F.col("text")).alias("n_bpeish_tokens"),
+    )
+
+
+@q(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / length(text), 6) AS punct_ratio,
+           round(len(list_filter(string_split(text, ' '), x -> x IN {_STOPLIST_SQL}))
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Document quality scoring: length/punctuation/stopword signals."""
+    docs = t(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select("doc_id", *[col.alias(name) for name, col in feats.items()])
+
+
+@q(
+    "q_text_langid",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_STOPLIST_SQL})) >= 1
+                THEN 'en' ELSE 'unk' END AS predicted_lang,
+           lang AS actual_lang
+    FROM documents
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language-ID heuristic (stopword hits) vs the labeled lang."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.predicted_lang(F.col("text")).alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+@q(
+    "q_text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fingerprint, "
+    "list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)), "
+    "i -> md5(substr(text, i, 8)))) AS min_shingle_hash FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: normalized md5 + rolling 8-char shingle
+    min-hash."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
+        TX.min_shingle_hash(F.col("text"), k=8).alias("min_shingle_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@q(
+    "q_mm_meta",
+    "SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, "
+    "sha256(text) AS sha256_hex, md5(text) AS payload_md5 FROM documents",
+)
+def q_mm_meta(spark, sf_dir):
+    """Binary payload metadata: byte length + content hashes computed
+    over the BINARY column (UTF-8 payload stand-in)."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+@q("q_mm_decode")  # rows-only: decode stub is engine-internal (mapInPandas)
+def q_mm_decode(spark, sf_dir):
+    """Arrow-batched decode/feature-extract stub over binary payloads."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.decode_features(docs)

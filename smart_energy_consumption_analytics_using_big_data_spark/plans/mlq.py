@@ -1,0 +1,67 @@
+"""ML queries (rows-only: cross-engine ML has no SQL oracle;
+seed-pinned tolerance assertions live in tests/test_ml.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.ml import anomaly as AN
+from smart_energy_consumption_analytics_using_big_data_spark.ml import forecast as FC
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import q, t
+
+TEST_CUTOFF = "2024-01-25"
+VAL_CUTOFF = "2024-01-18"
+
+
+def _daily_features(spark, sf_dir):
+    daily = FC.daily_series(t(spark, sf_dir, "events"))
+    return FC.add_forecast_features(daily)
+
+
+@q("q_ml_forecast_linear")  # rows-only (M3/M6/M8/M9)
+def q_ml_forecast_linear(spark, sf_dir):
+    """Grid-searched LinearRegression forecast of daily per-user value
+    (`forecasting_model.py:272-320` semantics: time split, inner
+    validation split, refit, holdout predictions)."""
+    feats = _daily_features(spark, sf_dir)
+    result = FC.train_linear_forecast(feats, TEST_CUTOFF, VAL_CUTOFF)
+    return result.predictions.select(
+        "user_id",
+        "date",
+        F.round("label_value", 6).alias("label_value"),
+        F.round("prediction", 6).alias("prediction"),
+    )
+
+
+@q("q_ml_forecast_rf")  # rows-only (M4)
+def q_ml_forecast_rf(spark, sf_dir):
+    """RandomForest forecast variant, seed pinned to 42."""
+    feats = _daily_features(spark, sf_dir)
+    result = FC.train_rf_forecast(feats, TEST_CUTOFF, num_trees=20, max_depth=5)
+    return result.predictions.select(
+        "user_id",
+        "date",
+        F.round("label_value", 6).alias("label_value"),
+        F.round("prediction", 6).alias("prediction"),
+    )
+
+
+@q("q_ml_anomaly_kmeans")  # rows-only (M7 + D1-replacement + W6)
+def q_ml_anomaly_kmeans(spark, sf_dir):
+    """K-Means(k=5, seed=42) + native centroid distance + per-cluster
+    z-score anomaly flags (`anomaly_detection.py:108-143`, Python UDF
+    replaced by Catalyst expressions)."""
+    feats = _daily_features(spark, sf_dir)
+    scored = AN.detect_anomalies(
+        feats,
+        feature_cols=["label_value", "lag_1", "rolling_avg_7r", "day_of_week"],
+    )
+    return scored.select(
+        "user_id",
+        "date",
+        "cluster",
+        F.round("distance_to_center", 6).alias("distance_to_center"),
+        "z_score",
+        "is_anomaly",
+    )

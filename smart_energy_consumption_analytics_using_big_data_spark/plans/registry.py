@@ -1,0 +1,88 @@
+"""Aggregated query registry + flagship query.
+
+Importing this module registers every query family (core relational,
+extensions, ML, streaming) into QUERIES/ORACLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# Importing for registration side effects.
+from smart_energy_consumption_analytics_using_big_data_spark.plans import core  # noqa: F401
+from smart_energy_consumption_analytics_using_big_data_spark.plans import extensions  # noqa: F401
+from smart_energy_consumption_analytics_using_big_data_spark.plans import mlq  # noqa: F401
+from smart_energy_consumption_analytics_using_big_data_spark.plans import streamq  # noqa: F401
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import (
+    DSUM,
+    ORACLE,
+    QUERIES,
+    q,
+    t,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+
+__all__ = ["ORACLE", "QUERIES", "flagship"]
+
+
+@q(
+    "q_flagship",
+    """
+    WITH hourly AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,
+             {dsum} AS hourly_value, count(*) AS n_readings
+      FROM events GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT *, round(avg(hourly_value) OVER (
+               PARTITION BY user_id ORDER BY date, hour
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 6) AS rolling_avg
+      FROM hourly
+    ), z AS (
+      SELECT *, round((hourly_value - rolling_avg) /
+               nullif(stddev_samp(hourly_value) OVER (PARTITION BY user_id), 0), 6) AS z_dev
+      FROM w
+    )
+    SELECT user_id, date, hour, hourly_value, rolling_avg, z_dev
+    FROM z WHERE z_dev IS NOT NULL
+    ORDER BY abs(z_dev) DESC, user_id, date, hour LIMIT 50
+    """.format(dsum=DSUM("value")),
+)
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-entity hourly rollup -> trailing 7-row average ->
+    per-entity z-scored deviation -> global top-50.
+
+    One DataFrame program exercising scan, agg, two window specs, sort,
+    limit - the reference's analytical signature in a single plan
+    (`data_preprocessing.py:231-234` + `feature_engineering.py:94-95` +
+    `anomaly_detection.py:132-153`). Physical shape: one shuffle for
+    the rollup, ONE more for both windows (same partition key), then
+    TakeOrdered - no full global sort.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date"), F.hour("ts").alias("hour")
+    ).agg(sum_exact("value").alias("hourly_value"), F.count(F.lit(1)).alias("n_readings"))
+
+    w_ord = Window.partitionBy("user_id").orderBy("date", "hour")
+    w_all = Window.partitionBy("user_id")
+    scored = (
+        hourly.withColumn(
+            "rolling_avg", F.round(F.avg("hourly_value").over(w_ord.rowsBetween(-7, -1)), 6)
+        )
+        .withColumn(
+            "z_dev",
+            F.round(
+                F.try_divide(
+                    F.col("hourly_value") - F.col("rolling_avg"),
+                    F.nullif(F.stddev("hourly_value").over(w_all), F.lit(0.0)),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("z_dev").isNotNull())
+    )
+    return (
+        scored.select("user_id", "date", "hour", "hourly_value", "rolling_avg", "z_dev")
+        .orderBy(F.abs("z_dev").desc(), "user_id", "date", "hour")
+        .limit(50)
+    )

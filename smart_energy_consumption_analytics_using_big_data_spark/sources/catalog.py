@@ -1,0 +1,61 @@
+"""Table catalog over the synthetic testdata and engine outputs.
+
+The reference's "catalog" is a directory-name convention under
+``data/processed/`` (SURVEY.md SS1.1, `data_preprocessing.py:97`); here
+tables are named Parquet datasets loadable by name and registrable as
+SQL views, so DataFrame and ``spark.sql`` programs share one surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns written by the data generator as INT64 TIMESTAMP(NANOS), which
+# Spark's Parquet reader only admits as long (spark.sql.legacy.parquet.
+# nanosAsLong). DuckDB truncates the same values to microseconds, so we
+# convert with integer division (`div 1000`) - floor semantics match.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def configure_runtime(spark: SparkSession) -> None:
+    """Idempotent runtime conf applied before reading testdata.
+
+    Safe on foreign sessions (e.g. the correctness driver's): all three
+    are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nano-timestamps to TimestampType."""
+    configure_runtime(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

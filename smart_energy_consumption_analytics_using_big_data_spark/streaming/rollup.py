@@ -1,0 +1,116 @@
+"""Structured Streaming rollups over the events stream (SURVEY.md SS2.9).
+
+The reference is strictly batch ("real-time" is marketing, SURVEY.md
+SS2.9); this extension mirrors the A1 rollup semantics as a streaming
+aggregation: readStream -> event-time window agg -> sink.
+
+Two shapes:
+
+* `stream_daily_rollup` - complete-mode aggregation replayed with the
+  availableNow trigger; deterministic, equals the batch rollup, so it
+  IS oracle-checkable against plain SQL.
+* `stream_daily_rollup_append` - watermarked append mode, the shape a
+  live 100 TB/day ingest would run (state eviction past the watermark,
+  late data within it merged); only closed windows emit.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
+
+# readStream needs an explicit schema; ts is INT64 TIMESTAMP(NANOS) in
+# the testdata parquet, admitted as long (see sources/catalog.py).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
+    configure_runtime(spark)
+    # The file stream source only accepts directories; when handed a
+    # bare parquet file, stage it into a temp dir (stand-in for the
+    # landing directory a real ingest would tail).
+    path = Path(events_path)
+    if path.is_file():
+        staging = Path(tempfile.mkdtemp(prefix="stream_events_"))
+        shutil.copy(path, staging / path.name)
+        events_path = str(staging)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _windowed_agg(events: DataFrame, window: str) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "total_value",
+            "n",
+        )
+    )
+
+
+def stream_daily_rollup(spark: SparkSession, events_glob: str, window: str = "1 day") -> DataFrame:
+    """Replay the events table as a stream; return the final rollup.
+
+    availableNow processes all existing files then stops; complete mode
+    emits every window, so the result equals the batch GROUP BY.
+    """
+    agg = _windowed_agg(_streaming_events(spark, events_glob), window)
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "complete")
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def _run_to_memory(spark: SparkSession, agg: DataFrame, name: str, mode: str):
+    """Start a memory-sink stream with a bounded state-partition count.
+
+    Streaming state partitioning is fixed by spark.sql.shuffle.partitions
+    at query start and AQE does NOT coalesce it - on a foreign session
+    (default 200) a replay would spin 200 state-store tasks per batch.
+    Scope the conf to the stream start, then restore.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_daily_rollup_append(
+    spark: SparkSession,
+    events_glob: str,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked append-mode variant (the live-ingest shape).
+
+    Late events inside the watermark still merge into their window;
+    state for windows older than the watermark is evicted. Only windows
+    the watermark has passed are emitted - by design the trailing
+    window stays open.
+    """
+    events = _streaming_events(spark, events_glob).withWatermark("ts", watermark)
+    agg = _windowed_agg(events, window)
+    name = f"stream_rollup_append_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "append")
+    query.awaitTermination()
+    return spark.table(name)
