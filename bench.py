@@ -1,0 +1,87 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+The suite mirrors the reference pipeline's workload shape (BASELINE.md:
+scan-heavy ingest, aggregation-heavy rollups, window-heavy features,
+ML tail) plus the extension operators, so the per-query seconds track
+exactly the stages the reference times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from smart_energy_consumption_analytics_using_big_data_spark import get_spark
+from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+# Headline suite: name -> registry query. Chosen to cover scan, multi-key
+# rollup + re-agg, broadcast + shuffled joins, the full window family,
+# top-k, dedup (shuffle-heavy), similarity (array math), and the ML tail.
+BENCH_QUERIES = [
+    "q_flagship",
+    "q_agg_multikey",
+    "q_agg_reagg",
+    "q_join_left_dim",
+    "q_join_inner",
+    "q_window_lag",
+    "q_window_rollavg",
+    "q_window_zscore",
+    "q_topk_count",
+    "q_rollup",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_sim_cosine_topk",
+    "q_text_quality",
+    "q_stream_rollup",
+    "q_ml_anomaly_kmeans",
+]
+
+
+def run_one(spark, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    # Force full execution without driver-side materialization cost
+    # dominating: count() executes every operator in the plan.
+    df.count()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up so q1 doesn't pay session startup.
+    QUERIES["q_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_one(spark, sf_dir, name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
