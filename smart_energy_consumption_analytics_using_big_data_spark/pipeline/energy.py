@@ -1,0 +1,157 @@
+"""Energy-domain pipeline: reference parity as composable functions.
+
+Re-expresses the reference's 5 OS-process stages (`run_pipeline.ps1:
+18-40`) as library functions over one SparkSession - Parquet
+materialization between stages becomes optional instead of structural
+(SURVEY.md SS3). Each function cites the stage logic it mirrors.
+
+Documented deviations from the reference (SURVEY.md SS7 "worth not
+copying"):
+
+* `date` is DateType, not a "yyyy-MM-dd" string
+  (`data_preprocessing.py:152` kept strings; predicates were
+  lexicographic);
+* group-carried tariff uses deterministic `min` instead of `first()`
+  (`data_preprocessing.py:255-258` is order-dependent);
+* the hourly rollup groups by clean keys only - the reference also
+  grouped by raw tariff columns incl. TariffDateTime, splitting hours
+  at ToU boundaries (`data_preprocessing.py:226-234`);
+* no 500-household micro-batching (`feature_engineering.py:289-335`):
+  window functions already stream per partition; the batching was an
+  8 GB-laptop workaround with no semantic effect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.functions import timefns as TF
+from smart_energy_consumption_analytics_using_big_data_spark.operators import (
+    joins as J,
+    windows as W,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+from smart_energy_consumption_analytics_using_big_data_spark.sources.schemas import (
+    RAW_READING_KWH_COL,
+)
+
+LAG_DAYS = (1, 2, 3, 7, 14, 30)  # feature_engineering.py:86-89
+
+
+def clean_readings(raw: DataFrame) -> DataFrame:
+    """Stage-2 cleaning (`data_preprocessing.py:88-152`).
+
+    Drop unusable rows, rename the quirky source columns, derive
+    calendar parts. The "Null" sentinel is already handled by the
+    reader's nullValue option (sources/readers.py), so no per-row
+    rewrite pass is needed here.
+    """
+    df = raw.na.drop(subset=["LCLid", "DateTime", RAW_READING_KWH_COL])
+    df = df.withColumnRenamed(RAW_READING_KWH_COL, "energy_kwh").withColumnRenamed(
+        "stdorToU", "tariff_type"
+    )
+    df = df.filter(F.col("energy_kwh").isNotNull())
+    return TF.with_calendar(df, "DateTime")
+
+
+def join_tariffs(readings: DataFrame, tariffs: DataFrame) -> DataFrame:
+    """Half-hourly ToU tariff attach (`data_preprocessing.py:182`).
+
+    Exact-equality time join: both sides share the half-hourly grid, so
+    the as-of semantic collapses to a broadcast equi-join (J1). The
+    same tariff applies to every household at a given instant - the
+    reference's log text claims LCLid is a key but the code joins on
+    timestamp only (SURVEY.md J1 note).
+    """
+    return J.join_dim(
+        readings, tariffs, readings["DateTime"] == tariffs["TariffDateTime"], "left"
+    ).drop("TariffDateTime")
+
+
+def hourly_rollup(readings: DataFrame) -> DataFrame:
+    """Hourly aggregate per household (`data_preprocessing.py:231-234`)."""
+    return readings.groupBy(
+        "LCLid", "date", "hour", "year", "month", "day", "weekday"
+    ).agg(
+        sum_exact("energy_kwh").alias("hourly_energy_kwh"),
+        F.avg("energy_kwh").alias("avg_half_hour_energy"),
+        F.count(F.lit(1)).alias("num_readings"),
+        F.min("Tariff").alias("Tariff"),  # deterministic; ref used first()
+    )
+
+
+def daily_rollup(hourly: DataFrame) -> DataFrame:
+    """Daily re-aggregate over hourly (`data_preprocessing.py:246-261`)."""
+    return hourly.groupBy("LCLid", "date", "year", "month", "day", "weekday").agg(
+        sum_exact("hourly_energy_kwh").alias("daily_energy_kwh"),
+        F.avg("hourly_energy_kwh").alias("avg_hourly_energy"),
+        F.sum("num_readings").alias("total_readings"),
+        F.min("Tariff").alias("Tariff"),
+    )
+
+
+def engineer_features(daily: DataFrame) -> DataFrame:
+    """Stage-3 feature table (`feature_engineering.py:41-249`): lag
+    grid, trailing 7/30-row rolling stats (current row excluded),
+    calendar flags, cyclical encodings, tariff one-hots, change /
+    deviation / z-score columns; warm-up rows dropped at the end."""
+    w = W.entity_window("LCLid", "date")
+    df = W.with_lags(daily, "daily_energy_kwh", w, list(LAG_DAYS), prefix="lag_")
+    df = W.with_trailing_stats(df, "daily_energy_kwh", w, 7)
+    df = W.with_trailing_stats(df, "daily_energy_kwh", w, 30, stats=("avg", "stddev"))
+
+    df = df.withColumn("day_of_week", F.dayofweek("date"))
+    df = df.withColumn("is_weekend", TF.is_weekend(F.col("day_of_week")))
+    df = df.withColumn("season", TF.season(F.col("month")))
+    m_sin, m_cos = TF.cyclical(F.col("month"), 12)
+    d_sin, d_cos = TF.cyclical(F.col("day"), 31)
+    df = (
+        df.withColumn("month_sin", m_sin)
+        .withColumn("month_cos", m_cos)
+        .withColumn("day_sin", d_sin)
+        .withColumn("day_cos", d_cos)
+    )
+    # Tariff one-hots (feature_engineering.py:160-171)
+    for tariff in ("Normal", "Low", "High"):
+        df = df.withColumn(
+            f"tariff_{tariff.lower()}", (F.col("Tariff") == tariff).cast("int")
+        )
+    df = df.withColumn("energy_change", F.col("daily_energy_kwh") - F.col("lag_1"))
+    df = df.withColumn(
+        "energy_change_pct", TF.pct_change(F.col("daily_energy_kwh"), F.col("lag_1"))
+    )
+    df = df.withColumn(
+        "deviation_from_weekly", F.col("daily_energy_kwh") - F.col("rolling_avg_7r")
+    )
+    df = df.withColumn(
+        "zscore_7r",
+        F.try_divide(F.col("deviation_from_weekly"), F.col("rolling_stddev_7r")),
+    )
+    # Warm-up drop restricted to feature columns: the reference's full-row
+    # dropna() also nuked rows whose *tariff* was NULL after the left
+    # join, silently deleting everything outside tariff coverage
+    # (feature_engineering.py:196 + :182) - documented deviation.
+    required = [f"lag_{k}" for k in LAG_DAYS] + [
+        "rolling_avg_7r",
+        "rolling_stddev_7r",
+        "rolling_avg_30r",
+        "rolling_stddev_30r",
+    ]
+    return df.na.drop(subset=required)
+
+
+def preprocess(raw: DataFrame, tariffs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Stage 2 end-to-end: clean -> tariff join -> hourly + daily."""
+    cleaned = clean_readings(raw)
+    with_tariff = join_tariffs(cleaned, tariffs)
+    hourly = hourly_rollup(with_tariff)
+    daily = daily_rollup(hourly)
+    return hourly, daily
+
+
+def run_pipeline(raw: DataFrame, tariffs: DataFrame) -> dict[str, DataFrame]:
+    """Stages 2-3 as one lazily-evaluated DAG; callers pick what to
+    materialize (the reference forced disk between every stage)."""
+    hourly, daily = preprocess(raw, tariffs)
+    features = engineer_features(daily)
+    return {"hourly": hourly, "daily": daily, "features": features}

@@ -1,0 +1,117 @@
+"""Unit/property checks for the operator layer."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators import (
+    aggregates as A,
+    joins as J,
+    relational as R,
+    windows as W,
+)
+
+
+def test_sum_exact_is_order_independent(spark):
+    # 10k values whose plain-double sum depends on order; the decimal
+    # accumulation must equal the exact decimal result regardless of
+    # partitioning.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pdf = pd.DataFrame({"v": [0.1 + i * 1e-7 for i in range(10_000)]})
+    # Spark's double->decimal cast parses the *shortest decimal repr*
+    # (Java Double.toString) then rounds HALF_UP - mirror with repr().
+    expected = float(
+        sum(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP) for v in pdf.v)
+    )
+    for parts in (1, 7):
+        got = (
+            spark.createDataFrame(pdf)
+            .repartition(parts)
+            .agg(A.sum_exact("v").alias("s"))
+            .collect()[0]["s"]
+        )
+        assert abs(got - expected) < 1e-6
+
+
+def test_trailing_frame_excludes_current_row(spark):
+    pdf = pd.DataFrame({"e": ["a"] * 10, "t": range(10), "v": [float(i) for i in range(10)]})
+    w = W.entity_window("e", "t")
+    out = (
+        W.with_trailing_stats(spark.createDataFrame(pdf), "v", w, 3, stats=("avg", "sum"))
+        .orderBy("t")
+        .collect()
+    )
+    # row 0 has an empty frame
+    assert out[0]["rolling_avg_3r"] is None
+    # row 5: frame = rows 2,3,4 -> avg 3.0, sum 9.0 (current row 5 excluded)
+    assert out[5]["rolling_avg_3r"] == 3.0
+    assert out[5]["rolling_sum_3r"] == 9.0
+
+
+def test_partition_zscore_null_on_zero_std(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [1.0, 3.0, 5.0, 5.0]})
+    out = {
+        (r["g"], r["v"]): r["z"]
+        for r in W.with_partition_zscore(spark.createDataFrame(pdf), "v", "g", out="z").collect()
+    }
+    assert out[("a", 1.0)] == -0.707107 and out[("a", 3.0)] == 0.707107
+    assert out[("b", 5.0)] is None  # stddev 0 -> try_divide NULL, not error
+
+
+def test_asof_join_grid_floors_to_bucket(spark):
+    fact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "ts": pd.to_datetime(["2024-01-01 00:17:00", "2024-01-01 00:44:00"]),
+            }
+        )
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "grid_ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:30:00"]),
+                "tariff": ["Low", "High"],
+            }
+        )
+    )
+    out = {
+        r["id"]: r["tariff"]
+        for r in J.asof_join_grid(fact, dim, "ts", "grid_ts", "30 minutes").collect()
+    }
+    assert out == {1: "Low", 2: "High"}
+
+
+def test_sentinel_to_null_and_cast(spark):
+    pdf = pd.DataFrame({"x": ["1.5", "Null", "2.0", "garbage"]})
+    out = [
+        r["x"]
+        for r in R.sentinel_to_null(spark.createDataFrame(pdf), "x", "Null", "double")
+        .orderBy(F.col("x").asc_nulls_last())
+        .collect()
+    ]
+    assert out == [1.5, 2.0, None, None]  # try_cast: garbage -> NULL, no ANSI error
+
+
+def test_top_k_groups_deterministic_under_ties(spark):
+    pdf = pd.DataFrame({"k": ["b", "b", "a", "a", "c"]})
+    out = A.top_k_groups(spark.createDataFrame(pdf), "k", 2).collect()
+    assert [(r["k"], r["n"]) for r in out] == [("a", 2), ("b", 2)]
+
+
+def test_union_all_by_name(spark):
+    df1 = spark.createDataFrame(pd.DataFrame({"a": [1], "b": ["x"]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"b": ["y"], "a": [2]}))  # swapped order
+    out = R.union_all([df1, df2]).orderBy("a").collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, "x"), (2, "y")]
+
+
+def test_hierarchy_rollup_totals(spark):
+    pdf = pd.DataFrame({"l1": ["x", "x", "y"], "l2": ["p", "q", "p"], "v": [1.0, 2.0, 4.0]})
+    rows = A.hierarchy_rollup(spark.createDataFrame(pdf), ["l1", "l2"], "v").collect()
+    by_key = {(r["l1"], r["l2"]): r["total_v"] for r in rows}
+    assert by_key[(None, None)] == 7.0  # grand total
+    assert by_key[("x", None)] == 3.0
+    assert by_key[("y", "p")] == 4.0

@@ -1,0 +1,54 @@
+"""Streaming semantics: availableNow replay equals the batch rollup;
+watermarked append mode withholds the still-open trailing window
+(deterministic micro-batch replay per SURVEY.md SS7)."""
+
+from __future__ import annotations
+
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+    stream_daily_rollup,
+    stream_daily_rollup_append,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _batch_rollup(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _as_set(df):
+    return {(r["day"], r["event_type"], r["total_value"], r["n"]) for r in df.collect()}
+
+
+def test_stream_complete_equals_batch(spark):
+    streamed = stream_daily_rollup(spark, f"{SF_SMOKE}/events.parquet")
+    assert _as_set(streamed) == _as_set(_batch_rollup(spark))
+
+
+def test_stream_append_withholds_open_window(spark):
+    import datetime as dt
+
+    batch = _as_set(_batch_rollup(spark))
+    appended = _as_set(stream_daily_rollup_append(spark, f"{SF_SMOKE}/events.parquet"))
+    # append-mode output is a subset: closed windows only
+    assert appended < batch
+    # a window emits only once the watermark (max_ts - 1 day) passes its
+    # END; every day whose end lies beyond the watermark is withheld
+    max_ts = load_table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - dt.timedelta(days=1)
+    batch_days = {d for d, *_ in batch}
+    appended_days = {d for d, *_ in appended}
+    expected_withheld = {
+        d
+        for d in batch_days
+        if dt.datetime.strptime(d, "%Y-%m-%d") + dt.timedelta(days=1) > watermark
+    }
+    assert batch_days - appended_days == expected_withheld
