@@ -55,14 +55,17 @@ def shingle_table(
         F.explode(word_shingles(tokens_ws(F.col(text_col)), n)).alias("shingle"),
     )
     if max_df is not None:
-        from pyspark.sql import Window
-
-        df_count = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(df_count))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
+        # Stop-shingle blacklist is tiny by construction (only shingles
+        # with df > max_df), so prune with a broadcast ANTI join - one
+        # aggregation plus a map-side filter, instead of sorting the
+        # full (doc, shingle) table for a count window.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     return sh
 
 

@@ -73,6 +73,50 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col), F.concat(*bits).alias("bucket"))
 
 
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (brute force).
+
+    All-pairs join - correct but quadratic; the verification stage of a
+    dedup pipeline. At corpus scale use neardup_pairs_lsh, which joins
+    only within LSH buckets.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def neardup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs restricted to same-LSH-bucket candidates - the
+    scale path: shuffle on bucket, pair join per bucket."""
+    buckets = lsh_buckets(embeddings, n_planes, dim, vec_col, id_col)
+    tagged = embeddings.join(buckets, id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query: DataFrame,

@@ -21,7 +21,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.operators import (
 from smart_energy_consumption_analytics_using_big_data_spark.functions import timefns as TF
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
-from smart_energy_consumption_analytics_using_big_data_spark.sources import readers
+from smart_energy_consumption_analytics_using_big_data_spark.sources import catalog, readers
 from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -126,9 +126,12 @@ def q_cast_sentinel(spark, sf_dir):
     "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'",
 )
 def q_filter_range(spark, sf_dir):
-    """P6: typed time-range predicate (vs string compare at
-    `forecasting_model.py:186-188`); pushes to the scan."""
-    df = R.filter_range(t(spark, sf_dir, "events"), "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    """P6: time-range predicate pushed into the Parquet scan (vs the
+    reference's unpushable string compare, `forecasting_model.py:186-188`).
+    Uses the raw-nanos bound so PushedFilters prunes row groups."""
+    df = catalog.load_time_range(
+        spark, sf_dir, "events", "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    )
     return df.select("event_id", "user_id", "value")
 
 
@@ -152,6 +155,16 @@ def q_filter_eq(spark, sf_dir):
     return (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@q("q_sample")  # rows-only: RNG streams differ across engines (P11)
+def q_sample(spark, sf_dir):
+    """P11: seeded Bernoulli row sampling (`forecasting_model.py:451`)."""
+    return (
+        t(spark, sf_dir, "events")
+        .sample(fraction=0.2, seed=42)
         .select("event_id", "user_id", "value")
     )
 

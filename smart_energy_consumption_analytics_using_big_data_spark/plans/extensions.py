@@ -191,6 +191,32 @@ def q_sim_ann_lsh(spark, sf_dir):
     return S.ann_topk_lsh(emb, query, k=10, n_planes=8, dim=64)
 
 
+@q(
+    "q_emb_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_DOT.format(a='a.embedding', b='b.embedding')} /
+                 (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) *
+                  sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_DOT.format(a='a.embedding', b='b.embedding')} /
+                (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) *
+                 sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+    """,
+)
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    threshold 0.4 fits the synthetic corpus' similarity ceiling)."""
+    return S.neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q("q_emb_neardup_lsh")  # rows-only: bucket-restricted approximation
+def q_emb_neardup_lsh(spark, sf_dir):
+    """Near-dup pairs via LSH bucket prejoin (the 100 TB path: shuffle
+    on bucket key, quadratic only within buckets)."""
+    return S.neardup_pairs_lsh(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 

@@ -55,6 +55,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lower: str | None = None,
+    upper: str | None = None,
+) -> DataFrame:
+    """Table scan with a time-range predicate pushed into Parquet.
+
+    The nanos->timestamp conversion in load_table blocks predicate
+    pushdown (Catalyst cannot push through timestamp_micros(expr)), so
+    a post-conversion filter would scan every row group. Because the
+    conversion is monotonic, the equivalent bound on the RAW nanos long
+    pushes down (`PushedFilters: [GreaterThanOrEqual(ts, ...)]`) and
+    prunes row groups via min/max statistics - the difference between
+    reading 100 TB and reading a day.
+    """
+    import datetime as dt
+
+    configure_runtime(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if dict(df.dtypes).get(ts_col) != "bigint":
+        # already a real timestamp column: typed predicates push natively
+        if lower is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(lower).cast("timestamp"))
+        if upper is not None:
+            df = df.filter(F.col(ts_col) < F.lit(upper).cast("timestamp"))
+        return df
+
+    def to_nanos(s: str) -> int:
+        parsed = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(parsed.timestamp() * 1_000_000) * 1_000
+
+    if lower is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(to_nanos(lower)))
+    if upper is not None:
+        df = df.filter(F.col(ts_col) < F.lit(to_nanos(upper)))
+    return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:

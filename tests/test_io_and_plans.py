@@ -1,0 +1,86 @@
+"""Sink roundtrips, model persistence, and physical-plan assertions
+(the scale checklist: pushdown reaches the scan, dims broadcast,
+aggregates are partial+final)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_parquet_sink_roundtrip_with_partitioning(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.dayofmonth("ts"))
+    out = str(tmp_path / "events_parq")
+    writers.write_parquet(ev.drop("ts"), out, num_files=2, partition_by=["day"])
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # partition pruning: day filter must prune partitions at the source
+    plan = _formatted_plan(back.filter(F.col("day") == 3))
+    assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    out = str(tmp_path / "csv_out")
+    writers.write_csv(df, out, num_files=1)
+    back = spark.read.option("header", True).schema("a bigint, b string").csv(out)
+    assert sorted((r["a"], r["b"]) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_target_partitions_heuristic():
+    assert writers.target_partitions(100) == 20
+    assert writers.target_partitions(5_000_000) == 100
+
+
+def test_model_save_load_roundtrip(spark, tmp_path, daily_ar_fixture):
+    from pyspark.ml import PipelineModel
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ml import forecast as FC
+
+    feats = FC.add_forecast_features(spark.createDataFrame(daily_ar_fixture))
+    result = FC.train_linear_forecast(
+        feats, test_cutoff="2013-03-25", val_cutoff="2013-03-10",
+        reg_params=(0.1,), elastic_net_params=(0.0,),
+    )
+    path = str(tmp_path / "model")
+    result.model.write().overwrite().save(path)  # S13 (forecasting_model.py:424)
+    reloaded = PipelineModel.load(path)
+    test = feats.filter(F.col("date") >= "2013-03-25")
+    orig = result.model.transform(test).agg(F.sum("prediction")).collect()[0][0]
+    again = reloaded.transform(test).agg(F.sum("prediction")).collect()[0][0]
+    assert abs(orig - again) < 1e-9
+
+
+def test_time_range_filter_pushes_to_scan(spark):
+    plan = _formatted_plan(QUERIES["q_filter_range"](spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(ts" in plan and "LessThan(ts" in plan, plan
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _formatted_plan(QUERIES["q_join_left_dim"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_aggregates_partially(spark):
+    # partial (map-side) + final hash aggregation around one exchange
+    plan = _formatted_plan(QUERIES["q_agg_multikey"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _formatted_plan(QUERIES["q_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
