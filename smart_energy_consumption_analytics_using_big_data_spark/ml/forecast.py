@@ -127,6 +127,42 @@ def train_linear_forecast(
     return ForecastResult(predictions=preds, metrics=metrics, best_params=params, model=final)
 
 
+def train_gbt_forecast(
+    features: DataFrame,
+    test_cutoff,
+    max_iter: int = 20,
+    max_depth: int = 5,
+    sample_fraction: float | None = None,
+) -> ForecastResult:
+    """GBTRegressor path (M5; present-but-disabled in the reference for
+    memory, `forecasting_model.py:428-476` - its 20% sample workaround
+    is exposed here as an explicit option)."""
+    from pyspark.ml.regression import GBTRegressor
+
+    train = features.filter(F.col("date") < F.lit(test_cutoff))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=SEED)
+    test = features.filter(F.col("date") >= F.lit(test_cutoff))
+    gbt = GBTRegressor(
+        featuresCol="features", labelCol="label_value",
+        maxIter=max_iter, maxDepth=max_depth, seed=SEED,
+    )
+    model = _pipeline(gbt).fit(train)
+    preds = model.transform(test)
+    metrics = {
+        name: RegressionEvaluator(
+            labelCol="label_value", predictionCol="prediction", metricName=name
+        ).evaluate(preds)
+        for name in ("mae", "rmse", "r2")
+    }
+    return ForecastResult(
+        predictions=preds,
+        metrics=metrics,
+        best_params={"maxIter": max_iter, "maxDepth": max_depth},
+        model=model,
+    )
+
+
 def train_rf_forecast(
     features: DataFrame,
     test_cutoff,

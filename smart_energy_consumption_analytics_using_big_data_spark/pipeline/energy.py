@@ -149,6 +149,31 @@ def preprocess(raw: DataFrame, tariffs: DataFrame) -> tuple[DataFrame, DataFrame
     return hourly, daily
 
 
+def merge_for_export(
+    anomalies: DataFrame,
+    predictions: DataFrame,
+    daily: DataFrame,
+    keys: tuple[str, str] = ("LCLid", "date"),
+) -> DataFrame:
+    """Document-oriented export merge (S12; `merge_csv_for_mongodb.py:
+    18-158` re-expressed as Spark joins instead of driver pandas).
+
+    Left-joins forecast and daily context onto the anomaly table on the
+    composite key and fills measure NULLs - the record-per-entity-day
+    document an external store ingests. Writing stays in
+    sources/writers.py (csv/parquet); a connector sink would slot in
+    behind the same DataFrame.
+    """
+    pred_cols = predictions.select(
+        *keys, F.col("prediction").alias("forecast_prediction")
+    )
+    daily_cols = daily.select(*keys, "daily_energy_kwh", "avg_hourly_energy", "total_readings")
+    merged = anomalies.join(pred_cols, list(keys), "left").join(
+        daily_cols, list(keys), "left"
+    )
+    return merged.na.fill(0.0, ["forecast_prediction"])
+
+
 def run_pipeline(raw: DataFrame, tariffs: DataFrame) -> dict[str, DataFrame]:
     """Stages 2-3 as one lazily-evaluated DAG; callers pick what to
     materialize (the reference forced disk between every stage)."""

@@ -1,0 +1,156 @@
+"""Analytical extensions over the reference surface: pivot, cube,
+percentiles, ranking family, sessionization, time bucketing.
+
+These round out SS2.4/SS2.5 with the grouping-set and ordered-analytics
+shapes a warehouse user expects; each remains a single-shuffle (or
+shared-shuffle) plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q_pivot",
+    "SELECT CAST(day(ts) AS INTEGER) AS day, "
+    + ", ".join(
+        DSUM(f"CASE WHEN event_type = '{et}' THEN value END") + f" AS {et}"
+        for et in EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT: wide per-type daily totals. Explicit pivot values keep it
+    a single pass (no extra distinct-scan to discover columns)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofmonth("ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double"))
+    )
+
+
+@q(
+    "q_cube",
+    """
+    WITH e AS (SELECT event_type, CAST(day(ts) AS INTEGER) AS day, value FROM events)
+    SELECT event_type, day, {dsum} AS total_value, count(*) AS n
+    FROM e GROUP BY CUBE(event_type, day)
+    """.format(dsum=DSUM("value")),
+)
+def q_cube(spark, sf_dir):
+    """CUBE grouping sets: every (event_type, day) combination plus all
+    marginals in one shuffle."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "value"
+    )
+    return ev.cube("event_type", "day").agg(
+        sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "q_agg_percentile",
+    "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50, "
+    "round(quantile_cont(value, 0.9), 6) AS p90, round(quantile_cont(value, 0.99), 6) AS p99 "
+    "FROM events GROUP BY event_type",
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use the
+    same linear-interpolation definition). At 100 TB swap for
+    approx_percentile - kept exact here for the oracle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+_RANK_OVER = "OVER (PARTITION BY event_type ORDER BY value DESC, event_id)"
+
+
+@q(
+    "q_window_lead_ntile",
+    f"SELECT event_id, event_type, lead(value, 1) {_RANK_OVER} AS next_value, "
+    f"ntile(4) {_RANK_OVER} AS quartile, dense_rank() {_RANK_OVER} AS drnk, "
+    f"round(percent_rank() {_RANK_OVER}, 6) AS prnk FROM events",
+)
+def q_window_lead_ntile(spark, sf_dir):
+    """Ranking family: lead, ntile, dense_rank, percent_rank (W7
+    extension)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
+
+
+@q(
+    "q_sessionize",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization: 30-min inactivity gap starts a new session;
+    session id = running count of gap starts. One shuffle on the entity
+    key serves both windows - the batch analog of a session window."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap > 1_800_000_000, 1).otherwise(0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(running).alias("session_id"),
+    )
+
+
+@q(
+    "q_time_bucket",
+    """
+    SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           event_type, {dsum} AS total_value, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """.format(dsum=DSUM("value")),
+)
+def q_time_bucket(spark, sf_dir):
+    """Tumbling 6-hour time buckets in batch (window() epoch-aligned;
+    the same grouping Structured Streaming uses for its windows)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.window("ts", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+        )
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )

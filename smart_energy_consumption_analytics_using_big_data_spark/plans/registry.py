@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 # Importing for registration side effects.
+from smart_energy_consumption_analytics_using_big_data_spark.plans import analytics  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import core  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import extensions  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import mlq  # noqa: F401

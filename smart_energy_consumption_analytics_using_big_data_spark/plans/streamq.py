@@ -13,6 +13,9 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans._registry imp
 from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
     stream_daily_rollup,
 )
+from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful import (
+    stream_user_running_stats,
+)
 
 
 @q(
@@ -24,3 +27,11 @@ def q_stream_rollup(spark, sf_dir):
     """Structured Streaming daily rollup == batch GROUP BY (A1 mirrored
     into the streaming engine; event-time tumbling window)."""
     return stream_daily_rollup(spark, f"{sf_dir}/events.parquet", window="1 day")
+
+
+@q("q_stream_stateful")  # rows-only: custom state, float accumulation in pandas
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running stats folded across micro-batches; equality with the batch
+    aggregate is asserted in tests/test_streaming.py."""
+    return stream_user_running_stats(spark, f"{sf_dir}/events.parquet")

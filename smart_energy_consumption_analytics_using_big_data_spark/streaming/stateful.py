@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md SS7 extension - the reference has no streaming at all).
+
+Per-user running aggregate maintained as explicit state across
+micro-batches: the shape for operators Structured Streaming's built-in
+windows can't express (running counters, custom session logic,
+model-state updates). State lives in the state store, partitioned by
+key - nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
+    configure_runtime,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+    EVENTS_STREAM_SCHEMA,
+)
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
+STATE_SCHEMA = "n bigint, total double, mx double"
+
+
+def _update_user_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's rows for one user into running state."""
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_value": [mx]}
+    )
+
+
+def stream_user_running_stats(spark: SparkSession, events_path: str) -> DataFrame:
+    """Replay events through a custom stateful operator; returns the
+    final per-user running stats (update-mode memory sink)."""
+    configure_runtime(spark)
+    path = Path(events_path)
+    if path.is_file():
+        staging = Path(tempfile.mkdtemp(prefix="stream_stateful_"))
+        shutil.copy(path, staging / path.name)
+        events_path = str(staging)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    stats = events.groupBy("user_id").applyInPandasWithState(
+        _update_user_state,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        query = (
+            stats.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    query.awaitTermination()
+    return spark.table(name)

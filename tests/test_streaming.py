@@ -33,6 +33,34 @@ def test_stream_complete_equals_batch(spark):
     assert _as_set(streamed) == _as_set(_batch_rollup(spark))
 
 
+def test_stateful_running_stats_equal_batch(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful import (
+        stream_user_running_stats,
+    )
+
+    streamed = {
+        r["user_id"]: r
+        for r in stream_user_running_stats(spark, f"{SF_SMOKE}/events.parquet").collect()
+    }
+    batch = {
+        r["user_id"]: r
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(streamed) == set(batch)
+    for uid, b in batch.items():
+        s = streamed[uid]
+        assert s["n_events"] == b["n_events"]
+        assert abs(s["total_value"] - b["total_value"]) < 1e-6
+        assert s["max_value"] == b["max_value"]
+
+
 def test_stream_append_withholds_open_window(spark):
     import datetime as dt
 
