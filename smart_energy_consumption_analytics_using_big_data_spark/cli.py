@@ -1,0 +1,183 @@
+"""Command-line pipeline runner.
+
+Replaces the reference's five per-stage OS processes
+(`run_pipeline.ps1:18-40`: ingest -> preprocess -> features -> forecast
+-> anomaly) with subcommands of one entrypoint sharing a single
+SparkSession when chained via `all`:
+
+    python -m smart_energy_consumption_analytics_using_big_data_spark \
+        all --readings <csv_dir> --tariffs <csv> --out <dir>
+
+Individual stages read/write Parquet at the given paths, so users can
+still materialize between stages exactly like the reference - it is
+just no longer mandatory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from smart_energy_consumption_analytics_using_big_data_spark import get_spark
+
+    return get_spark("energy-cli", master=args.master)
+
+
+def cmd_ingest(args) -> None:
+    """CSV -> typed Parquet (`data_ingestion.py:40-209`): one multi-path
+    scan, explicit schema, sentinel-aware - no inferSchema pass."""
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import readers, writers
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.schemas import (
+        READINGS_CSV_SCHEMA,
+    )
+
+    spark = _spark(args)
+    raw = readers.read_csv(spark, args.readings, READINGS_CSV_SCHEMA)
+    writers.write_parquet(raw, f"{args.out}/raw_energy_data")
+    print(json.dumps({"stage": "ingest", "rows": spark.read.parquet(f"{args.out}/raw_energy_data").count()}))
+
+
+def _load_tariffs(spark, path: str):
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import readers
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.schemas import (
+        TARIFFS_SCHEMA,
+    )
+
+    if path.endswith((".xlsx", ".xls")):
+        return readers.read_excel_dim(spark, path, expected_columns=["TariffDateTime", "Tariff"])
+    return readers.read_csv(spark, path, TARIFFS_SCHEMA, null_value=None)
+
+
+def cmd_preprocess(args) -> None:
+    """clean + tariff join + hourly/daily rollups (`data_preprocessing.py:88-305`)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline import energy
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    spark = _spark(args)
+    raw = spark.read.parquet(f"{args.out}/raw_energy_data")
+    hourly, daily = energy.preprocess(raw, _load_tariffs(spark, args.tariffs))
+    writers.write_parquet(hourly, f"{args.out}/hourly")
+    writers.write_parquet(daily, f"{args.out}/daily", num_files=4)
+    print(json.dumps({"stage": "preprocess", "daily_rows": spark.read.parquet(f"{args.out}/daily").count()}))
+
+
+def cmd_features(args) -> None:
+    """36+-column feature table (`feature_engineering.py:41-249`)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline import energy
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    spark = _spark(args)
+    daily = spark.read.parquet(f"{args.out}/daily")
+    features = energy.engineer_features(daily)
+    writers.write_parquet(features, f"{args.out}/energy_features")
+    print(json.dumps({"stage": "features", "rows": spark.read.parquet(f"{args.out}/energy_features").count()}))
+
+
+def _ml_features(spark, out_dir: str):
+    from smart_energy_consumption_analytics_using_big_data_spark.ml import forecast as FC
+
+    daily = spark.read.parquet(f"{out_dir}/daily").select(
+        F.col("LCLid").alias("user_id"),
+        "date",
+        F.col("daily_energy_kwh").alias("label_value"),
+    )
+    return FC.add_forecast_features(daily, entity="user_id")
+
+
+def cmd_forecast(args) -> None:
+    """Grid-searched LR vs RF, best-by-RMSE persisted with predictions
+    (`forecasting_model.py:158-606`)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ml import forecast as FC
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    spark = _spark(args)
+    feats = _ml_features(spark, args.out).cache()
+    lr = FC.train_linear_forecast(feats, args.test_cutoff, args.val_cutoff)
+    rf = FC.train_rf_forecast(feats, args.test_cutoff)
+    best = lr if lr.metrics["rmse"] <= rf.metrics["rmse"] else rf
+    preds = best.predictions.select("user_id", "date", "label_value", "prediction")
+    writers.write_parquet(preds, f"{args.out}/forecasting_results", num_files=8)
+    best.model.write().overwrite().save(f"{args.out}/models/best")
+    print(json.dumps({"stage": "forecast", "best": "lr" if best is lr else "rf",
+                      "metrics": {k: round(v, 4) for k, v in best.metrics.items()}}))
+
+
+def cmd_anomaly(args) -> None:
+    """K-Means + residual + per-cluster z-score (`anomaly_detection.py:55-196`)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ml import anomaly as AN
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    spark = _spark(args)
+    feats = _ml_features(spark, args.out)
+    preds = spark.read.parquet(f"{args.out}/forecasting_results").select(
+        "user_id", "date", "prediction"
+    )
+    joined = feats.join(preds, ["user_id", "date"], "left").withColumn(
+        "residual", F.abs(F.col("label_value") - F.coalesce("prediction", "label_value"))
+    )
+    scored = AN.detect_anomalies(
+        joined,
+        feature_cols=["label_value", "lag_1", "rolling_avg_7r", "day_of_week", "residual"],
+    )
+    out_rows = scored.count()
+    writers.write_parquet(scored, f"{args.out}/anomalies",
+                          num_files=max(20, out_rows // 50_000) if out_rows else 1)
+    flagged = scored.filter(F.col("is_anomaly") == 1).count()
+    print(json.dumps({"stage": "anomaly", "rows": out_rows, "flagged": flagged}))
+
+
+def cmd_export(args) -> None:
+    """Document-merge export (S12; `merge_csv_for_mongodb.py`)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.energy import (
+        merge_for_export,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    spark = _spark(args)
+    anomalies = spark.read.parquet(f"{args.out}/anomalies").select(
+        "user_id", "date", "cluster", "z_score", "is_anomaly"
+    )
+    preds = spark.read.parquet(f"{args.out}/forecasting_results")
+    daily = spark.read.parquet(f"{args.out}/daily").select(
+        F.col("LCLid").alias("user_id"), "date", "daily_energy_kwh",
+        "avg_hourly_energy", "total_readings",
+    )
+    merged = merge_for_export(anomalies, preds.select("user_id", "date", "prediction"),
+                              daily, keys=("user_id", "date"))
+    writers.write_csv(merged, f"{args.out}/export_csv", num_files=1)
+    print(json.dumps({"stage": "export", "rows": merged.count()}))
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="smart-energy-engine")
+    parser.add_argument("--master", default=None, help="Spark master (default: local[*])")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    common = dict(out="pipeline output root directory")
+    p = sub.add_parser("ingest"); p.add_argument("--readings", required=True); p.add_argument("--out", required=True, help=common["out"]); p.set_defaults(fn=cmd_ingest)
+    p = sub.add_parser("preprocess"); p.add_argument("--tariffs", required=True); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_preprocess)
+    p = sub.add_parser("features"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_features)
+    p = sub.add_parser("forecast"); p.add_argument("--out", required=True); p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True); p.set_defaults(fn=cmd_forecast)
+    p = sub.add_parser("anomaly"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_anomaly)
+    p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
+    p = sub.add_parser("all")
+    p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "all":
+        for fn in (cmd_ingest, cmd_preprocess, cmd_features, cmd_forecast, cmd_anomaly, cmd_export):
+            fn(args)
+        return 0
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Property-based checks (hypothesis) for aggregation/window algebra
+(SURVEY.md SS5 strategy 3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.operators import windows as W
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
+
+values = st.lists(
+    st.floats(min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(values)
+def test_hourly_sums_regroup_to_total(spark, vs):
+    # data_preprocessing.py:250-252 invariant: two-level rollup total
+    # equals one-level total (decimal accumulation makes it exact)
+    pdf = pd.DataFrame({"g": [i % 3 for i in range(len(vs))], "v": vs})
+    df = spark.createDataFrame(pdf)
+    two_level = (
+        df.groupBy("g").agg(sum_exact("v").alias("s"))
+        .agg(sum_exact("s").alias("total")).collect()[0]["total"]
+    )
+    one_level = df.agg(sum_exact("v").alias("total")).collect()[0]["total"]
+    assert abs(two_level - one_level) < 1e-5
+
+
+@settings(max_examples=10, deadline=None)
+@given(values)
+def test_rolling_sum_equals_sum_of_lags(spark, vs):
+    # rolling_sum over (-3,-1) == lag1+lag2+lag3 where all lags exist
+    pdf = pd.DataFrame({"e": ["x"] * len(vs), "t": range(len(vs)), "v": vs})
+    w = W.entity_window("e", "t")
+    df = spark.createDataFrame(pdf)
+    df = W.with_trailing_stats(df, "v", w, 3, stats=("sum",))
+    df = W.with_lags(df, "v", w, [1, 2, 3], prefix="lag_")
+    rows = df.filter(F.col("lag_3").isNotNull()).collect()
+    for r in rows:
+        expected = r["lag_1"] + r["lag_2"] + r["lag_3"]
+        assert abs((r["rolling_sum_3r"] or 0.0) - round(expected, 6)) < 1e-4
+
+
+def test_approx_aggregates_near_exact(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.percentile("value", 0.5).alias("p50_exact"),
+        F.percentile_approx("value", 0.5, 10_000).alias("p50_approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50_approx"] - row["p50_exact"]) / abs(row["p50_exact"]) < 0.05
