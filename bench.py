@@ -61,8 +61,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up so q1 doesn't pay session startup.
-    QUERIES["q_count"](spark, sf_dir).count()
+    # JVM/codegen warm-up so q1 doesn't pay session startup: exercise
+    # the same plan shapes (agg+window+sort, md5/explode) at the
+    # smallest scale factor.
+    warm_dir = "/root/testdata/sf0.001"
+    for warm in ("q_count", "q_flagship", "q_dedup_exact"):
+        QUERIES[warm](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -62,9 +62,13 @@ def shingle_table(
       the blacklist broadcast composes with AQE. Persist `docs` (or the
       returned table) to avoid re-exploding for the blacklist pass.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(tokens_ws(F.col(text_col)), n)).alias("shingle"),
+    # Project tokens ONCE before shingling: Catalyst does not CSE a
+    # split() nested inside a higher-order-function lambda, so passing
+    # tokens_ws(text) directly re-splits the text for every element_at
+    # (measured 6x slower at sf0.1).
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokens_ws(F.col(text_col)).alias("__toks"))
+    sh = tok.select(
+        "doc_id", F.explode(word_shingles(F.col("__toks"), n)).alias("shingle")
     )
     if max_df is None:
         return sh

@@ -47,6 +47,32 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed (left) side, replicate the
+    right side across salt buckets.
+
+    For hot keys (one household/user with millions of rows) a plain
+    shuffle join puts the whole key on one reducer. Salting splits each
+    left key across `salt_buckets` partitions; the right side is
+    exploded once per bucket so every salted partition finds its match.
+    AQE's skew-join handles moderate skew automatically (enabled in
+    session.py); this is the explicit tool for pathological keys.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    left_salted = left.withColumn("__salt", salt)
+    right_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = left_salted.join(right_replicated, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def asof_join_grid(
     fact: DataFrame,
     dim: DataFrame,
