@@ -133,6 +133,35 @@ def q_sessionize(spark, sf_dir):
 
 
 @q(
+    "q_time_bucket_sliding",
+    """
+    WITH buckets AS (
+      SELECT e.event_type, e.value,
+             to_timestamp(((epoch_us(e.ts) // 21600000000) - k.k) * 21600) AS bucket_start
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    SELECT strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+           {dsum} AS total_value, count(*) AS n
+    FROM buckets GROUP BY 1, 2
+    """.format(dsum=DSUM("value")),
+)
+def q_time_bucket_sliding(spark, sf_dir):
+    """Sliding windows in batch: window(ts, 12h slide 6h) assigns each
+    event to 2 overlapping buckets - the batch mirror of a streaming
+    sliding aggregation."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.window("ts", "12 hours", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "q_time_bucket",
     """
     SELECT strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600), '%Y-%m-%d %H:%M:%S')

@@ -113,6 +113,68 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.lsh_candidate_pairs(sig, num_hashes=6, band_size=2)
 
 
+@q(
+    "q_dedup_lsh_verified",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS cmn
+      FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b
+        ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(cmn / (sa.n + sb.n - cmn), 6) AS jaccard
+    FROM common JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    """,
+)
+def q_dedup_lsh_verified(spark, sf_dir):
+    """The production dedup composition: LSH candidate generation
+    (cheap, bucket joins) followed by exact Jaccard verification only
+    on candidates - never all-pairs."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    sig = D.minhash_signatures(sh, num_hashes=6)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=6, band_size=2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("cmn"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("cmn") / (F.col("n_a") + F.col("n_b") - F.col("cmn")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     case = (
         "CASE WHEN sum(CASE WHEN substr(hh, {j}, 1) IN "
@@ -293,6 +355,50 @@ def q_text_fingerprint(spark, sf_dir):
         "doc_id",
         TX.fingerprint_md5(F.col("text")).alias("fingerprint"),
         TX.min_shingle_hash(F.col("text"), k=8).alias("min_shingle_hash"),
+    )
+
+
+@q(
+    "q_text_topterms",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_text_topterms(spark, sf_dir):
+    """Corpus term frequency top-k (explode -> count -> TakeOrdered;
+    the map-side partial agg absorbs the token blowup)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens_ws(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_emb_centroids",
+    """
+    SELECT label, u.pos AS pos, round(avg(u.val), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(list_transform(generate_series(1, len(embedding)),
+                                   i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS u
+      FROM embeddings
+    ) GROUP BY label, u.pos
+    """,
+)
+def q_emb_centroids(spark, sf_dir):
+    """Per-label centroid vectors via posexplode + mean per dimension -
+    the IVF coarse-quantizer training step as a plain aggregation."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
     )
 
 
