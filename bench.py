@@ -27,6 +27,8 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIE
 # rollup + re-agg, broadcast + shuffled joins, the full window family,
 # top-k, dedup (shuffle-heavy), similarity (array math), and the ML tail.
 BENCH_QUERIES = [
+    "q_sql_pricing_summary",
+    "q_sql_revenue_topn",
     "q_flagship",
     "q_agg_multikey",
     "q_agg_reagg",

@@ -133,6 +133,44 @@ def q_sessionize(spark, sf_dir):
 
 
 @q(
+    "q_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events, {dsum} AS total_value
+    FROM s GROUP BY user_id, session_id
+    """.format(dsum=DSUM("value")),
+)
+def q_session_window(spark, sf_dir):
+    """Native session windows (gap = 30 min) via F.session_window - the
+    merge-based grouping Structured Streaming uses for session state;
+    oracled against the lag/cumulative-sum formulation."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
     "q_time_bucket_sliding",
     """
     WITH buckets AS (

@@ -274,6 +274,35 @@ def q_join_anti(spark, sf_dir):
 
 
 @q(
+    "q_join_full",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+               WHERE event_type = 'click' GROUP BY user_id),
+         s AS (SELECT user_id, count(*) AS n_signups FROM events
+               WHERE event_type = 'signup' GROUP BY user_id)
+    SELECT coalesce(c.user_id, s.user_id) AS user_id, n_clicks, n_signups
+    FROM c FULL OUTER JOIN s ON c.user_id = s.user_id
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """Full outer join of two aggregates (beyond-reference join type)."""
+    ev = t(spark, sf_dir, "events")
+
+    def per_user(event_type, alias):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    c = per_user("click", "n_clicks").alias("c")
+    s = per_user("signup", "n_signups").alias("s")
+    return c.join(s, F.col("c.user_id") == F.col("s.user_id"), "full_outer").select(
+        F.coalesce("c.user_id", "s.user_id").alias("user_id"), "n_clicks", "n_signups"
+    )
+
+
+@q(
     "q_agg_multikey",
     """
     SELECT user_id, CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,

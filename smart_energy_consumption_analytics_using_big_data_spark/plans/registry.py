@@ -13,6 +13,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans import analyt
 from smart_energy_consumption_analytics_using_big_data_spark.plans import core  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import extensions  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import mlq  # noqa: F401
+from smart_energy_consumption_analytics_using_big_data_spark.plans import sqltext  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans import streamq  # noqa: F401
 from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import (
     DSUM,

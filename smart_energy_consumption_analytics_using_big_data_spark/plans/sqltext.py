@@ -1,0 +1,88 @@
+"""SQL-text entry point: the same engine through ``spark.sql`` over
+catalog-registered views (SURVEY.md SS1.5 - named tables instead of the
+reference's directory-name convention).
+
+These prove DataFrame and SQL programs share one surface: the oracle
+strings below are (nearly) the Spark SQL itself, modulo the documented
+DuckDB type-normalization casts.
+"""
+
+from __future__ import annotations
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import register_views
+
+
+@q(
+    "q_sql_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {q} AS sum_qty, {p} AS sum_base_price,
+           {d} AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        q=DSUM("l_quantity"),
+        p=DSUM("l_extendedprice"),
+        d=DSUM("l_extendedprice * (1 - l_discount)"),
+    ),
+)
+def q_sql_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary, submitted as SQL TEXT via
+    spark.sql over registered views - scan-heavy, 8 aggregates, the
+    classic whole-stage-codegen showcase."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@q(
+    "q_sql_revenue_topn",
+    """
+    SELECT n_name, {rev} AS revenue, count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name LIMIT 10
+    """.format(rev=DSUM("l_extendedprice * (1 - l_discount)")),
+)
+def q_sql_revenue_topn(spark, sf_dir):
+    """Multi-join revenue rollup as SQL text (Q5-shaped): fact x fact
+    shuffle join + two broadcast dims + top-n. Catalyst picks broadcast
+    for customer/nation automatically; AQE re-plans the big join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name LIMIT 10
+        """
+    )
