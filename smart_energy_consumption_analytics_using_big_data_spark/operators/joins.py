@@ -93,3 +93,56 @@ def asof_join_grid(
     dim_keyed = dim.withColumnRenamed(dim_ts, "__grid_ts")
     out = bucketed.join(F.broadcast(dim_keyed), "__grid_ts", how)
     return out.drop("__grid_ts")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join (J5 stretch goal, SURVEY.md SS2.3): attach to
+    every left row the most recent right row with ``right_ts <= left_ts``
+    for the same key.
+
+    Implemented as union + running ``last(ignorenulls)`` over a single
+    per-key window - ONE shuffle on the key, unbounded lookback, and no
+    range-join row explosion (a naive ``l.ts >= r.ts`` theta join is
+    O(n*m) per key and unusable at 100 TB). Equal timestamps match
+    (right side sorts before left at the same instant).
+
+    Contract: the right side must be unique per ``(key, right_ts)``
+    (pre-aggregate with max_by otherwise) and ``right_cols`` must not
+    collide with left column names.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    rdt = dict(right.dtypes)
+    ldt = dict(left.dtypes)
+    left_payload = [c for c in left.columns if c != key]
+    l2 = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(rdt[c]).alias(c) for c in right_cols],
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in left_payload],
+        *[F.col(c) for c in right_cols],
+    )
+    from pyspark.sql import Window
+
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ats", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side", "__ats")

@@ -221,3 +221,36 @@ def q_time_bucket(spark, sf_dir):
         )
         .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "q_window_range_7d",
+    """
+    SELECT event_id, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE), 6) AS sum_7d,
+           count(*) OVER w AS n_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_7d(spark, sf_dir):
+    """Time-based RANGE frame (vs the reference's ROW frames,
+    `feature_engineering.py:94-99`): trailing 7 *days* per user, correct
+    under irregular sampling where '7 rows' != '7 days'. Both engines
+    order by epoch seconds so the frame boundary is identical."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double"), 6).alias(
+            "sum_7d"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )

@@ -303,6 +303,43 @@ def q_join_full(spark, sf_dir):
 
 
 @q(
+    "q_join_asof",
+    """
+    WITH c AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'click'),
+         s AS (SELECT user_id, ts, max_by(value, event_id) AS signup_value
+               FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+    SELECT c.user_id, c.event_id, round(c.value, 6) AS click_value,
+           round(s.signup_value, 6) AS last_signup_value
+    FROM c ASOF LEFT JOIN s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """True backward as-of join (J5 stretch, SURVEY.md SS2.3): every
+    click gets the most recent signup value at-or-before it, oracled
+    against DuckDB's native ASOF JOIN. Spark-side: union + running
+    last(ignorenulls) - one shuffle, no range explosion
+    (operators/joins.asof_join)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts", "value")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("signup_value"))
+    )
+    out = asof_join(clicks, signups, key="user_id", right_cols=["signup_value"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("click_value"),
+        F.round("signup_value", 6).alias("last_signup_value"),
+    )
+
+
+@q(
     "q_agg_multikey",
     """
     SELECT user_id, CAST(ts AS DATE) AS date, CAST(hour(ts) AS INTEGER) AS hour,

@@ -86,3 +86,34 @@ def q_sql_revenue_topn(spark, sf_dir):
         ORDER BY revenue DESC, n_name LIMIT 10
         """
     )
+
+
+@q(
+    "q_sql_grouping_sets",
+    """
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+           CAST(GROUPING(CAST(hour(ts) AS INTEGER)) AS INTEGER) AS g_hr,
+           {v} AS total_value, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(hour(ts) AS INTEGER)),
+                            (event_type), ())
+    """.format(v=DSUM("value")),
+)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (generalizes q_rollup/q_cube): per
+    (type, hour), per type, and grand total in ONE shuffle - Spark
+    expands the sets map-side instead of three scans + union."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+               CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+               CAST(GROUPING(CAST(hour(ts) AS INTEGER)) AS INTEGER) AS g_hr,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+               count(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, CAST(hour(ts) AS INTEGER)),
+                                (event_type), ())
+        """
+    )

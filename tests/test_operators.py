@@ -115,3 +115,35 @@ def test_hierarchy_rollup_totals(spark):
     assert by_key[(None, None)] == 7.0  # grand total
     assert by_key[("x", None)] == 3.0
     assert by_key[("y", "p")] == 4.0
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "a", "b"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:05", "2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 09:00"]
+                ),
+                "lv": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b"],
+                "ts": pd.to_datetime(
+                    # 00:10 == an exact left timestamp: must match (>= semantics);
+                    # b's quote is AFTER b's only left row: must stay null.
+                    ["2024-01-01 00:01", "2024-01-01 00:10", "2024-01-01 10:00"]
+                ),
+                "quote": [10.0, 20.0, 30.0],
+            }
+        )
+    )
+    out = {
+        (r["k"], r["lv"]): r["quote"]
+        for r in J.asof_join(left, right, key="k", right_cols=["quote"]).collect()
+    }
+    assert out == {("a", 1.0): 10.0, ("a", 2.0): 20.0, ("a", 3.0): 20.0, ("b", 4.0): None}
