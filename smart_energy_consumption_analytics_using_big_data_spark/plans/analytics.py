@@ -254,3 +254,49 @@ def q_window_range_7d(spark, sf_dir):
         ),
         F.count(F.lit(1)).over(w).alias("n_7d"),
     )
+
+
+@q("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def q_approx_distinct(spark, sf_dir):
+    """Sketch-based distinct counting, the 100 TB substitute for
+    q_count_distinct's exact shuffle: approx_count_distinct (HLL++)
+    plus DataSketches HLL via hll_sketch_agg - a MERGEABLE partial
+    aggregate, so per-partition/per-day sketches re-combine into any
+    rollup without rescanning (see q_approx_distinct_merge).
+    Accuracy asserted within 5% of exact in test_sketches.py."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("hll_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+    )
+
+
+@q("q_approx_distinct_merge")  # rows-only: estimate is engine-specific
+def q_approx_distinct_merge(spark, sf_dir):
+    """Sketch MERGE: per-(type, hour) HLL sketches union-combined into a
+    per-type estimate WITHOUT re-reading the events - the two-level
+    re-aggregation of q_agg_reagg, but on constant-size state. At scale
+    this is how daily distinct-user sketches roll into monthly counts."""
+    ev = t(spark, sf_dir, "events")
+    per_hour = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    return per_hour.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+
+
+@q("q_approx_quantile")  # rows-only: sketch quantiles are engine-specific
+def q_approx_quantile(spark, sf_dir):
+    """Approximate percentiles (Greenwald-Khanna via approx_percentile):
+    the scale path for q_agg_percentile's exact sort-based form.
+    Accuracy asserted against exact percentiles in test_sketches.py."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )

@@ -1,0 +1,55 @@
+"""Sketch-aggregate accuracy: estimates must land near exact answers
+(the estimates themselves are engine-specific, hence rows-only in the
+oracle harness - accuracy is asserted here instead)."""
+
+import pytest
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_and_approx_distinct_within_5pct(spark):
+    rows = QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_users"] > 0
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
+        assert abs(r["hll_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
+
+
+def test_hll_merge_matches_direct_sketch(spark):
+    merged = {
+        r["event_type"]: r["merged_users"]
+        for r in QUERIES["q_approx_distinct_merge"](spark, SF_DIR).collect()
+    }
+    direct = {
+        r["event_type"]: r["hll_users"]
+        for r in QUERIES["q_approx_distinct"](spark, SF_DIR).collect()
+    }
+    # merging per-hour sketches must give EXACTLY the direct sketch's
+    # estimate (HLL union is lossless at equal lgK)
+    assert merged == direct
+
+
+def test_approx_quantile_brackets_exact(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50_approx"], r["p95_approx"])
+        for r in QUERIES["q_approx_quantile"](spark, SF_DIR).collect()
+    }
+    for et, (p50, p95) in exact.items():
+        assert approx[et][0] == pytest.approx(p50, rel=0.02)
+        assert approx[et][1] == pytest.approx(p95, rel=0.02)
