@@ -140,3 +140,84 @@ def ann_topk_lsh(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF coarse quantizer training: one centroid per label cell as an
+    array column (posexplode -> per-dimension mean -> re-assemble).
+    Output: (cell, centroid array<double>) - centroid count = |labels|,
+    always broadcast-sized."""
+    per_dim = (
+        embeddings.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select(
+            F.col(label_col).alias("cell"),
+            F.transform("pairs", lambda s: s["cval"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell -
+    the inverted-list build. Centroids broadcast; one scan over the
+    corpus, k cosine evaluations per row, row_number picks the cell
+    (round(,6) + cell tiebreak for cross-engine determinism)."""
+    from pyspark.sql import Window
+
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "cell_cosine", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cosine"), F.asc("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cell", "cell_cosine")
+    )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF ANN: probe the `nprobe` cells nearest the query and brute-
+    force only their inverted lists - the classic recall/cost dial
+    (nprobe = n_cells degenerates to exact search). Complements
+    ann_topk_lsh; at 100 TB the lists are the shuffle partitioning."""
+    cents = ivf_centroids(embeddings, vec_col, label_col)
+    lists = ivf_assign(embeddings, cents, vec_col, id_col)
+    qv = query.select(F.col(vec_col).alias("__qvec"))
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .withColumn("qcos", F.round(cosine(F.col("centroid"), F.col("__qvec")), 6))
+        .orderBy(F.desc("qcos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    corpus = embeddings.join(lists.join(F.broadcast(probe), "cell"), id_col)
+    scored = corpus.crossJoin(F.broadcast(qv)).withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    return (
+        scored.select(id_col, "cell", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -428,3 +428,52 @@ def q_mm_decode(spark, sf_dir):
     """Arrow-batched decode/feature-extract stub over binary payloads."""
     docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
     return MM.decode_features(docs)
+
+
+_UNNEST_EMB = (
+    "SELECT {id}, unnest(list_transform(generate_series(1, len(embedding)), "
+    "i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u FROM embeddings"
+)
+
+
+@q(
+    "q_emb_ivf_assign",
+    f"""
+    WITH cent AS (
+      SELECT label AS cell, u.pos AS pos, avg(u.val) AS cval
+      FROM ({_UNNEST_EMB.format(id='label')}) GROUP BY label, u.pos
+    ),
+    emb AS (
+      SELECT vec_id, u.pos AS pos, u.val AS v
+      FROM ({_UNNEST_EMB.format(id='vec_id')})
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             round(sum(e.v * c.cval) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cval * c.cval))), 6) AS cell_cosine
+      FROM emb e JOIN cent c USING (pos)
+      GROUP BY e.vec_id, c.cell
+    )
+    SELECT vec_id, cell, cell_cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cell_cosine DESC, cell) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def q_emb_ivf_assign(spark, sf_dir):
+    """IVF inverted-list build: train label centroids, assign every
+    vector to its max-cosine cell (broadcast centroids, one corpus scan,
+    row_number cell pick). The partitioning step of IVF ANN search."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.ivf_assign(emb, S.ivf_centroids(emb))
+
+
+@q("q_sim_ann_ivf")  # rows-only: approximate result defined by our own cells
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF ANN top-k: probe the 2 cells nearest the query, brute-force
+    their inverted lists only (recall floor vs exact search asserted in
+    tests/test_operators.py::test_ivf_ann_recall)."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return S.ann_topk_ivf(emb, query, k=10, nprobe=2)

@@ -147,3 +147,19 @@ def test_asof_join_backward_semantics(spark):
         for r in J.asof_join(left, right, key="k", right_cols=["quote"]).collect()
     }
     assert out == {("a", 1.0): 10.0, ("a", 2.0): 20.0, ("a", 3.0): 20.0, ("b", 4.0): None}
+
+
+def test_ivf_ann_recall(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    n_cells = emb.select("label").distinct().count()
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, query, k=10).collect()]
+    # nprobe = all cells degenerates to exact search - identical ranking
+    full = [r["vec_id"] for r in S.ann_topk_ivf(emb, query, k=10, nprobe=n_cells).collect()]
+    assert full == exact
+    # a partial probe keeps a useful fraction of the true top-k
+    part = {r["vec_id"] for r in S.ann_topk_ivf(emb, query, k=10, nprobe=2).collect()}
+    assert len(part & set(exact)) >= 2
