@@ -185,3 +185,51 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     ]
     agg = toks.groupBy("doc_id").agg(*bit_cols)
     return agg.select("doc_id", F.concat(*[f"b{j}" for j in range(bits)]).alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the step
+    that turns pairwise matches into dedup groups (component id = min
+    member id = the canonical document to keep).
+
+    Iterative min-label propagation - labels monotonically decrease to
+    the component minimum in O(diameter) rounds. Spark-craft notes for
+    scale: every round is ONE shuffle (join + groupBy-min on the same
+    key), and each new label frame is localCheckpoint()ed to truncate
+    lineage - without that, the plan doubles per round and Catalyst
+    re-analysis dominates by round ~10. Convergence is detected via the
+    label-sum (monotone), costing one lightweight agg per round instead
+    of a full frame compare.
+    """
+    verts = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint()
+    labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.select(F.col("id").alias("b"), F.col("lbl").alias("nlbl")), "b")
+            .groupBy("a")
+            .agg(F.min("nlbl").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("lbl").alias("component"))

@@ -477,3 +477,36 @@ def q_sim_ann_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1)
     return S.ann_topk_ivf(emb, query, k=10, nprobe=2)
+
+
+@q(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round({_DOT.format(a='a.embedding', b='b.embedding')} /
+                  (sqrt({_DOT.format(a='a.embedding', b='a.embedding')}) *
+                   sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.id = s.b
+    )
+    SELECT id AS vec_id, min(lbl) AS component FROM reach GROUP BY id
+    """,
+)
+def q_dedup_components(spark, sf_dir):
+    """Dedup GROUPS from pairwise matches: connected components over
+    the near-dup pair graph (iterative min-label propagation; oracle is
+    a DuckDB recursive CTE computing the same transitive closure). The
+    component id doubles as the canonical keep-id (min member)."""
+    emb = t(spark, sf_dir, "embeddings")
+    edges = S.neardup_pairs(emb, threshold=0.4)
+    return D.connected_components(edges).select(
+        F.col("id").alias("vec_id"), "component"
+    )

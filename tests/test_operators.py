@@ -163,3 +163,17 @@ def test_ivf_ann_recall(spark):
     # a partial probe keeps a useful fraction of the true top-k
     part = {r["vec_id"] for r in S.ann_topk_ivf(emb, query, k=10, nprobe=2).collect()}
     assert len(part & set(exact)) >= 2
+
+
+def test_connected_components_path_and_islands(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        connected_components,
+    )
+
+    # 5-node path (diameter > 1 forces several propagation rounds),
+    # plus a separate 2-node island.
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 30, 40, 100], "id_b": [20, 30, 40, 50, 200]})
+    )
+    out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 100: 100, 200: 100}
