@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "q_agg_reagg",
     "q_join_left_dim",
     "q_join_inner",
+    "q_join_asof",
+    "q_approx_distinct_merge",
     "q_window_lag",
     "q_window_rollavg",
     "q_window_zscore",

@@ -300,3 +300,32 @@ def q_approx_quantile(spark, sf_dir):
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+@q(
+    "q_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           round(l_quantity, 6) AS val FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+           round(l_extendedprice, 6) FROM lineitem
+    UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+           round(l_discount, 6) FROM lineitem
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt - the inverse of q_pivot: wide measure columns to
+    long (measure, val) rows. Native `unpivot` expands in-place in one
+    projection (the oracle's UNION ALL form would scan three times)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        F.round("val", 6).alias("val"),
+    )

@@ -117,3 +117,31 @@ def q_sql_grouping_sets(spark, sf_dir):
                                 (event_type), ())
         """
     )
+
+
+@q(
+    "q_sql_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q_sql_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries as SQL text - Catalyst
+    decorrelates both into semi/anti joins (same physical shape as
+    q_join_semi/q_join_anti), no per-row re-execution."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """
+    )
