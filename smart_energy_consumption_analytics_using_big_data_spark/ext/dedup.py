@@ -133,20 +133,42 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 6) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 6, band_size: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    persist: bool = False,
+) -> DataFrame:
     """LSH banding: pairs agreeing on at least one band of the signature.
 
     Bands become bucket keys; the pair join runs per bucket - candidate
     generation cost is proportional to bucket sizes, not corpus^2.
+
+    Plan shape: bands come from ONE explode over the signature row - a
+    per-band union re-executed the whole scan->shingle->aggregate
+    pipeline once per band (measured 6 corpus scans -> 2, 3.8s -> 1.3s
+    at sf0.1). The self-join still computes the signature plan twice;
+    `persist=True` caches the tiny signature table (one row of k hashes
+    per document) to make it once - measured SLOWER single-node (the
+    columnar cache fill outweighs one cheap extra scan) but it is the
+    right call on a cluster where the upstream is a multi-TB corpus
+    scan; callers can equally persist `signatures` themselves.
     """
     n_bands = num_hashes // band_size
-    bands = None
-    for band in range(n_bands):
-        cols = [f"mh_{band * band_size + j}" for j in range(band_size)]
-        proj = signatures.select(
-            "doc_id", F.lit(band).alias("band"), F.concat(*cols).alias("band_key")
+    if persist:
+        signatures = signatures.persist()
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat(
+                *[F.col(f"mh_{band * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
         )
-        bands = proj if bands is None else bands.unionByName(proj)
+        for band in range(n_bands)
+    ]
+    bands = signatures.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
