@@ -255,3 +255,56 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("id", F.col("lbl").alias("component"))
+
+
+def simhash_candidate_pairs(
+    fingerprints: DataFrame,
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via hamming-LSH block banding.
+
+    Pigeonhole guarantee: a pair with hamming distance < n_blocks must
+    agree on at least one of the n_blocks fingerprint blocks, so with
+    max_hamming <= n_blocks - 1 candidate generation is COMPLETE (no
+    false negatives) while the pair join stays per-block-bucket instead
+    of corpus^2. Verification computes exact hamming on candidates only.
+    """
+    block_len = bits // n_blocks
+    entries = [
+        F.struct(
+            F.lit(i).alias("block"),
+            F.substring(F.col(fp_col), i * block_len + 1, block_len).alias("key"),
+        )
+        for i in range(n_blocks)
+    ]
+    blocks = fingerprints.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"), F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "fp", F.col("e.block").alias("block"), F.col("e.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1)))"
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

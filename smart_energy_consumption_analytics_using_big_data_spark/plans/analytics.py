@@ -329,3 +329,33 @@ def q_unpivot(spark, sf_dir):
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         F.round("val", 6).alias("val"),
     )
+
+
+@q(
+    "q_topk_per_group",
+    """
+    SELECT event_type, user_id, total_value, rnk FROM (
+      SELECT event_type, user_id, {v} AS total_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {v} DESC, user_id) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) WHERE rnk <= 3
+    """.format(v=DSUM("value")),
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-k PER GROUP (vs q_topk's global TakeOrdered): aggregate then
+    row_number inside each group partition - rank shares the aggregate's
+    shuffle key prefix, and the filter truncates before any global
+    collection, so no group ever materializes a full sort."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        sum_exact("value").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total_value", "rnk")
+    )

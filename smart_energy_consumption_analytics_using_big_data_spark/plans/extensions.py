@@ -175,17 +175,21 @@ def q_dedup_lsh_verified(spark, sf_dir):
     )
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_cte(bits: int = 32) -> str:
     case = (
         "CASE WHEN sum(CASE WHEN substr(hh, {j}, 1) IN "
         "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
     )
     concat = " || ".join(case.format(j=j + 1) for j in range(bits))
     return (
-        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
-        "h AS (SELECT doc_id, md5(token) AS hh FROM tok) "
-        f"SELECT doc_id, {concat} AS simhash FROM h GROUP BY doc_id"
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents), "
+        "h AS (SELECT doc_id, md5(token) AS hh FROM tok), "
+        f"sig AS (SELECT doc_id, {concat} AS simhash FROM h GROUP BY doc_id)"
     )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    return f"WITH {_simhash_cte(bits)} SELECT doc_id, simhash FROM sig"
 
 
 @q("q_dedup_simhash", _simhash_oracle(32))
@@ -510,3 +514,34 @@ def q_dedup_components(spark, sf_dir):
     return D.connected_components(edges).select(
         F.col("id").alias("vec_id"), "component"
     )
+
+
+@q(
+    "q_dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_cte(32)},
+    blocks AS (
+      SELECT doc_id, simhash, b.block AS block,
+             substr(simhash, b.block * 8 + 1, 8) AS key
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS block) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM blocks a JOIN blocks b
+        ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(generate_series(1, 32),
+                  i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1))) AS INTEGER) AS hamming
+      FROM cand
+    ) WHERE hamming <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-LSH near-dup pairs: 4-block banding (complete
+    for hamming <= 3 by pigeonhole) + exact-hamming verification on
+    candidates only - the bitwise sibling of q_dedup_lsh_verified."""
+    fp = D.simhash(t(spark, sf_dir, "documents"), bits=32)
+    return D.simhash_candidate_pairs(fp, bits=32, n_blocks=4, max_hamming=3)
