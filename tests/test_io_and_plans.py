@@ -84,3 +84,31 @@ def test_rollup_aggregates_partially(spark):
 def test_topk_avoids_global_sort(spark):
     plan = _formatted_plan(QUERIES["q_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_subquery_decorrelates_to_joins(spark):
+    plan = _formatted_plan(QUERIES["q_sql_exists"](spark, SF_SMOKE))
+    # Catalyst must rewrite EXISTS / NOT EXISTS into semi/anti joins,
+    # never a per-row nested-loop re-execution of the subquery
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_expands_in_one_pass(spark):
+    plan = _formatted_plan(QUERIES["q_unpivot"](spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1  # no UNION-ALL triple scan
+
+
+def test_minhash_lsh_scans_corpus_at_most_twice(spark):
+    plan = _formatted_plan(QUERIES["q_dedup_minhash_lsh"](spark, SF_SMOKE))
+    # explode-based banding: the per-band union formulation scanned the
+    # corpus once per band per join side (6 scans for 3 bands)
+    assert plan.count("Location: InMemoryFileIndex") <= 2
+
+
+def test_grouping_sets_single_shuffle_of_base(spark):
+    plan = _formatted_plan(QUERIES["q_sql_grouping_sets"](spark, SF_SMOKE))
+    assert "Expand" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
