@@ -67,3 +67,41 @@ def decode_features(docs_with_payload: DataFrame, id_col: str = "doc_id") -> Dat
     return docs_with_payload.select(id_col, "payload").mapInPandas(
         extract, schema=DECODE_OUTPUT_SCHEMA
     )
+
+
+def frame_sample_plan(
+    docs_with_payload: DataFrame,
+    bytes_per_s: int = 100,
+    every_s: float = 2.0,
+    max_frames: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling SCHEDULE for video-like payloads: fan each payload
+    row out to one row per sampled frame (index, timestamp, byte offset)
+    via sequence+explode - all plan-side arithmetic, no decode, no
+    Python. The per-frame decode then runs through decode_features'
+    mapInPandas; at scale the explode keeps frames co-partitioned with
+    their source row, so the expensive decode stage shuffles nothing.
+
+    Duration is derived from payload size at `bytes_per_s` (deterministic
+    stand-in for a container-header probe; a real probe is a tiny
+    mapInPandas reading only the header bytes).
+    """
+    last_idx = F.least(
+        F.lit(max_frames - 1),
+        F.floor((F.col("payload_meta.n_bytes") / F.lit(bytes_per_s)) / F.lit(every_s)).cast("int"),
+    )
+    step_bytes = int(every_s * bytes_per_s)
+    return (
+        docs_with_payload.select(
+            id_col,
+            F.col("payload_meta.n_bytes").alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("frame_idx"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            F.round(F.col("frame_idx") * F.lit(every_s), 6).alias("frame_ts"),
+            (F.col("frame_idx").cast("long") * F.lit(step_bytes)).alias("byte_offset"),
+        )
+    )

