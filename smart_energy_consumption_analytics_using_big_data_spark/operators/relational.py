@@ -81,3 +81,36 @@ def union_all(dfs: list[DataFrame]) -> DataFrame:
     for other in dfs[1:]:
         out = out.unionByName(other)
     return out
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """SQL MERGE (upsert) semantics over plain DataFrames: matched rows
+    take the update's values, unmatched target rows pass through,
+    unmatched update rows are inserts - one full outer join on the key,
+    coalesce(update, target) per column.
+
+    This is the snapshot-merge primitive for incremental pipelines
+    without a table format; with Delta/Iceberg the same call becomes
+    MERGE INTO and gains file-level pruning. Both sides shuffle on the
+    key - pre-bucket target and updates on it to make the merge
+    co-located and shuffle-free.
+    """
+    value_cols = [c for c in target.columns if c not in key_cols]
+    t_, u_ = target.alias("t"), updates.alias("u")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
+    joined = t_.join(u_, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
+    ] + [
+        (
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            if c in updates.columns
+            else F.col(f"t.{c}").alias(c)
+        )
+        for c in value_cols
+    ]
+    return joined.select(*out_cols)

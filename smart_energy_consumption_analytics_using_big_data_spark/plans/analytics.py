@@ -359,3 +359,26 @@ def q_topk_per_group(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("event_type", "user_id", "total_value", "rnk")
     )
+
+
+@q(
+    "q_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 50.0) AS INTEGER) AS bin,
+           count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Binned (histogram) aggregation: fixed-width bins by plain floor
+    arithmetic - one partial-aggregated shuffle, no sort; the profiling
+    primitive behind distribution dashboards."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 50.0).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

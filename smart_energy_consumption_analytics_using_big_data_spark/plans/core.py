@@ -868,3 +868,44 @@ def q_scalar_json(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return ev.select("event_id", k.alias("k_str"), k.cast("int").alias("k_int"))
+
+
+@q(
+    "q_merge_upsert",
+    """
+    WITH u AS (
+      SELECT event_id + 1000000000 AS event_id, 'inserted' AS event_type,
+             round(value, 6) AS value
+      FROM events WHERE event_id % 100 = 7
+      UNION ALL
+      SELECT event_id, 'corrected', round(value * 2, 6)
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT coalesce(u.event_id, e.event_id) AS event_id,
+           coalesce(u.event_type, e.event_type) AS event_type,
+           round(coalesce(u.value, round(e.value, 6)), 6) AS value
+    FROM events e FULL OUTER JOIN u ON e.event_id = u.event_id
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE/upsert without a table format: corrections overwrite
+    matched rows, novel keys insert, untouched rows pass through
+    (operators/relational.merge_upsert; full outer join + coalesce)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    corrections = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        F.lit("corrected").alias("event_type"),
+        F.round(F.col("value") * 2, 6).alias("value"),
+    )
+    inserts = ev.filter(F.col("event_id") % 100 == 7).select(
+        (F.col("event_id") + 1000000000).alias("event_id"),
+        F.lit("inserted").alias("event_type"),
+        "value",
+    )
+    return merge_upsert(ev, corrections.unionByName(inserts), ["event_id"])
