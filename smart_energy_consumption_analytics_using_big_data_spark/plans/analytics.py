@@ -382,3 +382,57 @@ def q_histogram(spark, sf_dir):
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@q(
+    "q_agg_robust",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    )
+    SELECT event_type, round(any_value(med), 6) AS median,
+           round(quantile_cont(adev, 0.5), 6) AS mad,
+           CAST(sum(CASE WHEN adev > 3 * 1.4826 * (
+             SELECT quantile_cont(adev, 0.5) FROM dev d2
+             WHERE d2.event_type = dev.event_type) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev GROUP BY event_type
+    """,
+)
+def q_agg_robust(spark, sf_dir):
+    """Robust outlier profile: median + MAD (median absolute deviation)
+    + outlier count at the 3-sigma-equivalent MAD threshold - the
+    heavy-tail-safe alternative to q_window_zscore's mean/stddev
+    (`anomaly_detection.py:132-143`). Two aggregation passes + a
+    broadcast of the per-group medians; no window over the fact."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("median_raw"),
+        F.percentile("adev", 0.5).alias("mad_raw"),
+    )
+    flagged = (
+        dev.join(F.broadcast(mad.select("event_type", "mad_raw")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad_raw")).cast("bigint")
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        mad.join(flagged, "event_type")
+        .select(
+            "event_type",
+            F.round("median_raw", 6).alias("median"),
+            F.round("mad_raw", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
