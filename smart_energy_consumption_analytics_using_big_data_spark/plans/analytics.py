@@ -436,3 +436,66 @@ def q_agg_robust(spark, sf_dir):
             "n_outliers",
         )
     )
+
+
+@q(
+    "q_window_cume",
+    """
+    SELECT event_id, event_type,
+           round(cume_dist() OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id), 6) AS cd,
+           round(nth_value(value, 3) OVER (PARTITION BY event_type
+                                           ORDER BY value, event_id), 6) AS third_lowest
+    FROM events
+    """,
+)
+def q_window_cume(spark, sf_dir):
+    """cume_dist + nth_value round out the ranking family (W7): unique
+    tiebreak makes both deterministic; default running frame means
+    nth_value is NULL until 3 rows have been seen."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.nth_value("value", 3).over(w), 6).alias("third_lowest"),
+    )
+
+
+@q(
+    "q_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_click,
+             min(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked,
+           CAST(sum(CASE WHEN first_purchase - first_click BETWEEN 0 AND 3600
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_1h
+    FROM per_user
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Conversion funnel: users whose first purchase lands within 1 h of
+    their first click - two conditional-min aggregates in ONE pass over
+    events (no self-join, no sessionize), then a driver-sized rollup."""
+    ev = t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", sec)).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", sec)).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("first_click").isNotNull().cast("bigint")).alias("n_clicked"),
+        F.sum(
+            ((F.col("first_purchase") - F.col("first_click")).between(0, 3600)).cast("bigint")
+        ).alias("n_converted_1h"),
+    )
