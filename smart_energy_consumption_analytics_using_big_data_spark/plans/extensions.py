@@ -249,9 +249,31 @@ def q_sim_lsh_bucket(spark, sf_dir):
     return S.lsh_buckets(t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
 
-@q("q_sim_ann_lsh")  # rows-only: approximate result, defined by our own bucketing
+def _ann_lsh_oracle(k: int = 10) -> str:
+    cos = (
+        f"round({_DOT.format(a='e.embedding', b='q.qvec')} / "
+        f"(sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) * "
+        f"sqrt({_DOT.format(a='q.qvec', b='q.qvec')})), 6)"
+    )
+    return f"""
+    WITH bk AS ({_lsh_bucket_oracle()}),
+    q AS (
+      SELECT e.embedding AS qvec, bk.bucket AS qbucket
+      FROM embeddings e JOIN bk USING (vec_id)
+      ORDER BY e.vec_id LIMIT 1
+    )
+    SELECT e.vec_id, bk.bucket, {cos} AS cosine
+    FROM embeddings e JOIN bk USING (vec_id), q
+    WHERE bk.bucket = q.qbucket
+    ORDER BY cosine DESC, e.vec_id LIMIT {k}
+    """
+
+
+@q("q_sim_ann_lsh", _ann_lsh_oracle(10))
 def q_sim_ann_lsh(spark, sf_dir):
-    """ANN top-k restricted to the query vector's LSH bucket."""
+    """ANN top-k restricted to the query vector's LSH bucket. Fully
+    oracled: deterministic hyperplanes + unique (cosine, vec_id)
+    tiebreak make the approximate result itself reproducible."""
     emb = t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1)
     return S.ann_topk_lsh(emb, query, k=10, n_planes=8, dim=64)
@@ -276,10 +298,31 @@ def q_emb_neardup(spark, sf_dir):
     return S.neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@q("q_emb_neardup_lsh")  # rows-only: bucket-restricted approximation
+def _neardup_lsh_oracle(threshold: float = 0.4) -> str:
+    cos = (
+        f"round({_DOT.format(a='ea.embedding', b='eb.embedding')} / "
+        f"(sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')}) * "
+        f"sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')})), 6)"
+    )
+    return f"""
+    WITH bk AS ({_lsh_bucket_oracle()}),
+    tagged AS (
+      SELECT e.vec_id, e.embedding, bk.bucket
+      FROM embeddings e JOIN bk USING (vec_id)
+    )
+    SELECT ea.vec_id AS id_a, eb.vec_id AS id_b, {cos} AS cosine
+    FROM tagged ea JOIN tagged eb
+      ON ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@q("q_emb_neardup_lsh", _neardup_lsh_oracle(0.4))
 def q_emb_neardup_lsh(spark, sf_dir):
     """Near-dup pairs via LSH bucket prejoin (the 100 TB path: shuffle
-    on bucket key, quadratic only within buckets)."""
+    on bucket key, quadratic only within buckets). Fully oracled - the
+    md5-seeded hyperplanes are deterministic literals, so the bucket
+    restriction is reproducible in SQL."""
     return S.neardup_pairs_lsh(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
@@ -473,7 +516,54 @@ def q_emb_ivf_assign(spark, sf_dir):
     return S.ivf_assign(emb, S.ivf_centroids(emb))
 
 
-@q("q_sim_ann_ivf")  # rows-only: approximate result defined by our own cells
+_ANN_IVF_ORACLE = f"""
+    WITH cent AS (
+      SELECT label AS cell, u.pos AS pos, avg(u.val) AS cval
+      FROM ({_UNNEST_EMB.format(id='label')}) GROUP BY label, u.pos
+    ),
+    emb AS (
+      SELECT vec_id, u.pos AS pos, u.val AS v
+      FROM ({_UNNEST_EMB.format(id='vec_id')})
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             round(sum(e.v * c.cval) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cval * c.cval))), 6) AS cell_cosine
+      FROM emb e JOIN cent c USING (pos)
+      GROUP BY e.vec_id, c.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_cosine DESC, cell) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    qv AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+    qe AS (
+      SELECT u.pos AS pos, CAST(u.val AS DOUBLE) AS v
+      FROM (SELECT unnest(list_transform(generate_series(1, len(qvec)),
+                   i -> {{'pos': i, 'val': CAST(qvec[i] AS DOUBLE)}})) AS u FROM qv)
+    ),
+    probe AS (
+      SELECT c.cell FROM cent c JOIN qe USING (pos)
+      GROUP BY c.cell
+      ORDER BY round(sum(c.cval * qe.v) /
+                     (sqrt(sum(c.cval * c.cval)) * sqrt(sum(qe.v * qe.v))), 6) DESC, c.cell
+      LIMIT 2
+    )
+    SELECT e.vec_id, a.cell,
+           round({_DOT.format(a='e.embedding', b='q.qvec')} /
+                 (sqrt({_DOT.format(a='e.embedding', b='e.embedding')}) *
+                  sqrt({_DOT.format(a='q.qvec', b='q.qvec')})), 6) AS cosine
+    FROM embeddings e
+    JOIN assign a USING (vec_id)
+    JOIN probe p ON a.cell = p.cell, (SELECT qvec FROM qv) q
+    ORDER BY cosine DESC, e.vec_id LIMIT 10
+    """
+
+
+@q("q_sim_ann_ivf", _ANN_IVF_ORACLE)  # deterministic cells + tiebreaks => oracled
 def q_sim_ann_ivf(spark, sf_dir):
     """IVF ANN top-k: probe the 2 cells nearest the query, brute-force
     their inverted lists only (recall floor vs exact search asserted in
