@@ -146,3 +146,40 @@ def asof_join(
     for c in right_cols:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("__side") == 1).drop("__side", "__ats")
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    on: list[str] | None = None,
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join without a nested loop (J5 stretch,
+    SURVEY.md SS2.3): a raw `p.ts BETWEEN i.start AND i.end` predicate
+    gives Catalyst no equi-key, so it plans BroadcastNestedLoopJoin -
+    O(points x intervals) and a non-starter at scale. Rewrite: floor
+    points to a `bucket_s`-second grid (plain epoch arithmetic - cheaper
+    than window() and free of Spark's one-time-window-per-plan rule),
+    explode each interval to every grid bucket it overlaps, EQUI-join on
+    (keys..., bucket), then residual-filter exact containment. Shuffle
+    cost follows bucket overlap, not the cross product; pick `bucket_s`
+    near the typical interval length so the explode stays small.
+    """
+
+    def floor_bucket(c: str) -> Column:
+        return (F.col(c).cast("long") / bucket_s).cast("long") * bucket_s
+
+    pts = points.withColumn("__bkt", floor_bucket(point_ts))
+    ivs = intervals.withColumn(
+        "__bkt",
+        F.explode(F.sequence(floor_bucket(start_ts), floor_bucket(end_ts), F.lit(bucket_s))),
+    )
+    keys = list(on or []) + ["__bkt"]
+    out = pts.join(ivs, keys, how).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return out.drop("__bkt")

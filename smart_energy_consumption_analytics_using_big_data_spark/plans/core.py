@@ -909,3 +909,34 @@ def q_merge_upsert(spark, sf_dir):
         "value",
     )
     return merge_upsert(ev, corrections.unionByName(inserts), ["event_id"])
+
+
+@q(
+    "q_join_range",
+    """
+    WITH w AS (SELECT user_id, min(ts) AS ws FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.user_id, count(*) AS n_clicks
+    FROM c JOIN w ON c.user_id = w.user_id
+                 AND c.ts >= w.ws AND c.ts <= w.ws + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Range (point-in-interval) join: clicks inside the hour after each
+    user's first purchase. Bucketed equi-join rewrite - never a
+    nested-loop plan (operators/joins.range_join_bucketed;
+    `test_range_join_is_not_nested_loop`)."""
+    ev = t(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ws"))
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 1 HOUR"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = J.range_join_bucketed(
+        clicks, windows, "ts", "ws", "we", on=["user_id"], bucket_s=3600
+    )
+    return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))

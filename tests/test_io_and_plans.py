@@ -112,3 +112,10 @@ def test_grouping_sets_single_shuffle_of_base(spark):
     plan = _formatted_plan(QUERIES["q_sql_grouping_sets"](spark, SF_SMOKE))
     assert "Expand" in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_range_join_is_not_nested_loop(spark):
+    plan = _formatted_plan(QUERIES["q_join_range"](spark, SF_SMOKE))
+    # the bucketed rewrite must give Catalyst an equi-key
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
