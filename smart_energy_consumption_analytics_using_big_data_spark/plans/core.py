@@ -940,3 +940,40 @@ def q_join_range(spark, sf_dir):
         clicks, windows, "ts", "ws", "we", on=["user_id"], bucket_s=3600
     )
     return joined.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@q(
+    "q_quality_audit",
+    """
+    SELECT 'events.user_id_null' AS check_name, count(*) AS n_violations
+    FROM events WHERE user_id IS NULL
+    UNION ALL
+    SELECT 'events.value_null', count(*) FROM events WHERE value IS NULL
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey', count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders.totalprice_negative', count(*) FROM orders WHERE o_totalprice < 0
+    """,
+)
+def q_quality_audit(spark, sf_dir):
+    """Data-quality audit as ONE query: null-rate, referential-integrity
+    (anti-join orphan count) and range checks, each a tiny aggregate -
+    the declarative replacement for the reference's repeated full-plan
+    audit count()s (`data_preprocessing.py:101-266`)."""
+    ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+
+    def check(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = li.join(od, li["l_orderkey"] == od["o_orderkey"], "left_anti")
+    return (
+        check("events.user_id_null", ev.filter(F.col("user_id").isNull()))
+        .unionByName(check("events.value_null", ev.filter(F.col("value").isNull())))
+        .unionByName(check("lineitem.orphan_orderkey", orphans))
+        .unionByName(check("orders.totalprice_negative", od.filter(F.col("o_totalprice") < 0)))
+    )

@@ -68,3 +68,27 @@ def q_stream_dedup(spark, sf_dir):
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), sum_exact("value").alias("total_value")
     )
+
+
+@q(
+    "q_stream_sliding",
+    """
+    WITH buckets AS (
+      SELECT e.event_type, e.value,
+             to_timestamp(((epoch_us(e.ts) // 21600000000) - k.k) * 21600) AS bucket_start
+      FROM events e CROSS JOIN (VALUES (0), (1)) AS k(k)
+    )
+    SELECT strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start, event_type,
+           {dsum} AS total_value, count(*) AS n
+    FROM buckets GROUP BY 1, 2
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming SLIDING windows (12h window / 6h slide - every event in
+    2 overlapping buckets) replayed with availableNow; equals the batch
+    sliding aggregation (q_time_bucket_sliding's oracle verbatim)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_sliding_rollup,
+    )
+
+    return stream_sliding_rollup(spark, f"{sf_dir}/events.parquet")

@@ -129,3 +129,29 @@ def stream_daily_rollup_append(
     query = _run_to_memory(spark, agg, name, "append")
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_sliding_rollup(
+    spark: SparkSession,
+    events_glob: str,
+    window: str = "12 hours",
+    slide: str = "6 hours",
+) -> DataFrame:
+    """Sliding-window streaming rollup (each event lands in
+    window/slide overlapping buckets); availableNow replay + complete
+    mode makes it equal the batch sliding aggregation exactly."""
+    events = _streaming_events(spark, events_glob)
+    agg = (
+        events.groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "event_type",
+            "total_value",
+            "n",
+        )
+    )
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "complete")
+    query.awaitTermination()
+    return spark.table(name)
