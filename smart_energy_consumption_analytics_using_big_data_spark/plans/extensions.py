@@ -658,3 +658,101 @@ def q_mm_frames(spark, sf_dir):
     source (`ext/multimodal.frame_sample_plan`)."""
     docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
     return MM.frame_sample_plan(docs, bytes_per_s=100, every_s=2.0, max_frames=5)
+
+
+@q(
+    "q_text_tfidf",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF top term per document: tf and df from one token explode
+    (two aggregations sharing it), idf joined back with df broadcast,
+    row_number top-1 per doc. The classic relevance primitive - no ML
+    stage needed, pure aggregation algebra."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+@q(
+    "q_emb_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT e.vec_id, q.lo, q.hi,
+             list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(least(254.0, floor((CAST(e.embedding[i] AS DOUBLE) - q.lo)
+                                            / (q.hi - q.lo) * 255.0)) - 127 AS INTEGER)) AS qs
+      FROM embeddings e JOIN q USING (vec_id)
+    )
+    SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_min(qs) AS INTEGER) AS q_min,
+           CAST(list_max(qs) AS INTEGER) AS q_max
+    FROM qv
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (per-vector min/max range,
+    floor bucketing - no round() so both engines bucket identically):
+    the 4x storage cut that makes 100 TB embedding corpora searchable;
+    emitted as per-vector checksums so the oracle compares scalars."""
+    emb = t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    lo = F.array_min(xd)
+    hi = F.array_max(xd)
+    qs = F.transform(
+        xd,
+        lambda x: (
+            F.least(F.lit(254.0), F.floor((x - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0))
+            - 127
+        ).cast("int"),
+    )
+    base = emb.select("vec_id", "embedding", lo.alias("lo"), hi.alias("hi"))
+    qv = base.withColumn("qs", qs)
+    return qv.select(
+        "vec_id",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.aggregate("qs", F.lit(0).cast("bigint"), lambda a, b: a + b).alias("q_sum"),
+        F.array_min("qs").alias("q_min"),
+        F.array_max("qs").alias("q_max"),
+    )
