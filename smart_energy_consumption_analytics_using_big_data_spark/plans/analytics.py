@@ -499,3 +499,40 @@ def q_funnel(spark, sf_dir):
             ((F.col("first_purchase") - F.col("first_click")).between(0, 3600)).cast("bigint")
         ).alias("n_converted_1h"),
     )
+
+
+@q(
+    "q_window_locf",
+    """
+    SELECT event_id, user_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def q_window_locf(spark, sf_dir):
+    """Gap fill by last-observation-carried-forward: error readings are
+    voided to NULL, then last(ignorenulls) over the per-entity running
+    frame repairs them from the most recent good reading - the sensor
+    time-series repair the reference's dropna() destroys rows for
+    (`data_preprocessing.py:111`). Same one-shuffle window as W1-W6."""
+    ev = t(spark, sf_dir, "events")
+    voided = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", None).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return voided.select(
+        "event_id",
+        "user_id",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_filled"),
+    )
