@@ -52,6 +52,12 @@ def detect_anomalies(
 ) -> DataFrame:
     """K-Means clusters + per-cluster distance z-score + flag
     (`anomaly_detection.py:108-143`)."""
+    # Persist the (window-heavy) feature plan BEFORE any ML pass: the
+    # scaler's stats pass and the prepped-vector materialization below
+    # each re-execute it otherwise. Single-node the win is modest (first
+    # execution is JIT/codegen-dominated); on a cluster each avoided
+    # pass is a full scan of the feature lineage.
+    features = features.persist()
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features_raw", handleInvalid="skip")
     scaler = StandardScaler(inputCol="features_raw", outputCol="features")
     prep = Pipeline(stages=[assembler, scaler]).fit(features)
