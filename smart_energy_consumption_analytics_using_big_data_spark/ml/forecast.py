@@ -93,21 +93,32 @@ def train_linear_forecast(
     inner_train.cache()
     inner_val.cache()
 
-    evaluator = RegressionEvaluator(
-        labelCol="label_value", predictionCol="prediction", metricName="rmse"
-    )
-    best = (float("inf"), None)
-    for reg in reg_params:
-        for en in elastic_net_params:
-            lr = LinearRegression(
-                featuresCol="features", labelCol="label_value",
-                maxIter=100, regParam=reg, elasticNetParam=en,
-            )
-            model = _pipeline(lr).fit(inner_train)
-            rmse = evaluator.evaluate(model.transform(inner_val))
-            if rmse < best[0]:
-                best = (rmse, {"regParam": reg, "elasticNetParam": en})
-    params = best[1]
+    # Grid points fit CONCURRENTLY: Spark's scheduler interleaves jobs
+    # submitted from multiple driver threads over the same cached
+    # inputs. The reference ran its 9+4 grid strictly sequentially
+    # (`forecasting_model.py:286-306` - SURVEY.md SS3 "no parallel
+    # tuning"); on a cluster this is the difference between grid time
+    # = slowest point vs = sum of points. Selection stays deterministic:
+    # results keep grid order and min() takes the first minimum.
+    from concurrent.futures import ThreadPoolExecutor
+
+    grid = [(reg, en) for reg in reg_params for en in elastic_net_params]
+
+    def fit_point(point):
+        reg, en = point
+        lr = LinearRegression(
+            featuresCol="features", labelCol="label_value",
+            maxIter=100, regParam=reg, elasticNetParam=en,
+        )
+        model = _pipeline(lr).fit(inner_train)
+        rmse = RegressionEvaluator(
+            labelCol="label_value", predictionCol="prediction", metricName="rmse"
+        ).evaluate(model.transform(inner_val))
+        return rmse, {"regParam": reg, "elasticNetParam": en}
+
+    with ThreadPoolExecutor(max_workers=min(4, len(grid))) as ex:
+        results = list(ex.map(fit_point, grid))
+    params = min(results, key=lambda r: r[0])[1]
     final = _pipeline(
         LinearRegression(
             featuresCol="features", labelCol="label_value", maxIter=100,
