@@ -536,3 +536,71 @@ def q_window_locf(spark, sf_dir):
         "user_id",
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("value_filled"),
     )
+
+
+@q(
+    "q_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+      FROM events
+    ),
+    firstw AS (SELECT user_id, min(w) AS w0 FROM act GROUP BY user_id)
+    SELECT f.w0 AS cohort_week, CAST(a.w - f.w0 AS INTEGER) AS week_offset,
+           count(*) AS n_active
+    FROM act a JOIN firstw f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted in each later active week. One distinct pass builds the
+    activity table; the cohort join is on user_id (same shuffle key as
+    the min-aggregation, so Catalyst reuses the partitioning)."""
+    ev = t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", (F.col("ts").cast("long") / 604800).cast("long").alias("w")
+    ).distinct()
+    firstw = act.groupBy("user_id").agg(F.min("w").alias("w0"))
+    return (
+        act.join(firstw, "user_id")
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("w") - F.col("w0")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@q(
+    "q_join_nullsafe",
+    """
+    WITH c AS (SELECT nullif(hour(ts) % 5, 0) AS k, count(*) AS n_clicks
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT nullif(hour(ts) % 5, 0) AS k, {v} AS total_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(c.k AS INTEGER) AS k, c.n_clicks, p.total_purchase
+    FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.k
+    """.format(v=DSUM("value")),
+)
+def q_join_nullsafe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL key
+    group joins like any other value - a plain equality join silently
+    drops it. Still a hash-join (null-safe equality is an equi-key for
+    Catalyst, not a theta join)."""
+    ev = t(spark, sf_dir, "events")
+    key = F.nullif(F.hour("ts") % 5, F.lit(0)).cast("int")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(key.alias("k"))
+        .agg(sum_exact("value").alias("total_purchase"))
+    )
+    return c.alias("c").join(p.alias("p"), F.col("c.k").eqNullSafe(F.col("p.k"))).select(
+        F.col("c.k").alias("k"), "n_clicks", "total_purchase"
+    )
