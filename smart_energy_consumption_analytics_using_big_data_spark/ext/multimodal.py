@@ -105,3 +105,37 @@ def frame_sample_plan(
             (F.col("frame_idx").cast("long") * F.lit(step_bytes)).alias("byte_offset"),
         )
     )
+
+
+RESIZE_OUTPUT_SCHEMA = "doc_id bigint, out_w int, out_h int, n_bytes_out int"
+
+
+def resize_stub(
+    docs_with_payload: DataFrame,
+    out_w: int = 64,
+    out_h: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image-resize plumbing over binary payloads
+    (mapInPandas, same batch shape as decode_features). STUB transform:
+    output byte count = min(len(payload), out_w*out_h) - a 1-byte/px
+    grayscale stand-in; swap the body for PIL's Image.resize without
+    touching the Spark plumbing."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cap = out_w * out_h
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "out_w": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "n_bytes_out": pdf["payload"]
+                    .map(lambda b: 0 if b is None else min(len(b), cap))
+                    .astype("int32"),
+                }
+            )
+
+    return docs_with_payload.select(id_col, "payload").mapInPandas(
+        resize, schema=RESIZE_OUTPUT_SCHEMA
+    )

@@ -88,3 +88,16 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def rolling_hash(text: Column, base: int = 257, mod: int = 2147483647) -> Column:
+    """Rabin-Karp polynomial rolling hash over the document's characters:
+    h = fold(h * base + code(char)) mod M. Engine-portable (plain
+    integer arithmetic, no JVM-specific hash), computed JVM-side via
+    aggregate() over a position sequence - the incremental-fingerprint
+    primitive behind shift-resistant content chunking."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: (acc * base + F.ascii(text.substr(i, F.lit(1)))) % mod,
+    )

@@ -756,3 +756,40 @@ def q_emb_quantize(spark, sf_dir):
         F.array_min("qs").alias("q_min"),
         F.array_max("qs").alias("q_max"),
     )
+
+
+@q(
+    "q_mm_resize",
+    """
+    SELECT doc_id, CAST(64 AS INTEGER) AS out_w, CAST(64 AS INTEGER) AS out_h,
+           CAST(least(strlen(text), 4096) AS INTEGER) AS n_bytes_out
+    FROM documents
+    """,
+)
+def q_mm_resize(spark, sf_dir):
+    """Resize plumbing through mapInPandas (Arrow batches, stubbed
+    transform) - deterministic fake output size makes even the Python
+    stage oracle-checkable (`ext/multimodal.resize_stub`)."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.resize_stub(docs, out_w=64, out_h=64)
+
+
+@q(
+    "q_text_rollhash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, strlen(text)),
+                              i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
+             (a, b) -> (a * 257 + b) % 2147483647) AS rhash
+    FROM documents
+    """,
+)
+def q_text_rollhash(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprint (polynomial fold
+    over character codes, mod 2^31-1): pure integer arithmetic, so both
+    engines produce identical fingerprints without any shared hash
+    library (`functions/textfns.rolling_hash`)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_hash(F.col("text")).alias("rhash"))
