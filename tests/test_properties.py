@@ -59,3 +59,64 @@ def test_approx_aggregates_near_exact(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50_approx"] - row["p50_exact"]) / abs(row["p50_exact"]) < 0.05
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=80))
+def test_rolling_hash_matches_python_reference(spark, s):
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+        rolling_hash,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"text": [s]}))
+    got = df.select(rolling_hash(F.col("text")).alias("h")).collect()[0]["h"]
+    ref = 0
+    for ch in s:
+        ref = (ref * 257 + ord(ch)) % 2147483647
+    assert got == ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14), st.integers(min_value=0, max_value=14)),
+        min_size=1,
+        max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_endpoints_agree(spark, es):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        connected_components,
+    )
+
+    es = [(a, b) for a, b in es if a != b]
+    pdf = pd.DataFrame({"id_a": [a for a, _ in es], "id_b": [b for _, b in es]})
+    labels = {
+        r["id"]: r["component"]
+        for r in connected_components(spark.createDataFrame(pdf)).collect()
+    }
+    # every edge's endpoints land in the same component, and each
+    # component is labeled by its minimum member
+    for a, b in es:
+        assert labels[a] == labels[b]
+    comp_members: dict = {}
+    for node, comp in labels.items():
+        comp_members.setdefault(comp, []).append(node)
+    for comp, members in comp_members.items():
+        assert comp == min(members)
+
+
+def test_merge_upsert_is_idempotent(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0], "tag": ["a", "b", "c"]})
+    )
+    updates = spark.createDataFrame(pd.DataFrame({"k": [2, 9], "v": [99.0, 9.0], "tag": ["B", "I"]}))
+    once = merge_upsert(target, updates, ["k"])
+    twice = merge_upsert(once, updates, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    got = {r["k"]: (r["v"], r["tag"]) for r in once.collect()}
+    assert got == {1: (10.0, "a"), 2: (99.0, "B"), 3: (30.0, "c"), 9: (9.0, "I")}
