@@ -977,3 +977,29 @@ def q_quality_audit(spark, sf_dir):
         .unionByName(check("lineitem.orphan_orderkey", orphans))
         .unionByName(check("orders.totalprice_negative", od.filter(F.col("o_totalprice") < 0)))
     )
+
+
+@q(
+    "q_scalar_calendar",
+    """
+    SELECT event_id, CAST(quarter(ts) AS INTEGER) AS qtr,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           strftime(last_day(ts), '%Y-%m-%d') AS month_end
+    FROM events
+    """,
+)
+def q_scalar_calendar(spark, sf_dir):
+    """Calendar derivations beyond F2's basics: quarter, ISO week (both
+    engines ISO-8601), day-of-year, ISO day-of-week (Spark's dayofweek
+    is Sunday=1, so parity needs the (dow+5)%7+1 rebase), month end."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.quarter("ts").alias("qtr"),
+        F.weekofyear("ts").alias("iso_week"),
+        F.dayofyear("ts").alias("doy"),
+        ((F.dayofweek("ts") + 5) % 7 + 1).alias("iso_dow"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+    )
