@@ -272,6 +272,13 @@ def simhash_candidate_pairs(
     max_hamming <= n_blocks - 1 candidate generation is COMPLETE (no
     false negatives) while the pair join stays per-block-bucket instead
     of corpus^2. Verification computes exact hamming on candidates only.
+
+    Dense-corpus caveat: on data with large near-identical clusters the
+    TRUE pair set is itself quadratic in cluster size (the synthetic
+    sf0.1 corpus yields 425k pairs from 5k docs), so any pair-listing
+    output is the bottleneck, not the algorithm - feed these edges to
+    connected_components and keep one canonical doc per group instead
+    of materializing every pair.
     """
     block_len = bits // n_blocks
     entries = [
