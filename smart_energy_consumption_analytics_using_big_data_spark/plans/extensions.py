@@ -806,3 +806,60 @@ def q_text_rollhash(spark, sf_dir):
     library (`functions/textfns.rolling_hash`)."""
     docs = t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.rolling_hash(F.col("text")).alias("rhash"))
+
+
+@q(
+    "q_drift_psi",
+    """
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref,
+             CAST(floor(value / 50.0) AS INTEGER) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bin,
+             sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur,
+             count(*) AS nb
+      FROM counts GROUP BY 1
+    )
+    SELECT c.event_type,
+           round(sum(((c.n_ref + 0.5) / (t.t_ref + 0.5 * t.nb)
+                      - (c.n_cur + 0.5) / (t.t_cur + 0.5 * t.nb))
+                     * ln(((c.n_ref + 0.5) / (t.t_ref + 0.5 * t.nb))
+                          / ((c.n_cur + 0.5) / (t.t_cur + 0.5 * t.nb)))), 6) AS psi
+    FROM counts c JOIN tot t USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_drift_psi(spark, sf_dir):
+    """Distribution-drift monitor: population stability index between a
+    reference and a current period, per event type, over fixed-width
+    value bins with Laplace smoothing (so empty bins never hit ln(0)).
+    Two aggregations over one binned pass + a broadcast-sized totals
+    join - the drift check a training pipeline runs before trusting a
+    new data drop. PSI > 0.25 conventionally flags actionable drift."""
+    ev = t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")).cast("int").alias("is_ref"),
+        F.floor(F.col("value") / 50.0).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("n_ref"), F.sum(1 - F.col("is_ref")).alias("n_cur")
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    j = counts.join(F.broadcast(tot), "event_type")
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("nb"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("nb"))
+    return j.groupBy("event_type").agg(
+        F.round(F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6).alias("psi")
+    )
