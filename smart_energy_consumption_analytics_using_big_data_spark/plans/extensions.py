@@ -863,3 +863,33 @@ def q_drift_psi(spark, sf_dir):
     return j.groupBy("event_type").agg(
         F.round(F.sum((p_ref - p_cur) * F.log(p_ref / p_cur)), 6).alias("psi")
     )
+
+
+@q(
+    "q_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[len(embedding)]
+                 AS DOUBLE), 6) AS max_val,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6)
+             AS head_sum
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark, sf_dir):
+    """Array-function family over the embedding column (F12 beyond
+    JSON): size, element access, sort, slice, fold - all JVM-side
+    higher-order expressions, zero Python."""
+    emb = t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(xd, 1), 6).alias("first_val"),
+        F.round(F.element_at(F.array_sort(xd), F.size("embedding")), 6).alias("max_val"),
+        F.round(
+            F.aggregate(F.slice(xd, 1, 8), F.lit(0.0), lambda a, b: a + b), 6
+        ).alias("head_sum"),
+    )

@@ -145,3 +145,26 @@ def q_sql_exists(spark, sf_dir):
                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         """
     )
+
+
+@q(
+    "q_sql_scalar_subquery",
+    """
+    SELECT event_type, count(*) AS n_above
+    FROM events
+    WHERE value > (SELECT avg(value) FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate: Catalyst evaluates the single-row
+    aggregate once and folds it in as a literal join - not per row."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n_above
+        FROM events
+        WHERE value > (SELECT avg(value) FROM events)
+        GROUP BY event_type
+        """
+    )
