@@ -65,3 +65,19 @@ def q_ml_anomaly_kmeans(spark, sf_dir):
         "z_score",
         "is_anomaly",
     )
+
+
+@q("q_ml_rf_importance")  # rows-only (M4 importances report)
+def q_ml_rf_importance(spark, sf_dir):
+    """RandomForest feature importances as rows (feature, importance) -
+    the model-explanation report the reference prints at
+    `forecasting_model.py:411-418`, exposed as a queryable DataFrame.
+    Seed pinned; importances sum to 1 (asserted in test_ml.py)."""
+    feats = _daily_features(spark, sf_dir)
+    result = FC.train_rf_forecast(feats, TEST_CUTOFF, num_trees=20, max_depth=5)
+    rf_model = result.model.stages[-1]
+    rows = [
+        (name, round(float(w), 6))
+        for name, w in zip(FC.FEATURE_COLS, rf_model.featureImportances.toArray())
+    ]
+    return spark.createDataFrame(rows, "feature string, importance double")

@@ -45,3 +45,13 @@ def test_anomaly_rate_band_and_threshold(features):
     assert flagged.filter(F.col("z_score") <= 3).count() == 0
     # clusters assigned across k=5 (at least 2 non-empty)
     assert scored.select("cluster").distinct().count() >= 2
+
+
+def test_rf_importance_is_a_distribution(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    rows = QUERIES["q_ml_rf_importance"](spark, "/root/testdata/sf0.01").collect()
+    total = sum(r["importance"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r["importance"] >= 0 for r in rows)
+    assert len(rows) == len({r["feature"] for r in rows})
