@@ -71,6 +71,14 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for warm in ("q_count", "q_flagship", "q_dedup_exact"):
         QUERIES[warm](spark, warm_dir).count()
+    # Load MLlib (class loading + codegen is ~3s once per JVM) so the ML
+    # entry in the suite measures the operator, not first-use JIT.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    tiny = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id % 7 AS DOUBLE) AS y")
+    vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(tiny)
+    KMeans(k=2, seed=1, initMode="random").fit(vec)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
