@@ -604,3 +604,44 @@ def q_join_nullsafe(spark, sf_dir):
     return c.alias("c").join(p.alias("p"), F.col("c.k").eqNullSafe(F.col("p.k"))).select(
         F.col("c.k").alias("k"), "n_clicks", "total_purchase"
     )
+
+
+@q("q_sample_stratified")  # rows-only: RNG streams differ across engines
+def q_sample_stratified(spark, sf_dir):
+    """Per-class Bernoulli sampling (sampleBy): the class-rebalancing
+    primitive for training sets - rare classes kept whole, dominant
+    classes thinned. Fractions asserted within tolerance in
+    tests/test_operators.py."""
+    ev = t(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.1, "purchase": 1.0, "signup": 1.0, "error": 1.0}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+@q(
+    "q_sample_capped",
+    """
+    SELECT event_id, event_type FROM (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 100
+    """,
+)
+def q_sample_capped(spark, sf_dir):
+    """DETERMINISTIC per-class cap: rank rows inside each class by a
+    content hash and keep the first 100 - unlike RNG sampling this is
+    reproducible across engines, runs and partitionings (md5 order is a
+    fixed pseudo-random shuffle), which is what a replayable
+    training-data pipeline actually wants."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("event_id", "event_type")
+    )

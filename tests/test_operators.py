@@ -177,3 +177,21 @@ def test_connected_components_path_and_islands(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert out == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 100: 100, 200: 100}
+
+
+def test_stratified_sample_respects_fractions(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    out = QUERIES["q_sample_stratified"](spark, "/root/testdata/sf0.01")
+    got = {r["event_type"]: r["n"] for r in out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    full = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, "/root/testdata/sf0.01", "events").groupBy("event_type").count().collect()
+    }
+    # kept-whole classes are exact; thinned classes land near 10%
+    assert got["purchase"] == full["purchase"]
+    assert got["signup"] == full["signup"]
+    for et in ("click", "view"):
+        assert 0.03 * full[et] < got[et] < 0.25 * full[et]
