@@ -645,3 +645,35 @@ def q_sample_capped(spark, sf_dir):
         .filter(F.col("rn") <= 100)
         .select("event_id", "event_type")
     )
+
+
+@q(
+    "q_gap_islands",
+    """
+    SELECT user_id, event_type, count(*) AS run_len,
+           min(event_id) AS first_event
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events
+    )
+    GROUP BY user_id, event_type, grp
+    """,
+)
+def q_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user via the rank-difference trick - two window functions over
+    ONE shuffle (same partition prefix), then a hash aggregate. Run-
+    length encoding of behavior streams without any self-join."""
+    ev = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    return (
+        ev.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("event_id").alias("first_event"))
+        .drop("grp")
+    )

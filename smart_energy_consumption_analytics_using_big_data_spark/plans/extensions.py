@@ -893,3 +893,42 @@ def q_array_ops(spark, sf_dir):
             F.aggregate(F.slice(xd, 1, 8), F.lit(0.0), lambda a, b: a + b), 6
         ).alias("head_sum"),
     )
+
+
+@q(
+    "q_dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(common / sa.n, 6) AS containment
+    FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+    WHERE round(common / sa.n, 6) >= 0.5
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment |A∩B| / |A| (doc-inside-doc detection -
+    catches a paragraph lifted into a larger page, which symmetric
+    Jaccard dilutes below threshold). Directed pairs, so <> not <."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    return (
+        common.join(sa, "doc_a")
+        .withColumn("containment", F.round(F.col("common") / F.col("n_a"), 6))
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_a", "doc_b", "containment")
+    )
