@@ -677,3 +677,49 @@ def q_gap_islands(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("run_len"), F.min("event_id").alias("first_event"))
         .drop("grp")
     )
+
+
+@q(
+    "q_window_ewma",
+    """
+    SELECT event_id, user_id,
+           round(
+             list_sum(list_transform(generate_series(1, len(vals)),
+                      i -> vals[i] * power(0.7, len(vals) - i)))
+             /
+             list_sum(list_transform(generate_series(1, len(vals)),
+                      i -> power(0.7, len(vals) - i))), 6) AS ewma_10
+    FROM (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    )
+    """,
+)
+def q_window_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (truncated to a 10-row
+    trailing frame, alpha-decay 0.7, normalized): collect the frame once
+    per row, weight it with an indexed transform - all JVM higher-order
+    expressions, deterministic left-to-right accumulation on both
+    engines. The smoothing the energy dashboards draw."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    base = ev.select("event_id", "user_id", vals.alias("vals"))
+    weighted = F.transform(
+        "vals", lambda x, i: x * F.pow(F.lit(0.7), F.size("vals") - 1 - i)
+    )
+    weights = F.transform(
+        "vals", lambda x, i: F.pow(F.lit(0.7), F.size("vals") - 1 - i)
+    )
+    fold = lambda c: F.aggregate(c, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    return base.select(
+        "event_id",
+        "user_id",
+        F.round(fold(weighted) / fold(weights), 6).alias("ewma_10"),
+    )
