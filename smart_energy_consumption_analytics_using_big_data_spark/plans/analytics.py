@@ -559,12 +559,17 @@ def q_cohort_retention(spark, sf_dir):
     activity table; the cohort join is on user_id (same shuffle key as
     the min-aggregation, so Catalyst reuses the partitioning)."""
     ev = t(spark, sf_dir, "events")
-    act = ev.select(
-        "user_id", (F.col("ts").cast("long") / 604800).cast("long").alias("w")
-    ).distinct()
-    firstw = act.groupBy("user_id").agg(F.min("w").alias("w0"))
+    # One scan + one user_id shuffle: collect each user's distinct
+    # active weeks as a set (replaces distinct + min-agg + self-join,
+    # which scanned events twice and shuffled three times), derive the
+    # cohort week with array_min, explode, then the final rollup.
+    weeks = (
+        ev.select("user_id", (F.col("ts").cast("long") / 604800).cast("long").alias("w"))
+        .groupBy("user_id")
+        .agg(F.collect_set("w").alias("ws"))
+    )
     return (
-        act.join(firstw, "user_id")
+        weeks.select(F.array_min("ws").alias("w0"), F.explode("ws").alias("w"))
         .groupBy(
             F.col("w0").alias("cohort_week"),
             (F.col("w") - F.col("w0")).cast("int").alias("week_offset"),

@@ -119,3 +119,19 @@ def test_range_join_is_not_nested_loop(spark):
     # the bucketed rewrite must give Catalyst an equi-key
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_gap_islands_shares_one_exchange(spark):
+    import re
+
+    plan = _formatted_plan(QUERIES["q_gap_islands"](spark, SF_SMOKE))
+    # both window specs and the aggregate ride the user_id partitioning
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_cohort_retention_single_scan(spark):
+    plan = _formatted_plan(QUERIES["q_cohort_retention"](spark, SF_SMOKE))
+    # collect_set formulation: one scan (the naive distinct + min-agg +
+    # self-join formulation read events twice)
+    assert plan.count("Location: InMemoryFileIndex") == 1
