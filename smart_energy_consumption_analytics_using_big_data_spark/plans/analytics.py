@@ -407,33 +407,34 @@ def q_agg_robust(spark, sf_dir):
     """Robust outlier profile: median + MAD (median absolute deviation)
     + outlier count at the 3-sigma-equivalent MAD threshold - the
     heavy-tail-safe alternative to q_window_zscore's mean/stddev
-    (`anomaly_detection.py:132-143`). Two aggregation passes + a
-    broadcast of the per-group medians; no window over the fact."""
+    (`anomaly_detection.py:132-143`). Three sequential passes (the
+    algorithmic minimum: median, then MAD of deviations, then flag
+    counts) - the per-group medians/MADs are DIMENSION-sized (one row
+    per group), so they come back to the driver and re-enter the plan
+    as literal maps instead of joins whose subplans re-scan the fact
+    (the join formulation executed 6 scans; this one 3)."""
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.any_value("med").alias("median_raw"),
-        F.percentile("adev", 0.5).alias("mad_raw"),
-    )
-    flagged = (
-        dev.join(F.broadcast(mad.select("event_type", "mad_raw")), "event_type")
+
+    def as_map(rows, val):
+        pairs = []
+        for r in rows:
+            pairs.extend([F.lit(r["event_type"]), F.lit(float(r[val]))])
+        return F.create_map(*pairs)
+
+    med_rows = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med")).collect()
+    med = as_map(med_rows, "med")[F.col("event_type")]
+    dev = ev.withColumn("med", med).withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad_rows = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad")).collect()
+    mad = as_map(mad_rows, "mad")[F.col("event_type")]
+    return (
+        dev.withColumn("mad", mad)
         .groupBy("event_type")
         .agg(
-            F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad_raw")).cast("bigint")
-            ).alias("n_outliers")
-        )
-    )
-    return (
-        mad.join(flagged, "event_type")
-        .select(
-            "event_type",
-            F.round("median_raw", 6).alias("median"),
-            F.round("mad_raw", 6).alias("mad"),
-            "n_outliers",
+            F.round(F.any_value("med"), 6).alias("median"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")).alias(
+                "n_outliers"
+            ),
         )
     )
 

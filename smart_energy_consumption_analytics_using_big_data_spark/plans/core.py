@@ -970,13 +970,21 @@ def q_quality_audit(spark, sf_dir):
             F.lit(name).alias("check_name"), "n_violations"
         )
 
-    orphans = li.join(od, li["l_orderkey"] == od["o_orderkey"], "left_anti")
-    return (
-        check("events.user_id_null", ev.filter(F.col("user_id").isNull()))
-        .unionByName(check("events.value_null", ev.filter(F.col("value").isNull())))
-        .unionByName(check("lineitem.orphan_orderkey", orphans))
-        .unionByName(check("orders.totalprice_negative", od.filter(F.col("o_totalprice") < 0)))
+    # both events checks ride ONE scan: conditional sums, then stack()
+    # unpivots the pair into check rows
+    ev_checks = ev.agg(
+        F.sum(F.col("user_id").isNull().cast("bigint")).alias("a"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("b"),
+    ).select(
+        F.expr(
+            "stack(2, 'events.user_id_null', a, 'events.value_null', b) "
+            "AS (check_name, n_violations)"
+        )
     )
+    orphans = li.join(od, li["l_orderkey"] == od["o_orderkey"], "left_anti")
+    return ev_checks.unionByName(
+        check("lineitem.orphan_orderkey", orphans)
+    ).unionByName(check("orders.totalprice_negative", od.filter(F.col("o_totalprice") < 0)))
 
 
 @q(

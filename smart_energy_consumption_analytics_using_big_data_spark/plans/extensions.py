@@ -8,7 +8,7 @@ engines (Spark `aggregate` / DuckDB `list_sum`), with final rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.ext import dedup as D
 from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
@@ -700,10 +700,16 @@ def q_text_tfidf(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df derives from tf's own rows (one doc-term row per pair) via a
+    # term-partitioned window, so the corpus is exploded ONCE and there
+    # is no tf-with-df self-join re-running the explode (was 3 scans,
+    # now the single heavy one + a trivial docs count).
+    from pyspark.sql import Window as _W0
+
+    df_w = F.count(F.lit(1)).over(_W0.partitionBy("term"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -857,7 +863,15 @@ def q_drift_psi(spark, sf_dir):
         F.sum("n_cur").alias("t_cur"),
         F.count(F.lit(1)).alias("nb"),
     )
-    j = counts.join(F.broadcast(tot), "event_type")
+    # Totals via a window over the (tiny) per-bin counts instead of a
+    # counts-with-tot self-join, whose two branches each re-scanned the
+    # fact (2 scans -> 1).
+    wts = Window.partitionBy("event_type")
+    j = (
+        counts.withColumn("t_ref", F.sum("n_ref").over(wts))
+        .withColumn("t_cur", F.sum("n_cur").over(wts))
+        .withColumn("nb", F.count(F.lit(1)).over(wts))
+    )
     p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("nb"))
     p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("nb"))
     return j.groupBy("event_type").agg(
