@@ -946,3 +946,56 @@ def q_dedup_containment(spark, sf_dir):
         .filter(F.col("containment") >= 0.5)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+@q(
+    "q_dedup_minhash_estimate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(((CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END)
+                + (CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END)) / 6.0, 6)
+             AS jaccard_est
+    FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """MinHash-as-ESTIMATOR: for every LSH candidate pair, estimate
+    Jaccard as the fraction of agreeing signature components (the
+    unbiased estimator LSH banding is built on) - signature-width
+    work per pair instead of re-intersecting shingle sets. The exact
+    verification (q_dedup_lsh_verified) is the expensive alternative
+    this estimate lets you skip below a cutoff."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    sig = D.minhash_signatures(sh, num_hashes=6)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=6, band_size=2)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(6)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(6)])
+    agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(6))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(agree / 6.0, 6).alias("jaccard_est"))
+    )
