@@ -63,8 +63,22 @@ def salted_join(
     exploded once per bucket so every salted partition finds its match.
     AQE's skew-join handles moderate skew automatically (enabled in
     session.py); this is the explicit tool for pathological keys.
+
+    Only ``inner`` and ``left`` are valid: the right side is replicated
+    ``salt_buckets`` times, so right/full outer would emit every
+    unmatched right row once per salt bucket. The salt is derived
+    deterministically from the left row's content (xxhash64), never
+    ``rand()`` - a task retry re-deals identical salts, so a partially
+    recomputed stage can't split a row's match across buckets.
     """
-    salt = (F.rand(seed=42) * salt_buckets).cast("int")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)).cast(
+        "int"
+    )
     left_salted = left.withColumn("__salt", salt)
     right_replicated = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
@@ -118,22 +132,25 @@ def asof_join(
     collide with left column names.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
-    rdt = dict(right.dtypes)
     ldt = dict(left.dtypes)
     left_payload = [c for c in left.columns if c != key]
+    # Carry the whole right payload as ONE struct so the window pass is a
+    # single last(ignorenulls) regardless of payload width (k window
+    # expressions over the same spec -> 1).
+    rpay_type = right.select(*right_cols).schema
     l2 = left.select(
         F.col(key),
         F.col(left_ts).alias("__ats"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(rdt[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(rpay_type).alias("__rpay"),
     )
     r2 = right.select(
         F.col(key),
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in left_payload],
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
     )
     from pyspark.sql import Window
 
@@ -143,9 +160,12 @@ def asof_join(
         .orderBy("__ats", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side", "__ats")
+    u = u.withColumn("__rpay", F.last("__rpay", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
+        F.col(key),
+        *[F.col(c) for c in left_payload],
+        *[F.col("__rpay")[c].alias(c) for c in right_cols],
+    )
 
 
 def range_join_bucketed(
@@ -174,6 +194,9 @@ def range_join_bucketed(
         return (F.col(c).cast("long") / bucket_s).cast("long") * bucket_s
 
     pts = points.withColumn("__bkt", floor_bucket(point_ts))
+    # sequence() throws on a negative span; an inverted interval means
+    # "matches nothing", not "fail the query".
+    intervals = intervals.filter(F.col(end_ts) >= F.col(start_ts))
     ivs = intervals.withColumn(
         "__bkt",
         F.explode(F.sequence(floor_bucket(start_ts), floor_bucket(end_ts), F.lit(bucket_s))),

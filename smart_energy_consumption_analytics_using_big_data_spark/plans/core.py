@@ -244,6 +244,33 @@ def q_join_inner(spark, sf_dir):
 
 
 @q(
+    "q_join_salted",
+    "SELECT c_mktsegment, {dsum} AS revenue, count(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment".format(dsum=DSUM("o_totalprice")),
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-safe salted join (J5+; `operators/joins.py:salted_join`).
+
+    The salt is internal plumbing: the oracle is the PLAIN inner join,
+    so a hash-match proves salted == unsalted. Deterministic xxhash64
+    salting (not rand) keeps task retries consistent. Matches the
+    reference's skew exposure at `data_preprocessing.py:182`-class
+    joins where one household dominates the readings.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    joined = J.salted_join(orders, cust, "o_custkey", "inner", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        sum_exact("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@q(
     "q_join_semi",
     "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
 )

@@ -195,3 +195,48 @@ def test_stratified_sample_respects_fractions(spark):
     assert got["signup"] == full["signup"]
     for et in ("click", "view"):
         assert 0.03 * full[et] < got[et] < 0.25 * full[et]
+
+
+def test_asof_join_wide_payload_single_window(spark):
+    # The whole right payload rides one struct through one
+    # last(ignorenulls) window expression - payload width must not add
+    # window functions to the plan.
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 02:00"]), "lv": [1.0, 2.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"],
+                "ts": pd.to_datetime(["2024-01-01 00:30"]),
+                "p1": [10.0],
+                "p2": ["x"],
+                "p3": [7],
+            }
+        )
+    )
+    out = J.asof_join(left, right, key="k", right_cols=["p1", "p2", "p3"])
+    rows = {(r["k"], r["lv"]): (r["p1"], r["p2"], r["p3"]) for r in out.collect()}
+    assert rows == {("a", 1.0): (10.0, "x", 7), ("a", 2.0): (10.0, "x", 7)}
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # formatted explain prints each node twice (tree + details): one
+    # window expression == 2 textual hits; the per-column form would be 6.
+    assert plan.count("last(") == 2
+
+
+def test_range_join_inverted_interval_yields_no_match(spark):
+    # end < start must mean "matches nothing", not a sequence() error.
+    points = spark.createDataFrame(pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 01:00"]) , "pv": [1]}))
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start_ts": pd.to_datetime(["2024-01-01 02:00", "2024-01-01 00:00"]),
+                "end_ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 02:00"]),
+                "iv": [99, 7],
+            }
+        )
+    )
+    rows = J.range_join_bucketed(points, intervals, "ts", "start_ts", "end_ts").collect()
+    assert [(r["pv"], r["iv"]) for r in rows] == [(1, 7)]

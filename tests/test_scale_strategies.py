@@ -72,3 +72,21 @@ def test_repartition_by_range_orders_files(spark):
     ranges = sorted((min(v), max(v)) for v in by_part.values())
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1]}))
+    for how in ("right", "full", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            J.salted_join(df, df, "k", how=how)
+
+
+def test_salted_join_left_keeps_unmatched_left_rows(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "zz"], "v": [1, 2, 3]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "w": [10, 20]}))
+    got = sorted(
+        (r["k"], r["v"], r["w"]) for r in J.salted_join(left, right, "k", "left").collect()
+    )
+    assert got == [("a", 1, 10), ("b", 2, 20), ("zz", 3, None)]
