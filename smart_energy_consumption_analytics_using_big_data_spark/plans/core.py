@@ -65,6 +65,39 @@ def q_scan_localdf(spark, sf_dir):
     )
 
 
+def _tariff_fixture_rows() -> list[tuple[str, str]]:
+    """Canonical contents of fixtures/tariffs.xlsx (half-hourly dToU
+    grid like the reference's Tariffs.xlsx). The checked-in fixture is
+    generated from this list (scripts/make_tariff_fixture.py) and the
+    oracle below is built from it, so file/oracle drift fails the gate.
+    """
+    rows = []
+    for hh in range(48):
+        hour, half = divmod(hh, 2)
+        tariff = "High" if 16 <= hour <= 19 else ("Low" if hour <= 6 else "Normal")
+        rows.append((f"2013-01-01 {hour:02d}:{half * 30:02d}:00", tariff))
+    return rows
+
+
+TARIFF_FIXTURE_ROWS = _tariff_fixture_rows()
+
+
+@q(
+    "q_scan_xlsx",
+    'SELECT * FROM (VALUES {rows}) AS t("TariffDateTime", "Tariff")'.format(
+        rows=", ".join(f"('{dt}', '{tf}')" for dt, tf in TARIFF_FIXTURE_ROWS)
+    ),
+)
+def q_scan_xlsx(spark, sf_dir):
+    """S5 literal path: .xlsx dimension via the vendored stdlib
+    SpreadsheetML parser (`data_preprocessing.py:57-64`), no openpyxl."""
+    return readers.read_excel_dim(
+        spark,
+        str(_REPO_ROOT / "fixtures" / "tariffs.xlsx"),
+        expected_columns=["TariffDateTime", "Tariff"],
+    )
+
+
 @q(
     "q_limit",
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",

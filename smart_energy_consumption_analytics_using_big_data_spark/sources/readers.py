@@ -71,12 +71,16 @@ def read_excel_dim(
     sheet_name: int | str = 0,
     expected_columns: Iterable[str] | None = None,
 ) -> DataFrame:
-    """Excel dimension source (S5). Gated: openpyxl may be absent."""
+    """Excel dimension source (S5; `data_preprocessing.py:57-64`).
+
+    Prefers pandas' engine when available; otherwise falls back to the
+    vendored stdlib SpreadsheetML parser (`sources/xlsx.py`), so the
+    literal .xlsx path works with zero optional dependencies.
+    """
     try:
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # pragma: no cover - env without excel engine
-        raise NotImplementedError(
-            "Excel support needs an engine (openpyxl); load the dimension "
-            "via CSV/Parquet or dim_from_pandas instead"
-        ) from exc
+    except ImportError:  # no openpyxl in this environment
+        from smart_energy_consumption_analytics_using_big_data_spark.sources.xlsx import read_xlsx
+
+        pdf = read_xlsx(path, sheet=sheet_name)
     return dim_from_pandas(spark, pdf, expected_columns=expected_columns)

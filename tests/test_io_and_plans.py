@@ -135,3 +135,65 @@ def test_cohort_retention_single_scan(spark):
     # collect_set formulation: one scan (the naive distinct + min-agg +
     # self-join formulation read events twice)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_xlsx_roundtrip_types(tmp_path):
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.xlsx import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "name": ["a&b", "<tag>", "plain"],
+            "n": [1, 2, 3],
+            "x": [1.5, 2.25, 3.0],
+            "flag": [True, False, True],
+        }
+    )
+    path = str(tmp_path / "dim.xlsx")
+    write_xlsx(path, pdf)
+    back = read_xlsx(path)
+    assert list(back.columns) == ["name", "n", "x", "flag"]
+    assert back["name"].tolist() == ["a&b", "<tag>", "plain"]
+    assert back["n"].tolist() == [1, 2, 3]
+    assert back["x"].tolist() == [1.5, 2.25, 3.0]
+    assert back["flag"].tolist() == [True, False, True]
+
+
+def test_xlsx_tariff_fixture_joins_to_fact(spark):
+    # S5 end-to-end: literal .xlsx -> Spark dim -> broadcast left join on
+    # the DateTime key, mirroring data_preprocessing.py:182.
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators import joins as J
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.readers import (
+        read_excel_dim,
+    )
+
+    dim = read_excel_dim(
+        spark,
+        "fixtures/tariffs.xlsx",
+        expected_columns=["TariffDateTime", "Tariff"],
+    )
+    fact = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "DateTime": ["2013-01-01 00:30:00", "2013-01-01 17:00:00", "2099-01-01 00:00:00"],
+                "kwh": [0.2, 0.9, 0.1],
+            }
+        )
+    )
+    out = {
+        r["DateTime"]: r["Tariff"]
+        for r in J.join_dim(
+            fact, dim, fact["DateTime"] == dim["TariffDateTime"], "left"
+        ).collect()
+    }
+    assert out == {
+        "2013-01-01 00:30:00": "Low",
+        "2013-01-01 17:00:00": "High",
+        "2099-01-01 00:00:00": None,
+    }
