@@ -102,9 +102,48 @@ def cmd_forecast(args) -> None:
     best = lr if lr.metrics["rmse"] <= rf.metrics["rmse"] else rf
     preds = best.predictions.select("user_id", "date", "label_value", "prediction")
     writers.write_parquet(preds, f"{args.out}/forecasting_results", num_files=8)
-    best.model.write().overwrite().save(f"{args.out}/models/best")
+    model_dir = f"{args.out}/models/best"
+    best.model.write().overwrite().save(model_dir)
+    _write_model_metadata(model_dir, best, "lr" if best is lr else "rf", feats, args.test_cutoff)
     print(json.dumps({"stage": "forecast", "best": "lr" if best is lr else "rf",
                       "metrics": {k: round(v, 4) for k, v in best.metrics.items()}}))
+
+
+def _write_model_metadata(model_dir: str, best, best_name: str, feats, test_cutoff: str) -> None:
+    """Persist best-model metadata next to the saved model
+    (`forecasting_model.py:561-571` parity: json for machines, txt with
+    the reference's field names for humans)."""
+    import datetime
+    import pathlib
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ml.forecast import FEATURE_COLS
+
+    counts = feats.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("date") >= test_cutoff).cast("long")).alias("test"),
+    ).collect()[0]
+    meta = {
+        "best_model": best_name,
+        "metrics": {k: round(v, 6) for k, v in best.metrics.items()},
+        "best_params": best.best_params,
+        "n_features": len(FEATURE_COLS),
+        "train_records": int(counts["total"] - counts["test"]),
+        "test_records": int(counts["test"]),
+        "trained_on": datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    root = pathlib.Path(model_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "model_metadata.json").write_text(json.dumps(meta, indent=2))
+    (root / "model_metadata.txt").write_text(
+        f"Best Model: {best_name}\n"
+        f"MAE: {best.metrics.get('mae', float('nan')):.4f}\n"
+        f"RMSE: {best.metrics.get('rmse', float('nan')):.4f}\n"
+        f"R2: {best.metrics.get('r2', float('nan')):.4f}\n"
+        f"Features Used: {len(FEATURE_COLS)}\n"
+        f"Training Records: {meta['train_records']}\n"
+        f"Test Records: {meta['test_records']}\n"
+        f"Trained On: {meta['trained_on']}\n"
+    )
 
 
 def cmd_anomaly(args) -> None:
@@ -153,6 +192,46 @@ def cmd_export(args) -> None:
     print(json.dumps({"stage": "export", "rows": merged.count()}))
 
 
+def cmd_report(args) -> None:
+    """Dashboard-parity KPI/report tables as one JSON document
+    (`streamlit_app.py:200-255,481-555,605-635`); optionally also as
+    CSV files per table with --csv-dir."""
+    import json as _json
+    import pathlib
+
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline import report as RPT
+
+    spark = _spark(args)
+    daily = spark.read.parquet(f"{args.out}/daily")
+    features = spark.read.parquet(f"{args.out}/energy_features")
+    try:
+        anomalies = spark.read.parquet(f"{args.out}/anomalies")
+    except Exception:
+        anomalies = None
+    meta_path = pathlib.Path(f"{args.out}/models/best/model_metadata.json")
+    metadata = _json.loads(meta_path.read_text()) if meta_path.exists() else None
+    rpt = RPT.build_report(daily, features, anomalies, metadata)
+    if args.csv_dir:
+        out = pathlib.Path(args.csv_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for name in (
+            "consumption_profiles",
+            "top_feature_correlations",
+            "monthly_anomaly_rate",
+            "top_anomalous_entities",
+            "anomalies_by_weekday",
+        ):
+            rows = rpt.get(name)
+            if rows:
+                import csv
+
+                with open(out / f"{name}.csv", "w", newline="") as fh:
+                    wr = csv.DictWriter(fh, fieldnames=list(rows[0]))
+                    wr.writeheader()
+                    wr.writerows(rows)
+    print(json.dumps(rpt))
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="smart-energy-engine")
     parser.add_argument("--master", default=None, help="Spark master (default: local[*])")
@@ -165,14 +244,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("forecast"); p.add_argument("--out", required=True); p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True); p.set_defaults(fn=cmd_forecast)
     p = sub.add_parser("anomaly"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_anomaly)
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
+    p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("all")
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True)
+    p.add_argument("--csv-dir", default=None)
 
     args = parser.parse_args(argv)
     if args.cmd == "all":
-        for fn in (cmd_ingest, cmd_preprocess, cmd_features, cmd_forecast, cmd_anomaly, cmd_export):
+        for fn in (cmd_ingest, cmd_preprocess, cmd_features, cmd_forecast,
+                   cmd_anomaly, cmd_export, cmd_report):
             fn(args)
         return 0
     args.fn(args)

@@ -1,0 +1,178 @@
+"""KPI / report tables behind the reference dashboard.
+
+The reference serves these from Streamlit (`visualization/
+streamlit_app.py:200-255` KPI cards, `:481-555` anomaly overview,
+`:556-635` feature importance + consumption profiles); the analytics
+are re-expressed here as DataFrame programs over the pipeline's
+parquet outputs so `cli.py report` can emit them as JSON/CSV without
+any UI dependency.
+
+Everything collected to the driver is KPI-sized by construction
+(scalars, top-15 lists, per-weekday/per-month rows); the heavy lifting
+stays in Spark aggregations - one scan per source table, correlations
+for all feature columns in a single agg pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOP_N = 15
+
+
+def kpi_cards(daily: DataFrame, features: DataFrame, anomalies: DataFrame | None) -> dict:
+    """Headline cards (`streamlit_app.py:200-255`): households, records,
+    anomaly rate, consumption totals, feature count, data period."""
+    entity = "LCLid" if "LCLid" in daily.columns else "user_id"
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in daily.columns else "label_value"
+    base = daily.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct(entity).alias("households"),
+        F.round(F.avg(kwh), 6).alias("avg_daily_kwh"),
+        F.round(F.sum(kwh), 6).alias("total_kwh"),
+        F.min("date").alias("period_start"),
+        F.max("date").alias("period_end"),
+    ).collect()[0]
+    out = {
+        "total_records": base["total_records"],
+        "households": base["households"],
+        "avg_daily_kwh": base["avg_daily_kwh"],
+        "total_kwh": base["total_kwh"],
+        "period_start": str(base["period_start"]),
+        "period_end": str(base["period_end"]),
+        "n_features": len(
+            [c for c in features.columns if c not in (entity, "date", kwh)]
+        ),
+    }
+    if anomalies is not None:
+        an = anomalies.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("flagged"),
+        ).collect()[0]
+        out["anomalies_detected"] = an["flagged"]
+        out["anomaly_rate_pct"] = (
+            round(100.0 * an["flagged"] / an["n"], 4) if an["n"] else None
+        )
+    return out
+
+
+def monthly_anomaly_rate(anomalies: DataFrame) -> DataFrame:
+    """Anomaly-rate-%-by-month line (`streamlit_app.py:500-512`)."""
+    return (
+        anomalies.groupBy(F.date_format("date", "yyyy-MM").alias("month"))
+        .agg(F.round(F.avg(F.col("is_anomaly").cast("double")) * 100, 4).alias("anomaly_rate_pct"))
+        .orderBy("month")
+    )
+
+
+def top_anomalous_entities(anomalies: DataFrame, n: int = TOP_N) -> DataFrame:
+    """Top-N entities by anomaly count (`streamlit_app.py:481-487`)."""
+    entity = "LCLid" if "LCLid" in anomalies.columns else "user_id"
+    return (
+        anomalies.filter(F.col("is_anomaly") == 1)
+        .groupBy(F.col(entity).alias("entity"))
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .orderBy(F.desc("n_anomalies"), "entity")
+        .limit(n)
+    )
+
+
+def anomalies_by_weekday(anomalies: DataFrame) -> DataFrame:
+    """Anomaly count per weekday (`streamlit_app.py:489-497`)."""
+    return (
+        anomalies.filter(F.col("is_anomaly") == 1)
+        .groupBy(F.dayofweek("date").alias("weekday"))
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+        .orderBy("weekday")
+    )
+
+
+def consumption_profiles(daily: DataFrame) -> DataFrame:
+    """Avg consumption by weekday + by month in ONE scan
+    (`streamlit_app.py:605-635`): group on the (dimension, bucket) pair
+    via a 2-row explode instead of two passes over the fact table."""
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in daily.columns else "label_value"
+    buckets = daily.select(
+        F.col(kwh).alias("kwh"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("weekday").alias("dim"),
+                    F.dayofweek("date").cast("string").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("month").alias("dim"),
+                    F.date_format("date", "yyyy-MM").alias("bucket"),
+                ),
+            )
+        ).alias("b"),
+    )
+    return (
+        buckets.groupBy(F.col("b.dim").alias("dim"), F.col("b.bucket").alias("bucket"))
+        .agg(F.round(F.avg("kwh"), 6).alias("avg_daily_kwh"))
+        .orderBy("dim", "bucket")
+    )
+
+
+def top_feature_correlations(features: DataFrame, n: int = TOP_N) -> list[dict]:
+    """Top-N |corr(feature, daily_energy_kwh)| (`streamlit_app.py:540-555`).
+
+    All correlations are computed in one agg pass (one scan regardless
+    of feature count). Near-perfect correlations (>= 0.999) are dropped
+    as leakage, mirroring the reference.
+    """
+    target = "daily_energy_kwh" if "daily_energy_kwh" in features.columns else "label_value"
+    entity = "LCLid" if "LCLid" in features.columns else "user_id"
+    numeric = {
+        c
+        for c, dt in features.dtypes
+        if dt in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        or dt.startswith("decimal")
+    }
+    cols = [c for c in sorted(numeric) if c not in (target, entity, "date")]
+    if not cols:
+        return []
+    # ANSI-safe Pearson r: F.corr throws DIVIDE_BY_ZERO on a constant
+    # column; try_divide yields NULL there (then filtered out).
+    def safe_corr(c: str):
+        return F.round(
+            F.try_divide(
+                F.covar_samp(c, target),
+                F.stddev_samp(c) * F.stddev_samp(target),
+            ),
+            6,
+        ).alias(c)
+
+    row = features.agg(*[safe_corr(c) for c in cols]).collect()[0]
+    corrs = [
+        {"feature": c, "abs_corr": abs(row[c])}
+        for c in cols
+        if row[c] is not None and abs(row[c]) < 0.999
+    ]
+    corrs.sort(key=lambda d: (-d["abs_corr"], d["feature"]))
+    return corrs[:n]
+
+
+def build_report(
+    daily: DataFrame,
+    features: DataFrame,
+    anomalies: DataFrame | None = None,
+    model_metadata: dict | None = None,
+) -> dict:
+    """Full dashboard-parity report as one JSON-serializable dict."""
+    report = {"kpi": kpi_cards(daily, features, anomalies)}
+    if model_metadata:
+        report["model"] = model_metadata
+    report["consumption_profiles"] = [r.asDict() for r in consumption_profiles(daily).collect()]
+    report["top_feature_correlations"] = top_feature_correlations(features)
+    if anomalies is not None:
+        report["monthly_anomaly_rate"] = [
+            r.asDict() for r in monthly_anomaly_rate(anomalies).collect()
+        ]
+        report["top_anomalous_entities"] = [
+            r.asDict() for r in top_anomalous_entities(anomalies).collect()
+        ]
+        report["anomalies_by_weekday"] = [
+            r.asDict() for r in anomalies_by_weekday(anomalies).collect()
+        ]
+    return report

@@ -1,0 +1,102 @@
+"""End-to-end CLI run (ingest -> ... -> anomaly -> report) on the
+deterministic readings fixture, asserting the report JSON against
+values recomputed from the pipeline's own parquet outputs and the
+persisted model metadata (`forecasting_model.py:561-571`,
+`streamlit_app.py:200-255,481-555,605-635` parity)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, readings_fixture, tariffs_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_pipeline"))
+    tariffs_csv = str(tmp_path_factory.mktemp("tariffs") / "tariffs.csv")
+    tariffs_fixture.to_csv(tariffs_csv, index=False)
+    cli.main(["ingest", "--readings", readings_fixture, "--out", out])
+    cli.main(["preprocess", "--tariffs", tariffs_csv, "--out", out])
+    cli.main(["features", "--out", out])
+    cli.main(
+        ["forecast", "--out", out, "--test-cutoff", "2013-02-20", "--val-cutoff", "2013-02-10"]
+    )
+    cli.main(["anomaly", "--out", out])
+    return out
+
+
+def _report(pipeline_out, capsys, csv_dir=None) -> dict:
+    argv = ["report", "--out", pipeline_out]
+    if csv_dir:
+        argv += ["--csv-dir", csv_dir]
+    capsys.readouterr()
+    cli.main(argv)
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    return json.loads(lines[-1])
+
+
+def test_model_metadata_persisted(pipeline_out):
+    from smart_energy_consumption_analytics_using_big_data_spark.ml.forecast import FEATURE_COLS
+
+    meta = json.loads(open(f"{pipeline_out}/models/best/model_metadata.json").read())
+    assert meta["best_model"] in ("lr", "rf")
+    assert set(meta["metrics"]) >= {"rmse", "mae", "r2"}
+    assert meta["best_params"]
+    assert meta["n_features"] == len(FEATURE_COLS)
+    assert meta["train_records"] > 0 and meta["test_records"] > 0
+    # human-readable reference-parity record next to it
+    txt = open(f"{pipeline_out}/models/best/model_metadata.txt").read()
+    assert "Best Model:" in txt and "RMSE:" in txt and "Training Records:" in txt
+
+
+def test_report_kpis_match_parquet(spark, pipeline_out, capsys):
+    from pyspark.sql import functions as F
+
+    rpt = _report(pipeline_out, capsys)
+    daily = spark.read.parquet(f"{pipeline_out}/daily")
+    anomalies = spark.read.parquet(f"{pipeline_out}/anomalies")
+    expected = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("LCLid").alias("hh"),
+        F.round(F.avg("daily_energy_kwh"), 6).alias("avg"),
+    ).collect()[0]
+    kpi = rpt["kpi"]
+    assert kpi["total_records"] == expected["n"]
+    assert kpi["households"] == expected["hh"] == 10
+    assert kpi["avg_daily_kwh"] == expected["avg"]
+    assert kpi["period_start"].startswith("2013-01-01")
+    flagged = anomalies.filter("is_anomaly = 1").count()
+    assert kpi["anomalies_detected"] == flagged
+    assert kpi["anomaly_rate_pct"] == round(100.0 * flagged / anomalies.count(), 4)
+    # model section mirrors the persisted metadata
+    assert rpt["model"]["best_model"] in ("lr", "rf")
+
+
+def test_report_tables_shapes(pipeline_out, capsys, tmp_path):
+    csv_dir = str(tmp_path / "report_csv")
+    rpt = _report(pipeline_out, capsys, csv_dir=csv_dir)
+    months = {r["month"] for r in rpt["monthly_anomaly_rate"]}
+    assert months == {"2013-01", "2013-02"}
+    assert 1 <= len(rpt["top_anomalous_entities"]) <= 15
+    assert all(r["n_anomalies"] > 0 for r in rpt["top_anomalous_entities"])
+    weekdays = {r["weekday"] for r in rpt["anomalies_by_weekday"]}
+    assert weekdays <= set(range(1, 8))
+    profile_dims = {r["dim"] for r in rpt["consumption_profiles"]}
+    assert profile_dims == {"weekday", "month"}
+    n_weekday = sum(1 for r in rpt["consumption_profiles"] if r["dim"] == "weekday")
+    assert n_weekday == 7
+    corr = rpt["top_feature_correlations"]
+    assert 1 <= len(corr) <= 15
+    assert all(0 <= c["abs_corr"] < 0.999 for c in corr)
+    assert corr == sorted(corr, key=lambda d: (-d["abs_corr"], d["feature"]))
+    # CSV emission: one file per non-empty table, header + rows
+    import os
+
+    written = set(os.listdir(csv_dir))
+    assert "monthly_anomaly_rate.csv" in written
+    with open(f"{csv_dir}/monthly_anomaly_rate.csv") as fh:
+        header = fh.readline().strip().split(",")
+    assert header == ["month", "anomaly_rate_pct"]
