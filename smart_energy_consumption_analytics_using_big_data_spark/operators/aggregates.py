@@ -94,3 +94,74 @@ def hierarchy_rollup(df: DataFrame, levels: list[str], measure: str) -> DataFram
         sum_exact(measure).alias(f"total_{measure}"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group: str,
+    value: str,
+    max_literal_groups: int = 10_000,
+) -> DataFrame:
+    """Per-group median + MAD + outlier count at the 3-sigma-equivalent
+    MAD threshold (heavy-tail-safe profile; `anomaly_detection.py:132-143`).
+
+    Two formulations, picked by group cardinality:
+
+    * literal-map (<= max_literal_groups): the per-group medians/MADs
+      are dimension-sized, so they come back to the driver and re-enter
+      the plan as literal maps - 3 fact scans (the algorithmic minimum)
+      and no join subplan re-execution (the join form measured 6 scans
+      single-node, because Spark does not reuse identical subplans).
+    * join (> max_literal_groups): per-group stats stay distributed and
+      attach via equi-joins on the group key - unbounded cardinality,
+      no driver materialization, AQE free to broadcast the stats side
+      when it fits.
+
+    The guard makes the driver-collect path a checked contract instead
+    of a docstring promise: a caller grouping by user_id cannot ship
+    unbounded rows to the driver by accident.
+    """
+    stats_val = df.select(F.col(group), F.col(value).alias("__v"))
+    med_df = stats_val.groupBy(group).agg(F.percentile("__v", 0.5).alias("med"))
+    med_rows = med_df.limit(max_literal_groups + 1).collect()
+
+    if len(med_rows) > max_literal_groups:
+        dev = stats_val.join(med_df, group).withColumn(
+            "adev", F.abs(F.col("__v") - F.col("med"))
+        )
+        mad_df = dev.groupBy(group).agg(F.percentile("adev", 0.5).alias("mad"))
+        return (
+            dev.join(mad_df, group)
+            .groupBy(group)
+            .agg(
+                F.round(F.any_value("med"), 6).alias("median"),
+                F.round(F.any_value("mad"), 6).alias("mad"),
+                F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")).alias(
+                    "n_outliers"
+                ),
+            )
+        )
+
+    def as_map(rows, val):
+        pairs = []
+        for r in rows:
+            pairs.extend([F.lit(r[group]), F.lit(float(r[val]))])
+        return F.create_map(*pairs)
+
+    med = as_map(med_rows, "med")[F.col(group)]
+    dev = stats_val.withColumn("med", med).withColumn(
+        "adev", F.abs(F.col("__v") - F.col("med"))
+    )
+    mad_rows = dev.groupBy(group).agg(F.percentile("adev", 0.5).alias("mad")).collect()
+    mad = as_map(mad_rows, "mad")[F.col(group)]
+    return (
+        dev.withColumn("mad", mad)
+        .groupBy(group)
+        .agg(
+            F.round(F.any_value("med"), 6).alias("median"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -412,31 +412,16 @@ def q_agg_robust(spark, sf_dir):
     counts) - the per-group medians/MADs are DIMENSION-sized (one row
     per group), so they come back to the driver and re-enter the plan
     as literal maps instead of joins whose subplans re-scan the fact
-    (the join formulation executed 6 scans; this one 3)."""
-    ev = t(spark, sf_dir, "events").select("event_type", "value")
-
-    def as_map(rows, val):
-        pairs = []
-        for r in rows:
-            pairs.extend([F.lit(r["event_type"]), F.lit(float(r[val]))])
-        return F.create_map(*pairs)
-
-    med_rows = ev.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med")).collect()
-    med = as_map(med_rows, "med")[F.col("event_type")]
-    dev = ev.withColumn("med", med).withColumn("adev", F.abs(F.col("value") - F.col("med")))
-    mad_rows = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad")).collect()
-    mad = as_map(mad_rows, "mad")[F.col("event_type")]
-    return (
-        dev.withColumn("mad", mad)
-        .groupBy("event_type")
-        .agg(
-            F.round(F.any_value("med"), 6).alias("median"),
-            F.round(F.any_value("mad"), 6).alias("mad"),
-            F.sum((F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("bigint")).alias(
-                "n_outliers"
-            ),
-        )
+    (the join formulation executed 6 scans; this one 3). The operator
+    enforces that contract: past the cardinality bound it falls back to
+    the distributed join formulation (operators/aggregates.py)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import (
+        robust_group_stats,
     )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    out = robust_group_stats(ev, "event_type", "value")
+    return out.select(F.col("event_type"), "median", "mad", "n_outliers")
 
 
 @q(

@@ -47,24 +47,23 @@ def q_stream_dedup(spark, sf_dir):
     reads the events file delivered TWICE (an at-least-once redelivery),
     dropDuplicatesWithinWatermark on event_id removes the second copy,
     and the per-type totals must equal the single-copy batch answer."""
-    import shutil
-    import tempfile
-    from pathlib import Path
-
     from pyspark.sql import functions as F
 
     from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import (
         sum_exact,
     )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+        staged_stream_dir,
+    )
     from smart_energy_consumption_analytics_using_big_data_spark.streaming.dedup import (
         stream_dedup_within_watermark,
     )
 
-    src = Path(f"{sf_dir}/events.parquet")
-    staging = Path(tempfile.mkdtemp(prefix="stream_dedup_src_"))
-    shutil.copy(src, staging / "delivery_1.parquet")
-    shutil.copy(src, staging / "delivery_2.parquet")
-    deduped = stream_dedup_within_watermark(spark, str(staging), keys=("event_id",))
+    src = f"{sf_dir}/events.parquet"
+    staging = staged_stream_dir(
+        "stream_dedup_src_", {"delivery_1.parquet": src, "delivery_2.parquet": src}
+    )
+    deduped = stream_dedup_within_watermark(spark, staging, keys=("event_id",))
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), sum_exact("value").alias("total_value")
     )

@@ -16,12 +16,14 @@ Two shapes:
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+    staged_stream_dir,
+)
 
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
@@ -40,9 +42,7 @@ def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
     # landing directory a real ingest would tail).
     path = Path(events_path)
     if path.is_file():
-        staging = Path(tempfile.mkdtemp(prefix="stream_events_"))
-        shutil.copy(path, staging / path.name)
-        events_path = str(staging)
+        events_path = staged_stream_dir("stream_events_", {path.name: str(path)})
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -10,8 +10,6 @@ key - nothing driver-side.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 import uuid
 from collections.abc import Iterator
 from pathlib import Path
@@ -22,6 +20,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
     configure_runtime,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+    staged_stream_dir,
 )
 from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
     EVENTS_STREAM_SCHEMA,
@@ -53,9 +54,7 @@ def stream_user_running_stats(spark: SparkSession, events_path: str) -> DataFram
     configure_runtime(spark)
     path = Path(events_path)
     if path.is_file():
-        staging = Path(tempfile.mkdtemp(prefix="stream_stateful_"))
-        shutil.copy(path, staging / path.name)
-        events_path = str(staging)
+        events_path = staged_stream_dir("stream_stateful_", {path.name: str(path)})
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

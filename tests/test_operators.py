@@ -240,3 +240,31 @@ def test_range_join_inverted_interval_yields_no_match(spark):
     )
     rows = J.range_join_bucketed(points, intervals, "ts", "start_ts", "end_ts").collect()
     assert [(r["pv"], r["iv"]) for r in rows] == [(1, 7)]
+
+
+def test_robust_stats_join_fallback_matches_literal_path(spark):
+    # High-cardinality groups must take the distributed join path and
+    # produce exactly what the literal-map path produces.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{i % 40}" for i in range(4000)],
+            "v": rng.lognormal(0, 1, 4000).round(4),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    literal = A.robust_group_stats(df, "g", "v", max_literal_groups=10_000)
+    joined = A.robust_group_stats(df, "g", "v", max_literal_groups=5)  # forces fallback
+    as_rows = lambda d: sorted(
+        (r["g"], r["median"], r["mad"], r["n_outliers"]) for r in d.collect()
+    )
+    assert as_rows(literal) == as_rows(joined)
+    # the fallback stays distributed: stats attach via joins, and no
+    # literal create_map of collected group stats appears in the plan
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" in plan
+    assert "map_from" not in plan and "map(keys" not in plan

@@ -80,3 +80,18 @@ def test_stream_append_withholds_open_window(spark):
         if dt.datetime.strptime(d, "%Y-%m-%d") + dt.timedelta(days=1) > watermark
     }
     assert batch_days - appended_days == expected_withheld
+
+
+def test_stream_staging_memoized_and_tracked():
+    # Re-invoking the same query must reuse one staging dir (no temp
+    # leak growth), and every staged dir is registered for exit cleanup.
+    import os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming import _staging
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    a = _staging.staged_stream_dir("leaktest_", {"a.parquet": src})
+    b = _staging.staged_stream_dir("leaktest_", {"a.parquet": src})
+    assert a == b
+    assert os.path.isdir(a) and os.listdir(a) == ["a.parquet"]
+    assert any(str(p) == a for p in _staging._STAGED.values())
