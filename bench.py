@@ -80,22 +80,40 @@ def main() -> None:
     vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(tiny)
     KMeans(k=2, seed=1, initMode="random").fit(vec)
 
+    # Two-point scale curve: the same suite at a 10x-smaller SF first
+    # (doubles as deep warm-up), so round-over-round regressions can
+    # separate fixed overhead from scaling behavior. The per-query
+    # scale_ratio is time(sf)/time(sf_small); with a 10x data ratio a
+    # value well above 10 means worse-than-linear scaling.
+    small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    small_timings: dict[str, float] = {}
+    if small_dir != sf_dir and os.path.isdir(small_dir):
+        for name in BENCH_QUERIES:
+            small_timings[name] = round(run_one(spark, small_dir, name), 3)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_one(spark, sf_dir, name), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if small_timings:
+        small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
+        out["sf_small"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
+        out["value_small"] = round(sum(small_timings.values()), 3)
+        out["queries_small"] = small_timings
+        out["scale_ratio"] = {
+            name: round(timings[name] / small_timings[name], 2)
+            for name in BENCH_QUERIES
+            if small_timings.get(name)
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -214,19 +214,28 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    rounds_out: list[int] | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: the step
     that turns pairwise matches into dedup groups (component id = min
     member id = the canonical document to keep).
 
-    Iterative min-label propagation - labels monotonically decrease to
-    the component minimum in O(diameter) rounds. Spark-craft notes for
-    scale: every round is ONE shuffle (join + groupBy-min on the same
-    key), and each new label frame is localCheckpoint()ed to truncate
-    lineage - without that, the plan doubles per round and Catalyst
-    re-analysis dominates by round ~10. Convergence is detected via the
-    label-sum (monotone), costing one lightweight agg per round instead
-    of a full frame compare.
+    Min-label propagation with POINTER DOUBLING: each round first takes
+    the neighbor minimum, then shortcuts ``lbl <- lbl(lbl)`` (label of
+    label), so label information travels exponentially - convergence in
+    O(log diameter) rounds instead of O(diameter). A 60-hop chain of
+    near-identical docs (common in crawl dedup: a -> b -> c ... edit
+    chains) converges in ~6 rounds, not 60. Spark-craft notes for
+    scale: each round is two key-partitioned shuffles, every new label
+    frame is localCheckpoint()ed to truncate lineage - without that the
+    plan doubles per round and Catalyst re-analysis dominates by round
+    ~10. Convergence is detected via the label-sum (monotone),
+    costing one lightweight agg per round instead of a frame compare.
+    Raises if max_iter rounds don't converge (a silently-partial
+    labeling would merge dedup groups wrongly downstream).
+
+    ``rounds_out``: optional list; the executed round count is appended
+    (observability + regression tests pin it).
     """
     verts = (
         edges.select(F.col(src).alias("id"))
@@ -239,21 +248,37 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = verts.select("id", F.col("id").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr_min = (
             sym.join(labels.select(F.col("id").alias("b"), F.col("lbl").alias("nlbl")), "b")
             .groupBy("a")
             .agg(F.min("nlbl").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
+            "id", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl")
+        )
+        # pointer doubling: follow one more hop through the label table
+        lbl_lookup = stepped.select(F.col("id").alias("lbl"), F.col("lbl").alias("ll"))
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select("id", F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("lbl"))
+            stepped.join(lbl_lookup, "lbl", "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce("ll", "lbl")).alias("lbl"))
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (graph diameter exceeds 2^max_iter)"
+        )
     return labels.select("id", F.col("lbl").alias("component"))
 
 

@@ -268,3 +268,24 @@ def test_robust_stats_join_fallback_matches_literal_path(spark):
     )
     assert "Join" in plan
     assert "map_from" not in plan and "map(keys" not in plan
+
+
+def test_connected_components_long_path_log_rounds(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        connected_components,
+    )
+
+    # 61-node chain: diameter 60. Plain min-propagation needs ~60
+    # rounds; pointer doubling must converge in O(log d) - pinned
+    # well below the old linear count.
+    ids = list(range(100, 161))
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    )
+    rounds: list[int] = []
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=15, rounds_out=rounds).collect()
+    }
+    assert out == {i: 100 for i in ids}
+    assert rounds[0] <= 9, rounds
