@@ -999,3 +999,253 @@ def q_dedup_minhash_estimate(spark, sf_dir):
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(agree / 6.0, 6).alias("jaccard_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data pipeline compositions: the filter -> dedup -> pack
+# -> export chain a pretraining corpus actually runs, each stage a
+# declarative plan over the documents table.
+
+
+@q(
+    "q_docs_quality_filter",
+    """
+    WITH feat AS (
+      SELECT doc_id, md5(text) AS text_hash,
+             length(text) AS nc,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','and','of','to','in','is','it'))) AS sw_hits,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text_hash, n_tokens,
+             round(CAST(sw_hits AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+             CASE WHEN sw_hits >= 1 THEN 'en' ELSE 'unk' END AS lang
+      FROM feat
+      WHERE round(CAST(punct AS DOUBLE) / nc, 6) <= 0.25
+    ),
+    kept AS (
+      SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE lang = 'en' AND n_tokens BETWEEN 5 AND 2000 AND stopword_ratio >= 0.05
+    )
+    SELECT doc_id, n_tokens, stopword_ratio FROM kept WHERE rn = 1
+    """,
+)
+def q_docs_quality_filter(spark, sf_dir):
+    """FineWeb-style quality filter chain in ONE declarative plan:
+    language-ID gate, token-length band, stopword-ratio floor,
+    punctuation-ratio ceiling, then exact-dup removal (first doc per
+    content hash wins). Every predicate is a JVM-side expression over
+    one scan + one window - the shape that survives 100 TB: no UDFs,
+    no self-joins, filters fused by Catalyst before the dedup window's
+    single shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    qf = TX.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        qf["n_tokens"].alias("n_tokens"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        qf["punct_ratio"].alias("punct_ratio"),
+        TX.predicted_lang(F.col("text")).alias("lang"),
+    ).filter(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(5, 2000)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("punct_ratio") <= 0.25)
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens", "stopword_ratio")
+    )
+
+
+@q(
+    "q_dedup_keep_best",
+    """
+    WITH fp AS (
+      SELECT doc_id, n_chars, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS n_copies
+      FROM fp
+    )
+    SELECT fp AS fingerprint, doc_id AS kept_doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup with a KEEP-BEST policy: group by the normalized content
+    fingerprint (case/whitespace-invariant, so trivially-reformatted
+    copies collapse) and keep the highest-quality member - longest
+    n_chars, doc_id as the deterministic tiebreak. One window over one
+    shuffle on the fingerprint; the canonical-selection pattern every
+    pretraining dedup pass needs (min-doc_id 'first wins' is
+    q_dedup_exact; this is the quality-aware variant)."""
+    docs = t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "n_chars", TX.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("fingerprint", F.col("doc_id").alias("kept_doc_id"), "n_chars", "n_copies")
+    )
+
+
+@q(
+    "q_text_ngrams",
+    """
+    WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT gram, count(*) AS n FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def q_text_ngrams(spark, sf_dir):
+    """Corpus-wide bigram frequency top-20 (every occurrence counts,
+    unlike the distinct shingles dedup uses). Token arrays are
+    projected BEFORE the transform lambda (Catalyst does not CSE
+    split() inside higher-order functions), grams explode into a
+    map-side-combined count, and the top-20 is TakeOrdered with the
+    gram itself as tiebreak - no global sort."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens_ws(F.col("text")).alias("toks")).filter(F.size("toks") >= 2)
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + F.lit(1))
+                ),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_pack_sequences",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 8 AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_key, doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok) / 512.0) AS BIGINT) AS pack_id
+      FROM tok
+    )
+    SELECT shard, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, pack_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing - the GPT-style pretraining
+    step that streams shuffled documents into fixed 512-token context
+    windows. Scale shape: documents are hash-sharded (md5 -> 8 shards)
+    and packed INDEPENDENTLY per shard, so the running-sum window
+    parallelizes across shards instead of forcing a single global
+    ordering partition; each doc lands in the pack where its first
+    token falls (docs may straddle pack boundaries, exactly like
+    token-stream chunking). Deterministic md5 ordering = the
+    reproducible corpus shuffle a replayable pipeline wants."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        TX.token_count_bpeish(F.col("text")).alias("n_tok"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 8).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512.0).cast("bigint"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
+
+
+@q(
+    "q_text_contamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      FROM tok WHERE len(toks) >= 3
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_shared, n_grams,
+           round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS contamination
+    FROM hits WHERE n_shared > 0
+    """,
+)
+def q_text_contamination(spark, sf_dir):
+    """Benchmark-contamination check: fraction of each training doc's
+    distinct 3-gram shingles that also appear in a held-out benchmark
+    set (here: every 50th doc as the stand-in benchmark). The benchmark
+    gram set is dimension-sized by construction and explicitly
+    broadcast, so the check is one scan of the corpus grams + a
+    broadcast hash join - no shuffle of the big side, the only viable
+    shape when the corpus is 100 TB and the benchmark is megabytes."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks"))
+    grams = toks.select(
+        "doc_id", F.explode(TX.word_shingles(F.col("toks"), n=3)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 50 != 0)
+    flagged = train.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") > 0)
+        .select(
+            "doc_id",
+            "n_shared",
+            "n_grams",
+            F.round(F.try_divide("n_shared", "n_grams"), 6).alias("contamination"),
+        )
+    )

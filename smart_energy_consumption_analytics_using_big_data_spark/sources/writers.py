@@ -51,3 +51,37 @@ def write_csv(
     if num_files is not None:
         df = df.coalesce(num_files)
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str,
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic shuffled-shard export for training pipelines.
+
+    Rows are hash-assigned to exactly ``n_shards`` files (repartition on
+    md5 of the id, so the same input always lands in the same shard
+    regardless of upstream partitioning) and pseudo-randomly ordered
+    within each shard (sort on the hash = a reproducible corpus
+    shuffle). A downstream trainer reading shard i gets the same bytes
+    on every run - the property RNG-based repartition(n) cannot give.
+    The shard column is hive-partitioned so a trainer can read one
+    shard with partition pruning instead of listing all files.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = df.withColumn("__h", F.md5(F.col(id_col).cast("string"))).withColumn(
+        "shard",
+        (F.conv(F.substring("__h", 1, 4), 16, 10).cast("int") % n_shards),
+    )
+    (
+        hashed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__h", id_col)
+        .drop("__h")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -197,3 +197,26 @@ def test_xlsx_tariff_fixture_joins_to_fact(spark):
         "2013-01-01 17:00:00": "High",
         "2099-01-01 00:00:00": None,
     }
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    out1, out2 = str(tmp_path / "shards1"), str(tmp_path / "shards2")
+    write_training_shards(docs, out1, n_shards=4, id_col="doc_id")
+    # different upstream partitioning must not change shard assignment
+    write_training_shards(docs.repartition(13), out2, n_shards=4, id_col="doc_id")
+
+    back1, back2 = spark.read.parquet(out1), spark.read.parquet(out2)
+    assert back1.count() == docs.count()  # no row lost or duplicated
+    assert back1.select("doc_id").distinct().count() == docs.count()
+    assert back1.select("shard").distinct().count() == 4
+    a = {(r["shard"], r["doc_id"]) for r in back1.collect()}
+    b = {(r["shard"], r["doc_id"]) for r in back2.collect()}
+    assert a == b
+    # shard read is partition-pruned
+    plan = _formatted_plan(back1.filter(F.col("shard") == 2))
+    assert "PartitionFilters" in plan and "shard" in plan
