@@ -1249,3 +1249,177 @@ def q_text_contamination(spark, sf_dir):
             F.round(F.try_divide("n_shared", "n_grams"), 6).alias("contamination"),
         )
     )
+
+
+@q(
+    "q_sample_mix",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS bucket,
+             CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 5000
+                       WHEN 'es' THEN 2500 WHEN 'zh' THEN 2500 ELSE 0 END AS keep_below
+      FROM documents
+    )
+    SELECT doc_id, lang FROM keyed WHERE bucket < keep_below
+    """,
+)
+def q_sample_mix(spark, sf_dir):
+    """Training-mix resampling: downsample each language to its target
+    weight (en 1.0, de/fr 0.5, es/zh 0.25) with a DETERMINISTIC hash
+    gate - keep iff md5(doc_id) mod 10k falls under the stratum's
+    threshold. Unlike sampleBy's RNG this is reproducible across runs,
+    engines and partitionings (same property as q_sample_capped), it
+    needs no per-stratum counts, and it is a pure narrow filter - no
+    shuffle at any corpus size. The weight map is a literal CASE,
+    broadcast-free."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 10000
+    keep_below = (
+        F.when(F.col("lang") == "en", 10000)
+        .when(F.col("lang").isin("de", "fr"), 5000)
+        .when(F.col("lang").isin("es", "zh"), 2500)
+        .otherwise(0)
+    )
+    return docs.filter(bucket < keep_below).select("doc_id", "lang")
+
+
+@q(
+    "q_docs_repetition",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS distinct_ratio,
+             toks
+      FROM tok WHERE len(toks) >= 2
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM base
+    ),
+    gcnt AS (
+      SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+    ),
+    share AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_share
+      FROM gcnt GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.distinct_ratio, s.top_bigram_share,
+           CASE WHEN s.top_bigram_share > 0.2 OR b.distinct_ratio < 0.5
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM base b JOIN share s USING (doc_id)
+    """,
+)
+def q_docs_repetition(spark, sf_dir):
+    """Intra-document repetition quality signals (Gopher-style rules):
+    distinct-token ratio (pure array expression, zero shuffle) and the
+    share of the most frequent bigram (explode -> per-doc count ->
+    per-doc max/sum; both aggregations shuffle on doc_id so AQE can
+    coalesce them into one exchange reuse). Docs dominated by one
+    repeated phrase or with low vocabulary are flagged - the
+    boilerplate/spam filter every crawl corpus applies before
+    training."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", TX.tokens_ws(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    base = base.withColumn(
+        "distinct_ratio",
+        F.round(F.try_divide(F.size(F.array_distinct("toks")), F.size("toks")), 6),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + F.lit(1))
+                ),
+            )
+        ).alias("gram"),
+    )
+    share = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.try_divide(F.max("c"), F.sum("c")), 6).alias("top_bigram_share"))
+    )
+    return (
+        base.select("doc_id", "distinct_ratio")
+        .join(share, "doc_id")
+        .select(
+            "doc_id",
+            "distinct_ratio",
+            "top_bigram_share",
+            F.when(
+                (F.col("top_bigram_share") > 0.2) | (F.col("distinct_ratio") < 0.5), 1
+            )
+            .otherwise(0)
+            .alias("is_repetitive"),
+        )
+    )
+
+
+@q(
+    "q_text_piiscrub",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                               '@example.com or call 5550001234'
+                          ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS INT)
+             + CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS INT) AS n_redactions,
+           md5(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g')) AS scrubbed_hash
+    FROM enriched
+    """,
+)
+def q_text_piiscrub(spark, sf_dir):
+    """PII scrubbing pass: redact email addresses and long digit runs
+    with typed placeholders, reporting the redaction count per doc and
+    the hash of the scrubbed text (hash instead of the full text keeps
+    the oracle compact). Pure regexp expressions - codegen'd JVM-side,
+    a narrow map at any scale. The corpus has no organic PII, so a
+    deterministic contact line is appended to every 7th doc to prove
+    the redaction actually fires (n_redactions = 2 there, 0 elsewhere)."""
+    docs = t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or call 5550001234"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    email_re = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    num_re = "[0-9]{7,}"
+    return enriched.select(
+        "doc_id",
+        (
+            F.size(F.regexp_extract_all("text", F.lit(email_re), 0))
+            + F.size(F.regexp_extract_all("text", F.lit(num_re), 0))
+        ).alias("n_redactions"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", email_re, "<EMAIL>"), num_re, "<NUM>"
+            )
+        ).alias("scrubbed_hash"),
+    )
