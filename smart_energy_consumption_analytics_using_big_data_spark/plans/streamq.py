@@ -91,3 +91,23 @@ def q_stream_sliding(spark, sf_dir):
     )
 
     return stream_sliding_rollup(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
+    "q_stream_enrich",
+    "SELECT c_mktsegment, {dsum} AS total_value, count(*) AS n "
+    "FROM events JOIN customer ON user_id = c_custkey "
+    "GROUP BY 1".format(dsum=DSUM("value")),
+)
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment join + aggregation == the
+    batch join (availableNow replay). The streaming-side family the
+    other stream queries don't cover: joining a live stream against a
+    static dimension without shuffling the stream."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_static_enrich,
+    )
+
+    return stream_static_enrich(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )

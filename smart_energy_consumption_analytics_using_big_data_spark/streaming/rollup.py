@@ -155,3 +155,33 @@ def stream_sliding_rollup(
     query = _run_to_memory(spark, agg, name, "complete")
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_path: str,
+    customer_path: str,
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a broadcast
+    static dimension, then aggregate per dimension attribute.
+
+    The static side is re-read per micro-batch by the engine but never
+    shuffles the stream side (broadcast hash join), which is exactly
+    the live-enrichment shape at scale: the 100 TB/day stream flows
+    map-side; only the dimension-sized side moves. Replayed with
+    availableNow + complete mode, the result equals the batch join -
+    so this streaming op carries a full SQL oracle.
+    """
+    configure_runtime(spark)
+    events = _streaming_events(spark, events_path)
+    dim = spark.read.parquet(customer_path).select("c_custkey", "c_mktsegment")
+    enriched = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "complete")
+    query.awaitTermination()
+    return spark.table(name)
