@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_text_quality",
+    "q_docs_quality_filter",
+    "q_pack_sequences",
     "q_stream_rollup",
     "q_ml_anomaly_kmeans",
 ]

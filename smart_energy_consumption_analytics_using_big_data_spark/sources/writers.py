@@ -85,3 +85,31 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """ORC sink (columnar alternative to parquet, zlib default) - kept
+    for interop with ORC-based warehouses; same pushdown/pruning story
+    as parquet on read-back."""
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode(mode).orc(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """JSON-lines sink (interchange format; schema travels with data).
+    Row-oriented - an exchange format, not an analytics format: no
+    column pruning on read-back, so never a stage boundary."""
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    df.write.mode(mode).json(path)

@@ -220,3 +220,40 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
     # shard read is partition-pruned
     plan = _formatted_plan(back1.filter(F.col("shard") == 2))
     assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_orc_and_json_sink_roundtrip(spark, tmp_path):
+    src = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "event_type", "value")
+        .limit(200)
+    )
+    orc_out, json_out = str(tmp_path / "orc"), str(tmp_path / "json")
+    writers.write_orc(src, orc_out, num_files=2)
+    writers.write_json(src, json_out, num_files=1)
+    orc_back = spark.read.orc(orc_out)
+    json_back = spark.read.schema("event_id long, event_type string, value double").json(json_out)
+    want = sorted(map(tuple, src.collect()))
+    assert sorted(map(tuple, orc_back.collect())) == want
+    assert sorted(map(tuple, json_back.collect())) == want
+    # ORC read-back keeps the columnar contract: predicate reaches scan
+    plan = _formatted_plan(orc_back.filter(F.col("event_type") == "click"))
+    assert "PushedFilters" in plan and "event_type" in plan
+
+
+def test_pack_sequences_windows_per_shard(spark):
+    # The running-sum window must partition by shard - a global-order
+    # window (empty PartitionBy) would serialize the whole corpus
+    # through one task.
+    plan = _formatted_plan(QUERIES["q_pack_sequences"](spark, SF_SMOKE))
+    assert "Window" in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("shard" in s for s in specs)
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = _formatted_plan(QUERIES["q_text_contamination"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
