@@ -120,3 +120,40 @@ def test_merge_upsert_is_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     got = {r["k"]: (r["v"], r["tag"]) for r in once.collect()}
     assert got == {1: (10.0, "a"), 2: (99.0, "B"), 3: (30.0, "c"), 9: (9.0, "I")}
+
+
+def test_pack_sequences_conserves_tokens_and_docs(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    packs = QUERIES["q_pack_sequences"](spark, sf)
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(TX.token_count_bpeish(F.col("text"))).alias("s")
+    ).collect()[0]["s"]
+    agg = packs.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("tok")
+    ).collect()[0]
+    # packing is a partition of the corpus: nothing dropped, nothing doubled
+    assert agg["docs"] == n_docs
+    assert agg["tok"] == total_tok
+    # chunking invariant: within a shard, the cumulative token count
+    # through any non-last pack reaches that pack's upper boundary
+    # (otherwise a later doc would have started in this pack instead)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    wcum = w.orderBy("pack_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    violations = (
+        packs.withColumn("last_pack", F.max("pack_id").over(w))
+        .withColumn("cum_tok", F.sum("total_tokens").over(wcum))
+        .filter(
+            (F.col("pack_id") != F.col("last_pack"))
+            & (F.col("cum_tok") < (F.col("pack_id") + 1) * 512)
+        )
+        .count()
+    )
+    assert violations == 0
