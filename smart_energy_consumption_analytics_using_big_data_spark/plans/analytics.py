@@ -714,3 +714,65 @@ def q_window_ewma(spark, sf_dir):
         "user_id",
         F.round(fold(weighted) / fold(weights), 6).alias("ewma_10"),
     )
+
+
+@q(
+    "q_resample_gapfill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS daily_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(date) AS dmin, max(date) AS dmax FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS date
+      FROM bounds
+    )
+    SELECT g.user_id, g.date,
+           round(coalesce(d.daily_value,
+             last_value(d.daily_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS value_filled,
+           CASE WHEN d.daily_value IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM grid g LEFT JOIN daily d USING (user_id, date)
+    """.format(dsum=DSUM("value")),
+)
+def q_resample_gapfill(spark, sf_dir):
+    """Resample each entity's series onto its full daily calendar grid
+    and repair the holes: per-user date ranges explode into a dense
+    grid (`sequence(dmin, dmax, interval 1 day)` - rows generated
+    distributed, proportional to output), missing days left-join as
+    NULL and fill by LOCF. The reference instead dropna()'d gaps away
+    (`data_preprocessing.py:111`), silently shortening series; a
+    forecast over irregular time steps is wrong, so the grid is the
+    semantically correct input. One shuffle for the rollup, one
+    broadcast-sized bounds agg reused in the explode, one shuffle for
+    the fill window - grid generation never touches the driver."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        sum_exact("value").alias("daily_value")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("date").alias("dmin"), F.max("date").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("date"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "date"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "date",
+        F.round(
+            F.coalesce("daily_value", F.last("daily_value", ignorenulls=True).over(w)), 6
+        ).alias("value_filled"),
+        F.when(F.col("daily_value").isNull(), 1).otherwise(0).alias("was_missing"),
+    )
