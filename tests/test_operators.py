@@ -289,3 +289,23 @@ def test_connected_components_long_path_log_rounds(spark):
     }
     assert out == {i: 100 for i in ids}
     assert rounds[0] <= 9, rounds
+
+
+def test_operators_handle_empty_inputs(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        connected_components,
+    )
+
+    empty_edges = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(empty_edges).count() == 0
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "lv": [1.0]})
+    )
+    empty_right = spark.createDataFrame([], "k string, ts timestamp, quote double")
+    rows = J.asof_join(left, empty_right, key="k", right_cols=["quote"]).collect()
+    assert [(r["k"], r["lv"], r["quote"]) for r in rows] == [("a", 1.0, None)]
+
+    empty_r = spark.createDataFrame([], "k string, w bigint")
+    got = J.salted_join(left.select("k", "lv"), empty_r, "k", "left").collect()
+    assert [(r["k"], r["lv"], r["w"]) for r in got] == [("a", 1.0, None)]
