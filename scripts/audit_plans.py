@@ -1,0 +1,103 @@
+"""Physical-plan audit across the whole query registry.
+
+For every registered query, builds the DataFrame at a small SF and
+inspects the formatted physical plan for scale-hostile shapes:
+
+* CartesianProduct / BroadcastNestedLoopJoin (no equi-key found);
+* row-at-a-time Python UDFs (BatchEvalPython) - Arrow-batched pandas
+  stages (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) are
+  the sanctioned slow path and reported separately;
+* scan counts (Location: entries / 2, formatted explain prints each
+  node twice) so compositions that accidentally re-scan the fact show
+  up round-over-round.
+
+Usage: python scripts/audit_plans.py [sf_dir] [--json out.json]
+Streaming and ML queries execute work at build time; they are audited
+too (the plan captured is the returned frame's), which is why the
+default SF is the smallest one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_energy_consumption_analytics_using_big_data_spark import get_spark
+from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+PANDAS_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+
+# BroadcastNestedLoopJoin is acceptable when (and only when) the
+# broadcast side is dimension/scalar-sized BY CONSTRUCTION - there is
+# no equi-key to hash on and the loop side scans once. Every entry here
+# must say why; any query NOT listed that plans a BNLJ fails the audit.
+ALLOWED_BNLJ = {
+    "q_sim_cosine_topk": "exact search: k query vectors broadcast against one corpus scan",
+    "q_emb_neardup": "declared all-pairs verification baseline (production path is the LSH variant)",
+    "q_emb_ivf_assign": "centroid assignment: k centroids broadcast, corpus scanned once",
+    "q_sim_ann_ivf": "probe set (nprobe cells + query vectors) broadcast, lists scanned once",
+    "q_text_tfidf": "scalar total-docs count cross-joined as a 1-row broadcast",
+}
+
+
+def formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    parser.add_argument("--json", dest="json_out", default=None)
+    opts = parser.parse_args()
+    sf_dir, json_out = opts.sf_dir, opts.json_out
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict[str, dict] = {}
+    n_bad = 0
+    for name, fn in QUERIES.items():
+        try:
+            plan = formatted_plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - audit must visit every query
+            report[name] = {"error": str(exc)[:200]}
+            n_bad += 1
+            print(f"ERROR {name}: {str(exc)[:120]}")
+            continue
+        bad = [node for node in BAD_NODES if node in plan]
+        allowed = name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"]
+        pandas_stages = [node for node in PANDAS_NODES if node in plan]
+        scans = plan.count("Location: InMemoryFileIndex") // 2
+        report[name] = {
+            "bad_nodes": bad,
+            "allowed": allowed,
+            "pandas_stages": pandas_stages,
+            "scans": scans,
+        }
+        if bad and not allowed:
+            n_bad += 1
+            print(f"BAD   {name}: {bad}")
+        elif allowed:
+            print(f"allow {name}: BNLJ ({ALLOWED_BNLJ[name]})")
+        else:
+            tag = f" pandas={pandas_stages}" if pandas_stages else ""
+            print(f"ok    {name}: scans={scans}{tag}")
+
+    print(f"\n== {len(report)} queries audited, {n_bad} flagged ==")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
