@@ -1071,3 +1071,40 @@ def q_scalar_calendar(spark, sf_dir):
         ((F.dayofweek("ts") + 5) % 7 + 1).alias("iso_dow"),
         F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
     )
+
+
+@q(
+    "q_rollup_incremental",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS daily_value,
+           count(*) AS n FROM events GROUP BY 1, 2
+    """.format(dsum=DSUM("value")),
+)
+def q_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance: the existing rollup (history
+    partition) merges with the new partition's partial aggregate by
+    RE-AGGREGATING THE PARTIALS - union + groupBy-sum - instead of
+    recomputing history. The oracle is the FULL recompute, so a
+    hash-match proves partial-merge == full (sums are additive; the
+    decimal-quantized partials re-enter exactly, so no drift). At 100
+    TB this is the only viable daily cadence: touch yesterday's
+    partition, never the other 10 years; with the rollup bucketed on
+    user_id the merge shuffles only the increment."""
+    ev = t(spark, sf_dir, "events")
+
+    def partial(df):
+        return df.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    history = partial(ev.filter(F.dayofmonth("ts") <= 15))
+    increment = partial(ev.filter(F.dayofmonth("ts") > 15))
+    return (
+        history.unionByName(increment)
+        .groupBy("user_id", "date")
+        .agg(
+            F.sum("dec_value").cast("double").alias("daily_value"),
+            F.sum("n").alias("n"),
+        )
+    )
