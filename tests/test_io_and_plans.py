@@ -257,3 +257,19 @@ def test_contamination_broadcasts_benchmark_side(spark):
     plan = _formatted_plan(QUERIES["q_text_contamination"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_xlsx_unknown_sheet_raises(tmp_path):
+    import pandas as pd
+    import pytest
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.xlsx import (
+        read_xlsx,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "one.xlsx")
+    write_xlsx(path, pd.DataFrame({"a": [1]}), sheet_name="Data")
+    assert read_xlsx(path, sheet="Data")["a"].tolist() == [1]
+    with pytest.raises(ValueError, match="not found"):
+        read_xlsx(path, sheet="Missing")
