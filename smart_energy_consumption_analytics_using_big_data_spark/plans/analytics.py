@@ -776,3 +776,195 @@ def q_resample_gapfill(spark, sf_dir):
         ).alias("value_filled"),
         F.when(F.col("daily_value").isNull(), 1).otherwise(0).alias("was_missing"),
     )
+
+
+@q(
+    "q_interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS daily_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(date) AS dmin, max(date) AS dmax FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS date
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.user_id, g.date, d.daily_value
+      FROM grid g LEFT JOIN daily d USING (user_id, date)
+    ),
+    f AS (
+      SELECT *,
+             last_value(daily_value IGNORE NULLS) OVER wb AS prev_val,
+             last_value(CASE WHEN daily_value IS NOT NULL THEN date END IGNORE NULLS)
+               OVER wb AS prev_date,
+             first_value(daily_value IGNORE NULLS) OVER wf AS next_val,
+             first_value(CASE WHEN daily_value IS NOT NULL THEN date END IGNORE NULLS)
+               OVER wf AS next_date
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, date,
+           round(CASE WHEN daily_value IS NOT NULL THEN daily_value
+                 ELSE prev_val + (next_val - prev_val)
+                      * (date_diff('day', prev_date, date)
+                         / date_diff('day', prev_date, next_date)) END, 6)
+             AS value_interp,
+           CASE WHEN daily_value IS NULL THEN 1 ELSE 0 END AS was_missing
+    FROM f
+    """.format(dsum=DSUM("value")),
+)
+def q_interpolate_linear(spark, sf_dir):
+    """Linear-interpolation gap repair: the LOCF sibling of
+    `q_resample_gapfill` for signals where holding the last meter
+    reading flat biases the series (a ramping load should ramp through
+    the hole). Same dense per-user calendar grid; each missing day
+    takes the straight line between its nearest known neighbors
+    (anchors always exist - the grid is bounded by known days).
+    Both anchor lookups are window passes over the SAME partition+order
+    spec (one exchange, one sort: last/ignorenulls looking back,
+    first/ignorenulls looking forward), so the repair costs exactly one
+    shuffle beyond the rollup - no self-join against the known rows."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        sum_exact("value").alias("daily_value")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("date").alias("dmin"), F.max("date").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("date"),
+        )
+    )
+    joined = grid.join(daily, ["user_id", "date"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_date = F.when(F.col("daily_value").isNotNull(), F.col("date"))
+    prev_val = F.last("daily_value", ignorenulls=True).over(wb)
+    prev_date = F.last(known_date, ignorenulls=True).over(wb)
+    next_val = F.first("daily_value", ignorenulls=True).over(wf)
+    next_date = F.first(known_date, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("date"), prev_date) / F.datediff(next_date, prev_date)
+    interp = prev_val + (next_val - prev_val) * frac
+    return joined.select(
+        "user_id",
+        "date",
+        F.round(
+            F.when(F.col("daily_value").isNotNull(), F.col("daily_value")).otherwise(interp), 6
+        ).alias("value_interp"),
+        F.when(F.col("daily_value").isNull(), 1).otherwise(0).alias("was_missing"),
+    )
+
+
+@q(
+    "q_skew_audit",
+    """
+    WITH counts AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT user_id, n, round(n / total, 6) AS share,
+           round(n / (total / n_keys), 6) AS x_avg
+    FROM counts CROSS JOIN tot
+    ORDER BY n DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_skew_audit(spark, sf_dir):
+    """Join-key skew diagnostic: the top-20 heaviest keys with their
+    share of all rows and their multiple of the mean key load - the
+    numbers that decide whether a join on this key needs salting
+    (operators/joins.salted_join) or AQE skew splitting. One hash
+    aggregate on the key, a scalar broadcast of the totals, and a
+    TakeOrdered for the top slice; the fact table is scanned once and
+    nothing key-cardinality-sized leaves the executors."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / (F.col("total") / F.col("n_keys")), 6).alias("x_avg"),
+        )
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
+@q(
+    "q_scd2_dim",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS effective_to,
+           CAST(row_number() OVER w AS INTEGER) AS version_no,
+           CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_dim(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) build from a change log:
+    collapse each user's event stream into attribute versions with
+    [effective_from, effective_to) validity and an is_current flag -
+    the warehouse shape for 'what was this household's tariff WHEN the
+    reading happened' (the reference hard-joins today's tariff onto
+    historical readings, `data_preprocessing.py:182`, which rewrites
+    history). Change detection (lag) and interval stitching (lead /
+    row_number) partition by the same key: the change filter runs
+    between two window passes over one exchange, and the second pass
+    sorts only the surviving change rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    lead_ts = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format(lead_ts, "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
+        F.row_number().over(w).alias("version_no"),
+        F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
+    )
