@@ -16,7 +16,7 @@ shuffle on content-derived keys and scale horizontally:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
     tokens_ws,
@@ -35,6 +35,37 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
         F.min(id_col).alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies")
     )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only novel documents from a new batch against an already-
+    deduplicated historical corpus (the daily-ingest shape: the corpus
+    is petabytes, the batch is not, and re-deduplicating the union from
+    scratch every day is the anti-pattern).
+
+    Two stages, both keyed on md5(text) so shuffle keys stay
+    fixed-width: (1) within-batch keep-first - min(id) over a
+    hash-partitioned window; (2) LEFT ANTI join against the history's
+    distinct hash set. The history side is projected to its hash column
+    only before the join, so at 100 TB the anti-join moves hashes, not
+    documents; when the accumulated hash set is still dimension-sized
+    it broadcasts, and either way the batch side is the small one.
+    Returns the admitted batch rows (all columns) plus `text_hash`.
+    """
+    hist = history.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    hashed = batch.withColumn("text_hash", F.md5(F.col(text_col)))
+    keep = F.min(id_col).over(Window.partitionBy("text_hash"))
+    firsts = (
+        hashed.withColumn("keep_id", keep)
+        .where(F.col(id_col) == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    return firsts.join(hist, "text_hash", "left_anti")
 
 
 def shingle_table(

@@ -47,6 +47,41 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @q(
+    "q_dedup_incremental",
+    """
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS text_hash FROM documents
+      WHERE CAST(substr(source, 4) AS INT) < 10
+    ),
+    batch AS (
+      SELECT doc_id, lang, source, n_chars, md5(text) AS text_hash FROM documents
+      WHERE CAST(substr(source, 4) AS INT) >= 10
+    ),
+    firsts AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS keep_id FROM batch
+      ) WHERE doc_id = keep_id
+    )
+    SELECT doc_id, lang, source, n_chars FROM firsts
+    WHERE text_hash NOT IN (SELECT text_hash FROM hist)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: sources src0-src9 stand in for the
+    already-deduplicated historical corpus, src10-src19 for today's
+    batch; only batch docs whose content hash is new both within the
+    batch (keep-first) and against history are admitted. The history
+    side ships only distinct md5 hashes into the anti-join - the
+    petabyte corpus itself is never re-shuffled per ingest."""
+    docs = t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    admitted = D.incremental_dedup(
+        docs.where(src_num < 10), docs.where(src_num >= 10)
+    )
+    return admitted.select("doc_id", "lang", "source", "n_chars")
+
+
+@q(
     "q_dedup_jaccard",
     f"""
     WITH {_SHINGLES_CTE},

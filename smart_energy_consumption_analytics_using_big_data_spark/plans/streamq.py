@@ -94,6 +94,30 @@ def q_stream_sliding(spark, sf_dir):
 
 
 @q(
+    "q_stream_join",
+    """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (view -> purchase within 6
+    hours, per user): two branches of the event stream matched across
+    micro-batches with bounded state. availableNow replay in append
+    mode equals the batch interval join exactly, so even this doubly
+    stateful op is oracled."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    return stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
     "q_stream_enrich",
     "SELECT c_mktsegment, {dsum} AS total_value, count(*) AS n "
     "FROM events JOIN customer ON user_id = c_custkey "
