@@ -87,6 +87,63 @@ def write_training_shards(
     )
 
 
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    mode: str = "overwrite",
+    bits: int = 8,
+) -> None:
+    """Z-order clustered parquet sink: multi-dimensional data layout.
+
+    A plain sort clusters one column perfectly and leaves every other
+    column's per-file min/max spanning the whole domain; interleaving
+    the bit-planes of all `cols` (Morton order) keeps EVERY clustering
+    column's per-file range narrow at once, so parquet row-group
+    statistics prune scans filtered on ANY of the columns - the
+    standard layout for a 100 TB table queried along several axes.
+
+    Mechanics: each column is scaled to a 2^bits equal-width bucket id
+    (global min/max from one aggregate - a scalar driver collect),
+    bucket bits are interleaved into a single z-value with native
+    shift/mask expressions (codegen'd, no UDF), and the data is
+    range-partitioned + locally sorted on it. Costs one stats pass and
+    the range-partitioner's sample pass on top of the write itself;
+    both are scan-bound, the accepted price of a layout-optimizing
+    writer. NULLs cluster with the lowest bucket.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"min_{j}") for j, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"max_{j}") for j, c in enumerate(cols)],
+    ).first()
+    ncols = len(cols)
+    buckets = []
+    for j, c in enumerate(cols):
+        lo, hi = stats[f"min_{j}"], stats[f"max_{j}"]
+        span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
+        raw = F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_buckets)
+        buckets.append(
+            F.coalesce(F.least(F.lit(n_buckets - 1), raw), F.lit(0)).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ncols + j))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,

@@ -273,3 +273,55 @@ def test_xlsx_unknown_sheet_raises(tmp_path):
     assert read_xlsx(path, sheet="Data")["a"].tolist() == [1]
     with pytest.raises(ValueError, match="not found"):
         read_xlsx(path, sheet="Missing")
+
+
+def _files_matching(path, col, value):
+    """Count parquet part-files whose footer min/max admit col == value."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    hit = 0
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        admit = False
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    st = c.statistics
+                    if st.min <= value <= st.max:
+                        admit = True
+        hit += int(admit)
+    return hit
+
+
+def test_zorder_sink_skips_on_every_clustering_column(spark, tmp_path):
+    """Z-order layout keeps per-file min/max narrow on BOTH columns, so
+    footer stats prune point filters on either axis; a linear sort on x
+    clusters x but leaves y files spanning the full domain."""
+    import pandas as pd
+
+    n, files = 4096, 16
+    pdf = pd.DataFrame(
+        {"x": [i % 64 for i in range(n)], "y": [(i * 17) % 64 for i in range(n)]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    zpath = str(tmp_path / "zorder")
+    writers.write_parquet_zorder(df, zpath, cols=["x", "y"], num_files=files, bits=6)
+    back = spark.read.parquet(zpath)
+    assert back.count() == n
+    assert sorted(r["x"] for r in back.collect()) == sorted(pdf["x"])
+
+    lpath = str(tmp_path / "linear")
+    df.repartitionByRange(files, "x").sortWithinPartitions("x").write.parquet(lpath)
+
+    zx, zy = _files_matching(zpath, "x", 13), _files_matching(zpath, "y", 13)
+    lx, ly = _files_matching(lpath, "x", 13), _files_matching(lpath, "y", 13)
+    # Linear sort: x prunes hard but y filters read nearly every file.
+    assert lx <= 2 and ly >= files - 2
+    # Z-order: BOTH axes prune to at most half the files.
+    assert zx <= files // 2 and zy <= files // 2
+    assert zx + zy < lx + ly
