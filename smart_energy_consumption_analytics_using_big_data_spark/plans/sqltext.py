@@ -168,3 +168,104 @@ def q_sql_scalar_subquery(spark, sf_dir):
         GROUP BY event_type
         """
     )
+
+
+@q(
+    "q_sql_shipping_priority",
+    """
+    SELECT l_orderkey, {rev} AS revenue, o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """.format(rev=DSUM("l_extendedprice * (1 - l_discount)")),
+)
+def q_sql_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority as SQL text: both date
+    predicates and the segment filter push to their scans BEFORE the
+    joins (unshipped-as-of-date semantics), customer broadcasts, and
+    the top-10 is TakeOrdered on the aggregated revenue - the selective
+    fact-fact join pattern where filter pushdown decides whether 100 TB
+    is readable (ref analytics join shapes, data_preprocessing.py:182)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """
+    )
+
+
+@q(
+    "q_sql_market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(sum(volume) AS DOUBLE) AS total_volume
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def q_sql_market_share(spark, sf_dir):
+    """TPC-H Q8-shaped market share as SQL text: an 8-table join tree
+    (1 fact + 2 mid + 4 dims, nation joined TWICE under different
+    aliases) feeding a conditional-aggregate ratio per year. Every dim
+    broadcasts; the only shuffles are the two fact-side joins and the
+    final small groupBy. Decimal sums keep numerator/denominator exact
+    before one rounded double division."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH all_sales AS (
+          SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        )
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+               CAST(sum(volume) AS DOUBLE) AS total_volume
+        FROM all_sales
+        GROUP BY o_year
+        """
+    )

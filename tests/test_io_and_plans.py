@@ -325,3 +325,20 @@ def test_zorder_sink_skips_on_every_clustering_column(spark, tmp_path):
     # Z-order: BOTH axes prune to at most half the files.
     assert zx <= files // 2 and zy <= files // 2
     assert zx + zy < lx + ly
+
+
+def test_shipping_priority_pushes_filters_to_scans(spark):
+    plan = _formatted_plan(QUERIES["q_sql_shipping_priority"](spark, SF_SMOKE))
+    # each selective predicate reaches its own parquet scan
+    assert "PushedFilters" in plan
+    assert plan.count("TakeOrderedAndProject") >= 1
+    for col in ("l_shipdate", "o_orderdate", "c_mktsegment"):
+        assert col in plan.split("== Physical Plan ==")[-1]
+
+
+def test_market_share_broadcasts_all_dims(spark):
+    plan = _formatted_plan(QUERIES["q_sql_market_share"](spark, SF_SMOKE))
+    # 7 joins total; every dimension side must be broadcast, never a
+    # nested loop; nation appears twice under different aliases
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
