@@ -221,3 +221,48 @@ def ann_topk_ivf(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus, then drop any vector whose cosine to a LOWER-id vector in
+    the SAME cell reaches `threshold` - lowest id is the deterministic
+    representative. Output: (vec_id, cell, kept).
+
+    Scale shape: the quadratic similarity is confined inside cells
+    (the whole point of the clustering stage - cells are the shuffle
+    partitioning, never an all-pairs join), the pair join is an
+    equi-join on cell, and the duplicate set distinct-projects only
+    ids. Mirrors the reference's dedup intent at embedding level
+    (anomaly_detection.py cluster stage repurposed for data curation).
+    """
+    cells = ivf_assign(embeddings, ivf_centroids(embeddings, vec_col, label_col),
+                       vec_col, id_col).select(id_col, "cell")
+    tagged = embeddings.select(id_col, vec_col).join(cells, id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("va")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("cell"), F.col(vec_col).alias("vb")
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        cells.join(dups.withColumn("__dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1458,3 +1458,56 @@ def q_text_piiscrub(spark, sf_dir):
             )
         ).alias("scrubbed_hash"),
     )
+
+
+_PAIR_COS = (
+    f"round({_DOT.format(a='ea.embedding', b='eb.embedding')} / "
+    f"(sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')}) * "
+    f"sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')})), 6)"
+)
+
+
+@q(
+    "q_dedup_semantic",
+    f"""
+    WITH cent AS (
+      SELECT label AS cell, u.pos AS pos, avg(u.val) AS cval
+      FROM ({_UNNEST_EMB.format(id='label')}) GROUP BY label, u.pos
+    ),
+    emb AS (
+      SELECT vec_id, u.pos AS pos, u.val AS v
+      FROM ({_UNNEST_EMB.format(id='vec_id')})
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cell,
+             round(sum(e.v * c.cval) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cval * c.cval))), 6) AS cell_cosine
+      FROM emb e JOIN cent c USING (pos)
+      GROUP BY e.vec_id, c.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cell_cosine DESC, cell) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {_PAIR_COS} >= 0.4
+    )
+    SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    confines the quadratic cosine comparison inside clusters - assign
+    every embedding to its nearest deterministic centroid cell, drop
+    vectors with cosine >= 0.4 to a lower-id vector in the SAME cell.
+    The cluster stage is what makes embedding dedup feasible at 100 TB:
+    the pair join shuffles on cell, never all-pairs."""
+    return S.semantic_dedup(t(spark, sf_dir, "embeddings"), threshold=0.4)

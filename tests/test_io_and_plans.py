@@ -342,3 +342,22 @@ def test_market_share_broadcasts_all_dims(spark):
     # nested loop; nation appears twice under different aliases
     assert plan.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pairs_confined_to_cells(spark):
+    import re
+
+    plan = _formatted_plan(QUERIES["q_dedup_semantic"](spark, SF_SMOKE))
+    # the quadratic pair stage must be an equi-join on the cell key - an
+    # unpartitioned all-pairs join would be the 100 TB killer
+    assert "CartesianProduct" not in plan
+    physical = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
+    # the only nested-loop joins are the bounded broadcast-centroid
+    # cross joins from ivf_assign (k centroids x N rows, by design)
+    assert all(
+        "Cross BuildRight" in ln
+        for ln in physical.splitlines()
+        if "BroadcastNestedLoopJoin" in ln
+    )
+    # the id_a < id_b similarity condition rides an equi SortMergeJoin
+    assert re.search(r"SortMergeJoin .*Inner", physical)
