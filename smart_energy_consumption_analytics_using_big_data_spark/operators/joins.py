@@ -206,3 +206,51 @@ def range_join_bucketed(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return out.drop("__bkt")
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+) -> DataFrame:
+    """Edit-distance-<=1 fuzzy equi-join via deletion neighborhoods
+    (FastSS / SymSpell blocking): ed(a,b) <= 1 implies a and b share a
+    member of D(x) = {x} + all single-character deletions of x, so
+    indexing each side on D(x) turns fuzzy matching into an exact
+    equi-join on the variant key - len+1 index rows per string, shuffle
+    on short string keys, NO quadratic all-pairs stage. Shared variants
+    over-generate (e.g. 'ab'/'ba'), so candidates are verified with one
+    levenshtein() per DISTINCT pair. The entity-resolution primitive
+    (near-identical customer/site names) at linear index cost; k>1
+    would need C(len,k) variants per row - keep k=1 for the 100 TB
+    path and LSH (q_dedup_minhash_lsh) for looser matching.
+    """
+
+    def variants(id_col: str, str_col: str, id_out: str, str_out: str) -> DataFrame:
+        src = left if id_col == left_id and str_col == left_str else right
+        dels = F.transform(
+            F.sequence(F.lit(1), F.length(str_col)),
+            lambda i: F.concat(
+                F.substring(F.col(str_col), F.lit(1), i - 1),
+                F.col(str_col).substr(i + 1, F.length(str_col)),
+            ),
+        )
+        return src.select(
+            F.col(id_col).alias(id_out),
+            F.col(str_col).alias(str_out),
+            F.explode(F.array_union(F.array(F.col(str_col)), dels)).alias("__variant"),
+        )
+    va = variants(left_id, left_str, "id_a", "name_a")
+    vb = variants(right_id, right_str, "id_b", "name_b")
+    cands = (
+        va.join(vb, "__variant")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    return cands.withColumn(
+        "edit_distance", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("edit_distance") <= 1)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.ext import dedup as D
+from smart_energy_consumption_analytics_using_big_data_spark.operators import joins as J
 from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
 from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
 from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
@@ -1511,3 +1512,68 @@ def q_dedup_semantic(spark, sf_dir):
     The cluster stage is what makes embedding dedup feasible at 100 TB:
     the pair join shuffles on cell, never all-pairs."""
     return S.semantic_dedup(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@q(
+    "q_join_fuzzy",
+    """
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, len(c_name)),
+                              i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name))),
+               c_name))) AS variant
+      FROM customer
+    )
+    SELECT DISTINCT a.c_custkey AS id_a, a.c_name AS name_a,
+           b.c_custkey AS id_b, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_join_fuzzy(spark, sf_dir):
+    """Fuzzy self-join on customer names at edit distance <= 1 via
+    FastSS deletion-neighborhood blocking - exact equi-join on
+    single-deletion variants (linear index, len+1 keys/row), then one
+    levenshtein verification per distinct candidate pair. Entity
+    resolution without an all-pairs stage."""
+    c = t(spark, sf_dir, "customer")
+    return J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
+
+
+@q(
+    "q_dedup_winnow",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(text) - 7),
+               i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)) AS grams
+      FROM documents
+      WHERE len(text) >= 23
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(generate_series(1, len(grams) - 15),
+               j -> list_min(list_slice(grams, j, j + 15))))) AS fp
+      FROM g
+    ),
+    pruned AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+      ) WHERE df <= 16
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def q_dedup_winnow(spark, sf_dir):
+    """Exact-substring overlap detection via winnowing fingerprints
+    (MOSS, Schleimer et al. 2003): min-hash-of-window selection
+    guarantees any shared substring of >= w+k-1 = 23 chars surfaces a
+    common fingerprint, at ~1/w the index of all-grams - the
+    suffix-array-free way to run Lee et al.-style substring dedup as a
+    pure equi-join pipeline. Boilerplate fingerprints df-pruned before
+    the pair join."""
+    return D.winnow_pairs(t(spark, sf_dir, "documents"))

@@ -309,3 +309,56 @@ def test_operators_handle_empty_inputs(spark):
     empty_r = spark.createDataFrame([], "k string, w bigint")
     got = J.salted_join(left.select("k", "lv"), empty_r, "k", "left").collect()
     assert [(r["k"], r["lv"], r["w"]) for r in got] == [("a", 1.0, None)]
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    # Schleimer et al.'s guarantee: any shared substring of length
+    # >= w + k - 1 (= 23 here) must produce a common fingerprint.
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import winnow_pairs
+
+    shared = "zqxjkvwpyhgfdnmbltrcse!"  # 23 chars, appears in both docs
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "aaaa bbbb cccc dddd eeee ffff " + shared + " gggg hhhh iiii",
+                    shared + " totally different tail content here xyz",
+                    "no overlap with the others at all - plain filler words only",
+                ],
+            }
+        )
+    )
+    pairs = winnow_pairs(docs, min_shared=1).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_fuzzy_join_blocks_without_all_pairs(spark):
+    # deletion-neighborhood completeness at distance 1: substitution,
+    # insertion, deletion, and identity all matched; distance-2 not.
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import (
+        fuzzy_join_ed1,
+    )
+
+    names = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "name": ["site_042", "site_043", "site_42", "Xsite_042", "plant_99"],
+        }
+    )
+    df = spark.createDataFrame(names)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in fuzzy_join_ed1(df, df, "id", "name", "id", "name").collect()
+    }
+    assert pairs[(1, 2)] == 1  # substitution
+    assert pairs[(1, 3)] == 1  # deletion
+    assert pairs[(1, 4)] == 1  # insertion
+    assert (2, 3) not in pairs  # distance 2
+    assert all(5 not in p for p in pairs)
