@@ -254,3 +254,76 @@ def fuzzy_join_ed1(
     return cands.withColumn(
         "edit_distance", F.levenshtein("name_a", "name_b")
     ).filter(F.col("edit_distance") <= 1)
+
+
+def bloom_filtered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    max_dim_rows: int = 5_000_000,
+) -> DataFrame:
+    """Shuffle join with a Bloom-filter pre-prune of the fact side.
+
+    When the build side is too big to broadcast but still selective,
+    the classic fix is a runtime Bloom filter: hash the build keys
+    into an m-bit bitmap, cheap-test every fact row BEFORE the
+    shuffle, and let the exact join swallow the false positives - the
+    result is bit-identical to the plain join while the shuffle moves
+    only (selectivity + fp_rate) of the fact table. This is what
+    Spark's runtime.bloomFilter AQE rule injects for suitable plans;
+    here it is an explicit operator so the pruning applies regardless
+    of optimizer heuristics and the bitmap stays engine-portable
+    (md5-slice hashes, not xxhash).
+
+    The bitmap is built from one distinct-project of the dim keys -
+    a driver collect bounded by min(n_hashes * |dim|, m_bits) ints
+    (m_bits is the hard cap: 2^16 bits = 8 KiB bitmap as 1024 long
+    literals). `max_dim_rows` guards the build-side count so the
+    operator refuses fact-sized build inputs instead of silently
+    degrading (fp rate -> 1 as the bitmap saturates).
+    """
+    n_dim = dim.count()
+    if n_dim > max_dim_rows:
+        raise ValueError(
+            f"bloom build side has {n_dim} rows > max_dim_rows={max_dim_rows}; "
+            "a saturated bitmap prunes nothing - broadcast/shuffle join directly"
+        )
+
+    def positions(key_col: str) -> list[Column]:
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{i}|"), F.col(key_col).cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            )
+            for i in range(n_hashes)
+        ]
+
+    set_bits = sorted(
+        r["p"]
+        for r in dim.select(F.explode(F.array(*positions(dim_key))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for p in set_bits:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement fold so every word fits a signed long literal
+    bitmap = F.array(*[F.lit(w - (1 << 64) if w >= (1 << 63) else w) for w in words])
+
+    def bit_set(pos: Column) -> Column:
+        word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
+        return F.getbit(word, (pos % 64).cast("int")) == 1
+    probe = positions(fact_key)
+    test = probe[0].isNotNull()
+    for p in probe:
+        test = test & bit_set(p)
+    pruned = fact.filter(test)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key], how)

@@ -15,7 +15,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.operators import jo
 from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
 from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
 from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
-from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import q, t
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -1577,3 +1577,31 @@ def q_dedup_winnow(spark, sf_dir):
     pure equi-join pipeline. Boilerplate fingerprints df-pruned before
     the pair join."""
     return D.winnow_pairs(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q_join_bloom",
+    """
+    SELECT l_returnflag, {rev} AS revenue, count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """.format(rev=DSUM("l_extendedprice * (1 - l_discount)")),
+)
+def q_join_bloom(spark, sf_dir):
+    """Bloom-pre-filtered fact join: the urgent-orders build side hashes
+    into an 8 KiB bitmap tested on every lineitem row BEFORE the
+    shuffle, so only ~selectivity of the fact table moves; the exact
+    join then removes false positives, making the result bit-identical
+    to the plain join - which is exactly what the oracle asserts. The
+    explicit form of Spark's AQE runtime bloom filter, for when the
+    build side is selective but not broadcast-small."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    joined = J.bloom_filtered_join(li, o, "l_orderkey", "o_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -362,3 +362,24 @@ def test_fuzzy_join_blocks_without_all_pairs(spark):
     assert pairs[(1, 4)] == 1  # insertion
     assert (2, 3) not in pairs  # distance 2
     assert all(5 not in p for p in pairs)
+
+
+def test_bloom_join_guards_oversized_build_side(spark):
+    import pytest
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import (
+        bloom_filtered_join,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    with pytest.raises(ValueError, match="max_dim_rows"):
+        bloom_filtered_join(li, o, "l_orderkey", "o_orderkey", max_dim_rows=10)
+    # bloom prune must not change the join result (false positives are
+    # swallowed by the exact join; false negatives are impossible)
+    import pyspark.sql.functions as F
+
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    got = bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey").count()
+    want = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).count()
+    assert got == want
