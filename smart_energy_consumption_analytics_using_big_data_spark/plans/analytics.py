@@ -968,3 +968,95 @@ def q_scd2_dim(spark, sf_dir):
         F.row_number().over(w).alias("version_no"),
         F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@q(
+    "q_ts_stl_decompose",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             SUM(CAST(value AS DECIMAL(25,6))) AS dv, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, hr, dv, n,
+             round(CAST(dv AS DOUBLE) / n, 6) AS bucket_mean,
+             round(CAST(SUM(dv) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    de AS (
+      SELECT event_type, hr, bucket_mean, trend, bucket_mean - trend AS detr,
+             CAST(hour(hr) AS INTEGER) AS hod
+      FROM tr
+    ),
+    se AS (
+      SELECT *,
+             round(CAST(SUM(CAST(round(detr, 6) AS DECIMAL(25,6)))
+                        OVER (PARTITION BY event_type, hod) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY event_type, hod), 6) AS seasonal
+      FROM de
+    )
+    SELECT event_type, hr, bucket_mean, trend, seasonal,
+           round(detr - seasonal, 6) AS residual
+    FROM se
+    """,
+)
+def q_ts_stl_decompose(spark, sf_dir):
+    """Seasonal-trend decomposition (classical additive STL shape) of
+    the per-type hourly series: trend = centered 24-bucket moving
+    average (bucket-size weighted, decimal-exact numerator and
+    denominator), seasonal = hour-of-day mean of the detrended series
+    computed as a SECOND window over the same rows - no self-join, the
+    whole decomposition is one scan + one small agg + two windows.
+    Residual is what q_agg_robust-style anomaly scoring should consume:
+    seasonality no longer masquerades as anomaly. All averages divide
+    exact decimal sums, so both engines agree bit-for-bit at round 6."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("dv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 11)
+    )
+    tr = hourly.select(
+        "event_type",
+        "hr",
+        F.round(F.col("dv").cast("double") / F.col("n"), 6).alias("bucket_mean"),
+        F.round(
+            F.sum("dv").over(w).cast("double") / F.sum("n").over(w), 6
+        ).alias("trend"),
+    )
+    de = tr.select(
+        "event_type",
+        "hr",
+        "bucket_mean",
+        "trend",
+        (F.col("bucket_mean") - F.col("trend")).alias("detr"),
+        F.hour("hr").alias("hod"),
+    )
+    ws = Window.partitionBy("event_type", "hod")
+    se = de.select(
+        "event_type",
+        "hr",
+        "bucket_mean",
+        "trend",
+        "detr",
+        F.round(
+            F.sum(F.round("detr", 6).cast("decimal(25,6)")).over(ws).cast("double")
+            / F.count(F.lit(1)).over(ws),
+            6,
+        ).alias("seasonal"),
+    )
+    return se.select(
+        "event_type",
+        "hr",
+        "bucket_mean",
+        "trend",
+        "seasonal",
+        F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
+    )

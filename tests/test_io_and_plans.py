@@ -361,3 +361,20 @@ def test_semantic_dedup_pairs_confined_to_cells(spark):
     )
     # the id_a < id_b similarity condition rides an equi SortMergeJoin
     assert re.search(r"SortMergeJoin .*Inner", physical)
+
+
+def test_stl_decompose_reconstructs_and_scans_once(spark):
+    df = QUERIES["q_ts_stl_decompose"](spark, SF_SMOKE)
+    # additive identity: bucket_mean == trend + seasonal + residual
+    # (to rounding - each component rounded at 1e-6)
+    bad = df.filter(
+        F.abs(
+            F.col("bucket_mean")
+            - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+        )
+        > 3e-6
+    ).count()
+    assert bad == 0
+    # the whole decomposition - agg + two windows - reads events ONCE
+    plan = _formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") == 1
