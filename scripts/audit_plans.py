@@ -41,6 +41,8 @@ ALLOWED_BNLJ = {
     "q_emb_ivf_assign": "centroid assignment: k centroids broadcast, corpus scanned once",
     "q_sim_ann_ivf": "probe set (nprobe cells + query vectors) broadcast, lists scanned once",
     "q_text_tfidf": "scalar total-docs count cross-joined as a 1-row broadcast",
+    "q_skew_audit": "scalar totals (sum + key count) cross-joined as a 1-row broadcast",
+    "q_dedup_semantic": "centroid assignment: k centroids broadcast, corpus scanned once (pair stage is cell equi-join, plan-tested)",
 }
 
 

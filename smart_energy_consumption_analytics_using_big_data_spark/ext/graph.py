@@ -1,0 +1,68 @@
+"""Graph analytics over similarity/relationship edges (extension
+surface; complements ext/dedup.connected_components).
+
+PageRank here is the FIXED-ITERATION variant: a known iteration count
+unrolls to a deterministic dataflow (each round = one join + one
+aggregation), which keeps the result oracle-checkable and the lineage
+bounded without checkpointing. Contribution sums accumulate in DECIMAL
+after rounding each contribution at 1e-12, so the result is identical
+across engines and partitionings - float-order-independent, the same
+trick as operators/aggregates.sum_exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge list.
+
+    Per round: contribution = rank/out-degree routed along edges (one
+    equi-join on src), summed per destination (one shuffle on dst),
+    then the damping update. Nodes = every endpoint; dangling mass is
+    dropped (standard simplification for similarity graphs, where
+    symmetric edges mean no dangling nodes anyway). The node count is
+    the only driver scalar - same class as a convergence check.
+
+    At scale each round shuffles |E| contribution rows; with a bounded
+    `iters` the whole computation is `iters` joins, no iterative
+    driver loop over collected data.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    base = 1.0 - damping
+    ranks = nodes.select("id", F.round(F.lit(1.0) / n, 12).alias("rank"))
+    ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, "id")
+            .join(deg, "id")
+            .select(
+                F.col("__dst").alias("id"),
+                F.round(F.col("rank") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "id", "left").select(
+            "id",
+            F.round(
+                F.lit(base) / n
+                + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))

@@ -165,3 +165,47 @@ def robust_group_stats(
             ),
         )
     )
+
+
+def dq_report(
+    df: DataFrame,
+    checks: list[tuple[str, Column, float | None, float | None]],
+) -> DataFrame:
+    """Deequ-style data-quality report: every metric is an aggregate
+    expression evaluated in ONE pass over the table (single scan,
+    single partial+final agg - adding a check costs an expression, not
+    a scan), then the 1-row metric vector unpivots into one
+    (check, value, passed) row per check via stack() - no driver
+    round-trip, composable downstream (alert joins, history append).
+
+    `checks`: (name, metric aggregate Column, lower, upper); a None
+    bound is unchecked. The constraint verdict is computed engine-side
+    so a 100 TB validation emits K tiny rows, not K queries.
+    """
+    metrics = df.agg(
+        *[F.round(m.cast("double"), 6).alias(f"__m_{i}") for i, (_, m, _, _) in enumerate(checks)]
+    )
+    stack_args: list[Column] = []
+    for i, (name, _, _, _) in enumerate(checks):
+        stack_args += [F.lit(name), F.col(f"__m_{i}")]
+    long = metrics.select(
+        F.stack(F.lit(len(checks)), *stack_args).alias("check", "value")
+    )
+    bounds = F.create_map(
+        *[
+            c
+            for name, _, lo, hi in checks
+            for c in (
+                F.lit(name),
+                F.array(
+                    F.lit(float("-inf") if lo is None else lo),
+                    F.lit(float("inf") if hi is None else hi),
+                ),
+            )
+        ]
+    )
+    lo = F.element_at(bounds.getItem(F.col("check")), 1)
+    hi = F.element_at(bounds.getItem(F.col("check")), 2)
+    return long.withColumn(
+        "passed", (F.col("value") >= lo) & (F.col("value") <= hi)
+    )

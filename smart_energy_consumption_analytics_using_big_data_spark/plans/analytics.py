@@ -1060,3 +1060,110 @@ def q_ts_stl_decompose(spark, sf_dir):
         "seasonal",
         F.round(F.col("detr") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+@q(
+    "q_dq_checks",
+    """
+    WITH m AS (
+      SELECT round(CAST(count(value) AS DOUBLE) / count(*), 6) AS completeness_value,
+             round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6) AS uniqueness_event_id,
+             round(CAST(min(value) AS DOUBLE), 6) AS min_value,
+             round(CAST(max(value) AS DOUBLE), 6) AS max_value,
+             round(CAST(count(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view') THEN 1 END) AS DOUBLE), 6)
+               AS bad_event_type_count
+      FROM events
+    )
+    SELECT 'completeness_value' AS check_name, completeness_value AS value,
+           completeness_value >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_event_id', uniqueness_event_id, uniqueness_event_id >= 1.0 FROM m
+    UNION ALL
+    SELECT 'min_value', min_value, min_value >= 0.0 FROM m
+    UNION ALL
+    SELECT 'max_value', max_value, max_value <= 1000.0 FROM m
+    UNION ALL
+    SELECT 'bad_event_type_count', bad_event_type_count, bad_event_type_count <= 0.0 FROM m
+    """,
+)
+def q_dq_checks(spark, sf_dir):
+    """Data-quality expectation suite (Deequ-style constraint
+    validation): completeness, key uniqueness, value bounds, and
+    domain-membership checks - every metric an aggregate expression in
+    ONE scan + one partial/final agg, unpivoted engine-side to
+    (check_name, value, passed) rows. Validating a 100 TB table costs
+    one pass regardless of how many checks ride it."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import dq_report
+
+    ev = t(spark, sf_dir, "events")
+    checks = [
+        ("completeness_value", F.count("value") / F.count(F.lit(1)), 1.0, None),
+        (
+            "uniqueness_event_id",
+            F.count_distinct("event_id").cast("double") / F.count(F.lit(1)),
+            1.0,
+            None,
+        ),
+        ("min_value", F.min("value"), 0.0, None),
+        ("max_value", F.max("value"), None, 1000.0),
+        (
+            "bad_event_type_count",
+            F.count(
+                F.when(
+                    ~F.col("event_type").isin(
+                        "click", "error", "purchase", "signup", "view"
+                    ),
+                    1,
+                )
+            ),
+            None,
+            0.0,
+        ),
+    ]
+    return dq_report(ev, checks).withColumnRenamed("check", "check_name")
+
+
+@q(
+    "q_feature_binning",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT event_type, bin, count(*) AS n,
+           round(CAST(min(value) AS DOUBLE), 6) AS lo,
+           round(CAST(max(value) AS DOUBLE), 6) AS hi,
+           round(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6)
+             AS bin_mean
+    FROM binned
+    GROUP BY event_type, bin
+    """,
+)
+def q_feature_binning(spark, sf_dir):
+    """Equal-frequency feature binning (quantile discretizer) per
+    event type: ntile(10) with a unique (value, event_id) tiebreak so
+    bin membership is deterministic across engines AND partitionings,
+    then per-bin edges + decimal-exact means. One window + one agg
+    sharing the event_type exchange - the supervised-learning
+    preprocessing step (reference's feature_engineering.py binned
+    features) as a two-stage plan. At 100 TB swap ntile for
+    approx_percentile edges (q_agg_percentile) to avoid the per-type
+    total sort; this exact form is the verification baseline."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("bin")
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value").cast("double"), 6).alias("lo"),
+        F.round(F.max("value").cast("double"), 6).alias("hi"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bin_mean"),
+    )

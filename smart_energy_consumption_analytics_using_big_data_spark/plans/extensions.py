@@ -1605,3 +1605,66 @@ def q_join_bloom(spark, sf_dir):
         .alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank over the fuzzy-name graph."""
+    head = """
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, len(c_name)),
+                              i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name))),
+               c_name))) AS variant
+      FROM customer
+    ),
+    pairs AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT id, round(1.0 / (SELECT n FROM cnt), 12) AS rank FROM nodes)
+    """
+    for it in range(1, iters + 1):
+        head += f""",
+    c{it} AS (
+      SELECT e.dst AS id,
+             CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+      FROM e JOIN r{it - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+    ),
+    r{it} AS (
+      SELECT n.id,
+             round(0.15 / (SELECT n FROM cnt)
+                   + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 12) AS rank
+      FROM nodes n LEFT JOIN (SELECT id, SUM(c) AS s FROM c{it} GROUP BY id) s
+        ON n.id = s.id
+    )
+    """
+    return head + f"SELECT id, round(rank, 6) AS rank FROM r{iters}"
+
+
+@q("q_graph_pagerank", _pagerank_oracle(3))
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration (3) PageRank over the fuzzy-name similarity
+    graph: symmetric edit-distance-1 edges from q_join_fuzzy's FastSS
+    blocking, then rank = damped contribution routing - each round one
+    equi-join on src + one shuffle on dst, contributions rounded and
+    decimal-summed so the result is engine- and partitioning-exact.
+    Centrality over a similarity graph ranks canonical-entity
+    candidates (the most-connected name in each near-dup family)."""
+    c = t(spark, sf_dir, "customer")
+    pairs = J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b"), F.col("id_a")))
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
+
+    return pagerank(edges, iters=3)

@@ -378,3 +378,51 @@ def test_stl_decompose_reconstructs_and_scans_once(spark):
     # the whole decomposition - agg + two windows - reads events ONCE
     plan = _formatted_plan(df)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    # Write a day-partitioned fact, join it to a filtered dim on the
+    # partition key: Spark must inject a dynamic-pruning subquery so
+    # only the dim's surviving days are scanned - THE mechanism that
+    # makes dim-filtered scans of a 100 TB date-partitioned table read
+    # days, not the table.
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.dayofmonth("ts"))
+    out = str(tmp_path / "ev_by_day")
+    writers.write_parquet(ev.drop("ts"), out, num_files=1, partition_by=["day"])
+    fact = spark.read.parquet(out)
+    # the dim must be file-backed: a LocalRelation's filter constant-folds
+    # away before planning, and DPP's benefit heuristic requires a live
+    # selective predicate on the pruning side
+    dim_path = str(tmp_path / "day_dim")
+    spark.createDataFrame(
+        pd.DataFrame({"day": list(range(1, 29)), "tag": ["a", "b"] * 14})
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "a")
+    plan = _formatted_plan(fact.join(dim, "day"))
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+
+def test_dq_report_single_scan_and_flags_violations(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import (
+        dq_report,
+    )
+
+    df = QUERIES["q_dq_checks"](spark, SF_SMOKE)
+    plan = _formatted_plan(df)
+    # K checks, ONE pass: single scan, no union-of-aggregates
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert all(r["passed"] for r in df.collect())
+    # violations actually flag
+    bad = spark.createDataFrame(pd.DataFrame({"v": [1.0, None, 50.0]}))
+    rows = {
+        r["check"]: (r["value"], r["passed"])
+        for r in dq_report(
+            bad,
+            [
+                ("completeness_v", F.count("v") / F.count(F.lit(1)), 1.0, None),
+                ("max_v", F.max("v"), None, 10.0),
+            ],
+        ).collect()
+    }
+    assert rows["completeness_v"][1] is False
+    assert rows["max_v"] == (50.0, False)

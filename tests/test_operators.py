@@ -383,3 +383,23 @@ def test_bloom_join_guards_oversized_build_side(spark):
     got = bloom_filtered_join(li, urgent, "l_orderkey", "o_orderkey").count()
     want = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).count()
     assert got == want
+
+
+def test_pagerank_star_graph_hub_dominates(spark):
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
+
+    # undirected star: hub 0 <-> leaves 1..5
+    leaves = list(range(1, 6))
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {"src": [0] * 5 + leaves, "dst": leaves + [0] * 5}
+        )
+    )
+    ranks = {r["id"]: r["rank"] for r in pagerank(edges, iters=5).collect()}
+    assert ranks[0] > max(ranks[i] for i in leaves)
+    leaf_ranks = {ranks[i] for i in leaves}
+    assert len(leaf_ranks) == 1  # symmetry
+    # no dangling nodes -> total mass stays ~1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5  # each rank rounded at 1e-6
