@@ -35,10 +35,17 @@ def pagerank(
     `iters` the whole computation is `iters` joins, no iterative
     driver loop over collected data.
     """
+    # Spark does not CSE identical subplans: without materializing the
+    # edge list, every iteration (and the nodes/degree derivations)
+    # would re-execute the upstream edge pipeline - for a similarity
+    # graph that is the whole LSH/blocking join, per use. Persist once;
+    # the count() below doubles as the materialization point.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .persist()
     )
     n = nodes.count()
     deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))

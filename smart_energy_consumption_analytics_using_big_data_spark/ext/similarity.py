@@ -242,8 +242,15 @@ def semantic_dedup(
     ids. Mirrors the reference's dedup intent at embedding level
     (anomaly_detection.py cluster stage repurposed for data curation).
     """
-    cells = ivf_assign(embeddings, ivf_centroids(embeddings, vec_col, label_col),
-                       vec_col, id_col).select(id_col, "cell")
+    # materialize the assignment once: it feeds BOTH sides of the pair
+    # join plus the final keep-flag projection, and Spark replays
+    # unpersisted subplans per use (8 corpus scans without this)
+    cells = (
+        ivf_assign(embeddings, ivf_centroids(embeddings, vec_col, label_col),
+                   vec_col, id_col)
+        .select(id_col, "cell")
+        .persist()
+    )
     tagged = embeddings.select(id_col, vec_col).join(cells, id_col)
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("va")

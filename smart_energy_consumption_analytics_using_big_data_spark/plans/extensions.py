@@ -1662,9 +1662,16 @@ def q_graph_pagerank(spark, sf_dir):
     candidates (the most-connected name in each near-dup family)."""
     c = t(spark, sf_dir, "customer")
     pairs = J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
+    # symmetrize via explode, not union: a union's two branches would
+    # each replay the whole blocking join (no subplan CSE)
     edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b"), F.col("id_a")))
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
 
     return pagerank(edges, iters=3)

@@ -351,16 +351,20 @@ def test_semantic_dedup_pairs_confined_to_cells(spark):
     # the quadratic pair stage must be an equi-join on the cell key - an
     # unpartitioned all-pairs join would be the 100 TB killer
     assert "CartesianProduct" not in plan
-    physical = plan.split("== Physical Plan ==")[-1].split("(1) ")[0]
+    # tree lines only (detail lines start with "(n) ")
+    tree = [
+        ln for ln in plan.splitlines() if "Join" in ln and not ln.strip().startswith("(")
+    ]
     # the only nested-loop joins are the bounded broadcast-centroid
     # cross joins from ivf_assign (k centroids x N rows, by design)
     assert all(
-        "Cross BuildRight" in ln
-        for ln in physical.splitlines()
-        if "BroadcastNestedLoopJoin" in ln
+        "Cross BuildRight" in ln for ln in tree if "BroadcastNestedLoopJoin" in ln
     )
-    # the id_a < id_b similarity condition rides an equi SortMergeJoin
-    assert re.search(r"SortMergeJoin .*Inner", physical)
+    # the id_a < id_b similarity condition rides an Inner equi join on
+    # cell (SMJ or, when the cached assignment is broadcast-small, BHJ)
+    assert any(
+        re.search(r"(SortMergeJoin|BroadcastHashJoin) Inner", ln) for ln in tree
+    )
 
 
 def test_stl_decompose_reconstructs_and_scans_once(spark):
