@@ -29,6 +29,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIE
 BENCH_QUERIES = [
     "q_sql_pricing_summary",
     "q_sql_revenue_topn",
+    "q_sql_market_share",
     "q_flagship",
     "q_agg_multikey",
     "q_agg_reagg",
@@ -42,6 +43,8 @@ BENCH_QUERIES = [
     "q_topk_count",
     "q_rollup",
     "q_dedup_minhash_lsh",
+    "q_dedup_winnow",
+    "q_dedup_semantic",
     "q_dedup_simhash",
     "q_sim_cosine_topk",
     "q_text_quality",
