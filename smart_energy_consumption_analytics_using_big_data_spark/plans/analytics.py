@@ -1167,3 +1167,89 @@ def q_feature_binning(spark, sf_dir):
             6,
         ).alias("bin_mean"),
     )
+
+
+@q(
+    "q_window_rollmedian",
+    """
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS med7
+    FROM events
+    """,
+)
+def q_window_rollmedian(spark, sf_dir):
+    """Trailing 7-row EXACT median per user - the robust alternative to
+    q_window_rollavg when spikes must not drag the smoothed line.
+    percentile() as a window aggregate sorts only the 7-element frame
+    (per-frame cost is O(w log w), not a per-partition global sort),
+    rides the same user_id exchange as every other per-entity window,
+    and both engines interpolate even-count medians identically."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med7"),
+    )
+
+
+@q(
+    "q_agg_weighted",
+    """
+    SELECT event_type,
+           round(CAST(SUM(CAST(value * CASE event_type WHEN 'purchase' THEN 3.0
+                                                       WHEN 'signup' THEN 2.0
+                                                       ELSE 1.0 END
+                         AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(CASE event_type WHEN 'purchase' THEN 3.0
+                                                 WHEN 'signup' THEN 2.0
+                                                 ELSE 1.0 END
+                           AS DECIMAL(25,6))) AS DOUBLE), 6) AS weighted_avg,
+           round(CAST(SUM(CAST(value * CASE event_type WHEN 'purchase' THEN 3.0
+                                                       WHEN 'signup' THEN 2.0
+                                                       ELSE 1.0 END
+                         AS DECIMAL(25,6))) AS DOUBLE), 6) AS weighted_sum,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_weighted(spark, sf_dir):
+    """Weight-adjusted aggregation (importance weighting - the same
+    shape as a weighted training-data mix): numerator and denominator
+    each accumulate in DECIMAL so the weighted mean is order- and
+    partitioning-exact, one shuffle on the group key."""
+    ev = t(spark, sf_dir, "events")
+    wcol = (
+        F.when(F.col("event_type") == "purchase", 3.0)
+        .when(F.col("event_type") == "signup", 2.0)
+        .otherwise(1.0)
+    )
+    num = F.sum((F.col("value") * wcol).cast("decimal(25,6)")).cast("double")
+    den = F.sum(wcol.cast("decimal(25,6)")).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(num / den, 6).alias("weighted_avg"),
+        F.round(num, 6).alias("weighted_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q("q_approx_topk")  # rows-only: sketch output is a struct array (accuracy pytest-asserted)
+def q_approx_topk(spark, sf_dir):
+    """Frequent-items sketch: approx_top_k tracks a bounded item map
+    per partition and merges - the heavy-hitters answer in one pass
+    with constant state, where the exact q_topk_count pays a full
+    groupBy shuffle. With cardinality below the tracked capacity the
+    sketch degenerates to exact counts (asserted in
+    test_approx_topk_exact_at_low_cardinality); at 100 TB the capacity
+    bounds memory while top-k stays within the sketch's error bound."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.expr("approx_top_k(event_type, 3)").alias("top3")
+    )

@@ -53,3 +53,22 @@ def test_approx_quantile_brackets_exact(spark):
     for et, (p50, p95) in exact.items():
         assert approx[et][0] == pytest.approx(p50, rel=0.02)
         assert approx[et][1] == pytest.approx(p95, rel=0.02)
+
+
+def test_approx_topk_exact_at_low_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top3 = QUERIES["q_approx_topk"](spark, SF_SMOKE).collect()[0]["top3"]
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(item["item"], item["count"]) for item in top3]
+    # 5 distinct values << 10k tracked: the sketch must be exact
+    assert {g[0]: g[1] for g in got} == dict(want)

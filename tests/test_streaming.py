@@ -95,3 +95,45 @@ def test_stream_staging_memoized_and_tracked():
     assert a == b
     assert os.path.isdir(a) and os.listdir(a) == ["a.parquet"]
     assert any(str(p) == a for p in _staging._STAGED.values())
+
+
+def test_stream_upsert_snapshot_converges_and_is_idempotent(spark, tmp_path):
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.upsert import (
+        SnapshotUpsertSink,
+        stream_upsert_snapshot,
+    )
+
+    # two landing files = two micro-batches (maxFilesPerTrigger=1);
+    # later versions must overwrite, new keys must insert
+    land = tmp_path / "landing"
+    land.mkdir()
+    b1 = pd.DataFrame({"uid": [1, 2, 3], "ver": [1, 1, 1], "val": ["a1", "b1", "c1"]})
+    b2 = pd.DataFrame({"uid": [2, 2, 4], "ver": [3, 2, 1], "val": ["b3", "b2", "d1"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(land / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(land / "f2"))
+
+    sink = SnapshotUpsertSink(spark, str(tmp_path / "snap"), ["uid"], ["ver"])
+    stream = (
+        spark.readStream.schema("uid long, ver long, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land) + "/*")
+    )
+    q = stream_upsert_snapshot(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["uid"]: (r["ver"], r["val"]) for r in sink.current().collect()}
+    assert got == {1: (1, "a1"), 2: (3, "b3"), 3: (1, "c1"), 4: (1, "d1")}
+
+    # crash-replay: re-applying the last batch must not change the
+    # snapshot (upsert-by-key is idempotent)
+    sink.process_batch(spark.createDataFrame(b2), batch_id=99)
+    again = {r["uid"]: (r["ver"], r["val"]) for r in sink.current().collect()}
+    assert again == got
+
+    # restart with the same checkpoint and no new files: no-op
+    q2 = stream_upsert_snapshot(stream, sink, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    final = {r["uid"]: (r["ver"], r["val"]) for r in sink.current().collect()}
+    assert final == got
