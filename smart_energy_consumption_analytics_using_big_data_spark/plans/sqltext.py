@@ -269,3 +269,42 @@ def q_sql_market_share(spark, sf_dir):
         GROUP BY o_year
         """
     )
+
+
+@q(
+    "q_sql_correlated_agg",
+    """
+    SELECT p_brand,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6)
+             AS avg_yearly,
+           count(*) AS n_small_orders
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+    )
+    GROUP BY p_brand
+    """,
+)
+def q_sql_correlated_agg(spark, sf_dir):
+    """TPC-H Q17-shaped correlated aggregate subquery: per-part 20%%-of-
+    average quantity threshold. Catalyst decorrelates the subquery into
+    ONE per-part aggregate joined back to the fact - the whole filter
+    costs two scans and one join, never a per-row re-aggregation. The
+    threshold divides a decimal-exact sum so the comparison boundary is
+    identical across engines and partitionings."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand,
+               round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0, 6)
+                 AS avg_yearly,
+               count(*) AS n_small_orders
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+        )
+        GROUP BY p_brand
+        """
+    )

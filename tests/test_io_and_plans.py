@@ -430,3 +430,26 @@ def test_dq_report_single_scan_and_flags_violations(spark):
     }
     assert rows["completeness_v"][1] is False
     assert rows["max_v"] == (50.0, False)
+
+
+def test_xlsx_datasource_glob_parallel_partitions(spark, tmp_path):
+    # Spark 4 Python DataSource: .xlsx as a registered format, one
+    # input partition per matched file
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.xlsx import write_xlsx
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.xlsx_datasource import (
+        XlsxDataSource,
+    )
+
+    for i in (1, 2):
+        write_xlsx(
+            str(tmp_path / f"m{i}.xlsx"),
+            pd.DataFrame({"site": [f"s{i}a", f"s{i}b"], "kw": [1.5 * i, 2.25 * i]}),
+        )
+    spark.dataSource.register(XlsxDataSource)
+    df = spark.read.format("xlsx").option("path", str(tmp_path / "m*.xlsx")).load()
+    assert df.schema.simpleString() == "struct<site:string,kw:double>"
+    assert df.rdd.getNumPartitions() == 2
+    got = sorted((r["site"], r["kw"]) for r in df.collect())
+    assert got == [("s1a", 1.5), ("s1b", 2.25), ("s2a", 3.0), ("s2b", 4.5)]
+    # aggregations work through the source like any other format
+    assert df.agg(F.sum("kw")).collect()[0][0] == 11.25
