@@ -232,6 +232,18 @@ def cmd_report(args) -> None:
     print(json.dumps(rpt))
 
 
+def cmd_corpus(args) -> None:
+    """Training-corpus build: quality filter -> keep-best dedup ->
+    sequence packing -> deterministic shard export + summary JSON."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.corpus import build_corpus
+
+    spark = _spark(args)
+    summary = build_corpus(
+        spark, args.docs, args.out, n_shards=args.shards, context=args.context
+    )
+    print(json.dumps(summary))
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="smart-energy-engine")
     parser.add_argument("--master", default=None, help="Spark master (default: local[*])")
@@ -245,6 +257,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("anomaly"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_anomaly)
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
     p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
+    p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("all")
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
     p.add_argument("--out", required=True)

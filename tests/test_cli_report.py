@@ -100,3 +100,28 @@ def test_report_tables_shapes(pipeline_out, capsys, tmp_path):
     with open(f"{csv_dir}/monthly_anomaly_rate.csv") as fh:
         header = fh.readline().strip().split(",")
     assert header == ["month", "anomaly_rate_pct"]
+
+
+def test_cli_corpus_builds_shards_and_summary(spark, tmp_path):
+    import json
+
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.corpus import (
+        build_corpus,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path / "corpus"
+    summary = build_corpus(spark, SF_SMOKE, str(out), n_shards=4)
+    assert summary["raw_docs"] == 500
+    assert 0 < summary["after_dedup"] <= summary["after_quality_filter"] < 500
+    assert summary["packs"] > 0
+    disk = json.loads((out / "corpus_summary.json").read_text())
+    assert disk == summary
+    # shard export is hive-partitioned and complete
+    back = spark.read.parquet(str(out / "shards"))
+    assert back.count() == summary["after_dedup"]
+    assert back.select("shard").distinct().count() == 4
+    # determinism: rebuilding yields the identical summary
+    again = build_corpus(spark, SF_SMOKE, str(tmp_path / "corpus2"), n_shards=4)
+    assert again == summary
