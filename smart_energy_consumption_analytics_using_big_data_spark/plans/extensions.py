@@ -1675,3 +1675,58 @@ def q_graph_pagerank(spark, sf_dir):
     from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
 
     return pagerank(edges, iters=3)
+
+
+@q(
+    "q_text_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    freq AS (
+      SELECT doc_id, token,
+             CAST(count(*) OVER (PARTITION BY token) AS DOUBLE) AS tf
+      FROM tok
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(round(-ln(tf / (SELECT n FROM tot)), 12)
+                              AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+             AS avg_neg_logprob,
+           count(*) AS n_tokens
+    FROM freq
+    GROUP BY doc_id
+    """,
+)
+def q_text_logprob(spark, sf_dir):
+    """Unigram-LM perplexity proxy: per-doc mean -ln p(token) under the
+    corpus unigram distribution - the cheap stand-in for the
+    perplexity-filter stage of a pretraining pipeline (rare-token-heavy
+    gibberish scores high, common fluent text low). One explode; token
+    frequencies ride a window over the SAME exploded rows (no
+    self-join, the q_text_tfidf trick) and the corpus total is a 1-row
+    broadcast. ln of an exact-count ratio -> cross-engine identical."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("token")
+    )
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    freq = tok.withColumn(
+        "tf", F.count(F.lit(1)).over(Window.partitionBy("token")).cast("double")
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-F.log(F.col("tf") / F.col("__n")), 12).cast(
+                        "decimal(28,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_neg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -308,3 +308,34 @@ def q_sql_correlated_agg(spark, sf_dir):
         GROUP BY p_brand
         """
     )
+
+
+@q(
+    "q_sql_disjunctive_pushdown",
+    """
+    SELECT count(*) AS n, {rev} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """.format(rev=DSUM("l_extendedprice * (1 - l_discount)")),
+)
+def q_sql_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19-shaped OR-of-ANDs predicate: Catalyst must factor the
+    per-table conjuncts out of the disjunction so each scan still gets
+    a pushed filter (p_brand IN (...) / p_size / l_quantity bounds)
+    instead of evaluating the whole OR only after the join - the
+    difference between scanning 3 brands' row groups and scanning 100
+    TB. Pushdown asserted in test_disjunctive_predicate_reaches_scans."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+        """
+    )

@@ -453,3 +453,12 @@ def test_xlsx_datasource_glob_parallel_partitions(spark, tmp_path):
     assert got == [("s1a", 1.5), ("s1b", 2.25), ("s2a", 3.0), ("s2b", 4.5)]
     # aggregations work through the source like any other format
     assert df.agg(F.sum("kw")).collect()[0][0] == 11.25
+
+
+def test_disjunctive_predicate_reaches_scans(spark):
+    # Q19 shape: conjuncts common to one table must be factored out of
+    # the OR and pushed to that table's scan
+    plan = _formatted_plan(QUERIES["q_sql_disjunctive_pushdown"](spark, SF_SMOKE))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln or "In(p_brand" in ln for ln in pushed), pushed
+    assert any("l_quantity" in ln for ln in pushed), pushed
