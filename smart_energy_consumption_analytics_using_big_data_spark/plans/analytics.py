@@ -1253,3 +1253,87 @@ def q_approx_topk(spark, sf_dir):
     return ev.select(
         F.expr("approx_top_k(event_type, 3)").alias("top3")
     )
+
+
+@q(
+    "q_ts_anomaly_stl",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             SUM(CAST(value AS DECIMAL(25,6))) AS dv, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, hr,
+             round(CAST(dv AS DOUBLE) / n, 6) AS bucket_mean,
+             round(CAST(SUM(dv) OVER w AS DOUBLE) / SUM(n) OVER w, 6) AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ),
+    de AS (
+      SELECT event_type, hr, bucket_mean, trend,
+             round(bucket_mean - trend, 6) AS resid
+      FROM tr
+    ),
+    sc AS (
+      SELECT *,
+             round(CAST(SUM(CAST(resid AS DECIMAL(25,6))) OVER p AS DOUBLE)
+                   / COUNT(*) OVER p, 6) AS mu,
+             COUNT(*) OVER p AS n_type,
+             round(CAST(SUM(CAST(round(resid * resid, 6) AS DECIMAL(25,6))) OVER p AS DOUBLE)
+                   / COUNT(*) OVER p, 6) AS m2
+      FROM de
+      WINDOW p AS (PARTITION BY event_type)
+    )
+    SELECT event_type, hr, bucket_mean, trend, resid,
+           round(abs(resid - mu) / sqrt(m2 - mu * mu), 6) AS resid_score
+    FROM sc
+    WHERE abs(resid - mu) > 3 * sqrt(m2 - mu * mu)
+    """,
+)
+def q_ts_anomaly_stl(spark, sf_dir):
+    """Deseasonalized anomaly detection: detrend the hourly series with
+    the centered-MA trend (q_ts_stl_decompose's first stage), then flag
+    buckets whose residual sits beyond 3 sigma of the per-type residual
+    distribution - the moment stats ride a second window over the SAME
+    rows (decimal-exact sums, no self-join, no driver collect). The
+    fix for the reference's raw-value z-score (anomaly flags that just
+    mirror the daily cycle): seasonality is removed BEFORE scoring."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("dv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 11)
+    de = hourly.select(
+        "event_type",
+        "hr",
+        F.round(F.col("dv").cast("double") / F.col("n"), 6).alias("bucket_mean"),
+        F.round(F.sum("dv").over(w).cast("double") / F.sum("n").over(w), 6).alias(
+            "trend"
+        ),
+    ).withColumn("resid", F.round(F.col("bucket_mean") - F.col("trend"), 6))
+    p = Window.partitionBy("event_type")
+    mu = F.round(
+        F.sum(F.col("resid").cast("decimal(25,6)")).over(p).cast("double")
+        / F.count(F.lit(1)).over(p),
+        6,
+    )
+    m2 = F.round(
+        F.sum(F.round(F.col("resid") * F.col("resid"), 6).cast("decimal(25,6)"))
+        .over(p)
+        .cast("double")
+        / F.count(F.lit(1)).over(p),
+        6,
+    )
+    sc = de.withColumn("mu", mu).withColumn("m2", m2)
+    sigma = F.sqrt(F.col("m2") - F.col("mu") * F.col("mu"))
+    return sc.filter(F.abs(F.col("resid") - F.col("mu")) > 3 * sigma).select(
+        "event_type",
+        "hr",
+        "bucket_mean",
+        "trend",
+        "resid",
+        F.round(F.abs(F.col("resid") - F.col("mu")) / sigma, 6).alias("resid_score"),
+    )

@@ -135,3 +135,36 @@ def q_stream_enrich(spark, sf_dir):
     return stream_static_enrich(
         spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
     )
+
+
+@q(
+    "q_stream_session",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           count(*) AS n_events, {dsum} AS total_value
+    FROM s GROUP BY user_id, session_id
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_session(spark, sf_dir):
+    """Streaming session windows (native F.session_window, dynamic gap
+    merging across micro-batches) replayed with availableNow - equals
+    the batch lag/cumsum sessionization, so the stateful merge itself
+    is oracle-checked (same SQL as q_session_window aggregated)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_session_rollup,
+    )
+
+    return stream_session_rollup(spark, f"{sf_dir}/events.parquet")

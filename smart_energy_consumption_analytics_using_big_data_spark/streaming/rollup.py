@@ -185,3 +185,39 @@ def stream_static_enrich(
     query = _run_to_memory(spark, agg, name, "complete")
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_session_rollup(
+    spark: SparkSession,
+    events_glob: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Streaming SESSION windows: F.session_window merges events into
+    dynamic per-user sessions that close after `gap` of inactivity -
+    the native streaming form of q_session_window's lag/cumsum
+    sessionization. availableNow replay + complete mode sees the whole
+    history, so the merged sessions equal the batch formulation exactly
+    and the op carries the same SQL oracle. In production this runs
+    append-mode behind a watermark (state evicts as sessions close);
+    keys scale the state store, so callers with billions of users size
+    state_partitions up accordingly.
+    """
+    events = _streaming_events(spark, events_glob)
+    agg = (
+        events.groupBy(
+            F.session_window("ts", gap).alias("win"), F.col("user_id")
+        )
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "complete")
+    query.awaitTermination()
+    return spark.table(name)

@@ -157,3 +157,50 @@ def test_pack_sequences_conserves_tokens_and_docs(spark):
         .count()
     )
     assert violations == 0
+
+
+name_strings = st.lists(
+    st.text(alphabet="abc01", min_size=1, max_size=6),
+    min_size=2,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(name_strings)
+def test_fuzzy_join_matches_bruteforce_levenshtein(spark, names):
+    # FastSS blocking must find EXACTLY the edit-distance<=1 pairs the
+    # quadratic brute force finds - no false negatives from blocking,
+    # no false positives surviving the verify step
+    import itertools
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import (
+        fuzzy_join_ed1,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pdf = pd.DataFrame({"id": range(len(names)), "name": names})
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join_ed1(
+            spark.createDataFrame(pdf), spark.createDataFrame(pdf),
+            "id", "name", "id", "name",
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
