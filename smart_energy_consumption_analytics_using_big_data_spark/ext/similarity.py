@@ -223,6 +223,149 @@ def ann_topk_ivf(
     )
 
 
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codebook (Jegou et al. 2011): split each
+    vector into ``m`` contiguous ``sub_dim``-wide subspaces and learn
+    ``k`` centroids per subspace with ONE Lloyd step from a
+    deterministic hash assignment (md5(vec_id) % k) - the same
+    derandomized-k-means trick the IVF path uses, so the whole PQ
+    pipeline stays oracle-able with zero RNG.
+
+    Output: (s, code, pos, cval) rows - at most m*k*sub_dim cells
+    (4*16*16 = 1024 doubles here), broadcast-sized by construction at
+    any corpus scale. Training is one posexplode scan + a map-side-
+    combined mean; nothing corpus-sized leaves the executors.
+    """
+    code0 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10).cast("int")
+        % k
+    )
+    return (
+        embeddings.select(code0.alias("code"), F.posexplode(vec_col).alias("pos", "val"))
+        .withColumn("s", (F.col("pos") / sub_dim).cast("int"))
+        .groupBy("s", "code", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("cval"))
+    )
+
+
+def pq_codebook_arrays(
+    embeddings: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codebook re-assembled to (s, code, centroid array<double>) - the
+    broadcast-join form the encode/search stages consume."""
+    cb = pq_codebook(embeddings, m, sub_dim, k, vec_col, id_col)
+    return (
+        cb.groupBy("s", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pairs"))
+        .select("s", "code", F.transform("pairs", lambda p: p["cval"]).alias("centroid"))
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encode: per (vector, subspace), the L2-nearest codebook entry.
+    64 float dims compress to m=4 single-byte codes (16x).
+
+    Shape: the corpus expands to m rows per vector (slice per subspace,
+    NOT a posexplode per dimension), each joined against the broadcast
+    codebook (m*k rows); the k*sub_dim multiply-adds per row run inside
+    one codegen'd zip_with/aggregate expression. row_number picks the
+    argmin with (rounded d2, code) ordering for cross-engine ties.
+    """
+    from pyspark.sql import Window
+
+    cba = pq_codebook_arrays(embeddings, m, sub_dim, k, vec_col, id_col)
+    sub = embeddings.select(
+        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), F.col(vec_col)
+    ).select(
+        id_col,
+        "s",
+        F.slice(F.col(vec_col), F.col("s") * sub_dim + 1, F.lit(sub_dim)).alias("subvec"),
+    )
+    scored = sub.join(F.broadcast(cba), "s").withColumn(
+        "d2",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "subvec",
+                    "centroid",
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col, "s").orderBy("d2", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "s", "code", "d2")
+    )
+
+
+def pq_search_adc(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k_top: int = 10,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: distances from the query to
+    every codebook centroid are precomputed ONCE (m*k-entry table,
+    broadcast), then each encoded vector's approximate distance is a
+    sum of m table lookups - no per-vector float math at all. The
+    query-time cost model that makes PQ the standard billion-vector
+    path: the corpus is touched only through its m-byte codes.
+    """
+    cba = pq_codebook_arrays(embeddings, m, sub_dim, k, vec_col, id_col)
+    enc = pq_encode(embeddings, m, sub_dim, k, vec_col, id_col)
+    qsub = query.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), F.col(vec_col)
+    ).select(
+        "s", F.slice(F.col(vec_col), F.col("s") * sub_dim + 1, F.lit(sub_dim)).alias("qsub")
+    )
+    dtab = qsub.join(cba, "s").select(
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                "qsub", "centroid", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dq"),
+    )
+    adc = (
+        enc.join(F.broadcast(dtab), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -98,6 +98,46 @@ def q_scan_xlsx(spark, sf_dir):
     )
 
 
+_JSONL_STAGED: dict[str, str] = {}
+
+
+def _staged_jsonl_nation(spark, sf_dir: str) -> str:
+    """TEST SHIM: materialize the nation table as a JSONL directory once
+    per (process, sf_dir), removed at interpreter exit. Production entry
+    points receive real JSONL corpora and never touch this."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _JSONL_STAGED.get(sf_dir)
+    if path is not None and os.path.isdir(path):
+        return path
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    path = tempfile.mkdtemp(prefix="sg_jsonl_")
+    writers.write_json(t(spark, sf_dir, "nation"), path, num_files=1)
+    _JSONL_STAGED[sf_dir] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@q("q_scan_jsonl", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_jsonl(spark, sf_dir):
+    """S-extension: JSON-lines roundtrip - write the nation table with
+    the JSONL sink (`sources/writers.write_json`), scan it back with an
+    explicit schema (`sources/readers.read_jsonl`). JSONL is how LLM
+    corpora ship; the explicit schema skips the inference pre-pass and
+    prunes parsing to the projected keys. Complements S1-S5
+    (`data_ingestion.py:59` CSV / `data_preprocessing.py:97` parquet)
+    with the interchange format the reference never needed."""
+    configure_runtime(spark)
+    path = _staged_jsonl_nation(spark, sf_dir)
+    return readers.read_jsonl(
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
 @q(
     "q_limit",
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",

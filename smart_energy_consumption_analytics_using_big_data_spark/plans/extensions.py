@@ -1730,3 +1730,164 @@ def q_text_logprob(spark, sf_dir):
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (SS7 similarity-search scale path, stage 3:
+# exact -> LSH -> IVF -> PQ codes)
+
+_PQ_CB_CTES = f"""
+    psub AS (
+      SELECT vec_id, CAST((u.pos - 1) // 8 AS INT) AS s,
+             (u.pos - 1) % 8 AS p, u.val AS v,
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) % 16
+               AS code0
+      FROM ({_UNNEST_EMB.format(id='vec_id')})
+    ),
+    cb AS (
+      SELECT s, code0 AS code, p, avg(v) AS cval
+      FROM psub GROUP BY s, code0, p
+    )
+"""
+
+_PQ_ENC_CTES = f"""
+    {_PQ_CB_CTES},
+    enc0 AS (
+      SELECT psub.vec_id, psub.s, cb.code,
+             round(sum((psub.v - cb.cval) * (psub.v - cb.cval)), 6) AS d2
+      FROM psub JOIN cb ON psub.s = cb.s AND psub.p = cb.p
+      GROUP BY psub.vec_id, psub.s, cb.code
+    ),
+    enc AS (
+      SELECT vec_id, s, code, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM enc0
+      ) WHERE rn = 1
+    )
+"""
+
+
+@q(
+    "q_emb_pq_codebook",
+    f"""
+    WITH {_PQ_CB_CTES}
+    SELECT s, code, list(round(cval, 6) ORDER BY p) AS centroid
+    FROM cb GROUP BY s, code
+    """,
+)
+def q_emb_pq_codebook(spark, sf_dir):
+    """PQ codebook training (Jegou et al. 2011): m=8 subspaces x k=16
+    centroids, one derandomized Lloyd step from md5(vec_id) hash init.
+    One posexplode scan, map-side-combined means, 128-row output -
+    broadcast-sized at ANY corpus scale (codebook size is m*k*sub_dim,
+    independent of N)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cba = S.pq_codebook_arrays(emb)
+    return cba.select(
+        "s", "code", F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid")
+    )
+
+
+@q(
+    "q_emb_pq_encode",
+    f"""
+    WITH {_PQ_ENC_CTES}
+    SELECT vec_id, s, code, d2 FROM enc
+    """,
+)
+def q_emb_pq_encode(spark, sf_dir):
+    """PQ encode: each vector's m=8 nearest-centroid codes (64 floats ->
+    8 bytes, 32x compression). One corpus scan sliced to m subspace rows,
+    broadcast codebook join, k*sub_dim multiply-adds inside a single
+    codegen'd zip_with/aggregate per candidate - the corpus never
+    shuffles, and the argmin is a per-(vector, subspace) row_number."""
+    return S.pq_encode(t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "q_emb_pq_search",
+    f"""
+    WITH {_PQ_ENC_CTES},
+    qv AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+    qe AS (
+      SELECT CAST((u.pos - 1) // 8 AS INT) AS s, (u.pos - 1) % 8 AS p,
+             CAST(u.val AS DOUBLE) AS v
+      FROM (SELECT unnest(list_transform(generate_series(1, len(qvec)),
+                   i -> {{'pos': i, 'val': CAST(qvec[i] AS DOUBLE)}})) AS u FROM qv)
+    ),
+    dtab AS (
+      SELECT cb.s, cb.code, sum((qe.v - cb.cval) * (qe.v - cb.cval)) AS dq
+      FROM qe JOIN cb ON qe.s = cb.s AND qe.p = cb.p
+      GROUP BY cb.s, cb.code
+    )
+    SELECT enc.vec_id, round(sum(dtab.dq), 6) AS adc_dist
+    FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.code
+    GROUP BY enc.vec_id
+    ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def q_emb_pq_search(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-10: query-to-centroid distances
+    precomputed once into a broadcast m*k table, every corpus vector
+    scored as a sum of m=8 table lookups over its codes - query-time
+    touches only the 4-byte codes, the property that makes PQ the
+    standard billion-vector search layout. TakeOrdered top-k, no
+    global sort."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return S.pq_search_adc(emb, query)
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-data prep: fixed-token windows w/ overlap)
+
+
+@q(
+    "q_text_chunk",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0,
+               CAST((greatest(len(toks) - 40, 0) + 29) // 30 AS INT))) AS INT) AS chunk_id
+      FROM tok WHERE len(toks) >= 1
+    )
+    SELECT doc_id, chunk_id, chunk_id * 30 + 1 AS start_tok,
+           CAST(len(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS INT)
+             AS n_tok,
+           md5(array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40),
+               ' ')) AS chunk_hash
+    FROM c
+    """,
+)
+def q_text_chunk(spark, sf_dir):
+    """Fixed-size token chunking with overlap (size=40, stride=30 - the
+    sliding-window split every context-bounded training/embedding
+    pipeline runs before tokenization). Chunk COUNT is computed
+    arithmetically and exploded (no per-token explode: rows out =
+    chunks, not tokens), each chunk is a slice of the pre-split token
+    array, and the content travels as md5(chunk_text) so the result
+    stays narrow while still value-checking the exact chunk bytes.
+    Trailing chunks shorter than the window are kept (n_tok < 40)."""
+    SIZE, STRIDE = 40, 30
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n_chunks_last = F.floor(
+        (F.greatest(F.size("toks") - SIZE, F.lit(0)) + STRIDE - 1) / STRIDE
+    ).cast("int")
+    c = tok.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks_last)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * STRIDE + 1
+    ctoks = F.slice("toks", start, F.lit(SIZE))
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.size(ctoks).alias("n_tok"),
+        F.md5(F.concat_ws(" ", ctoks)).alias("chunk_hash"),
+    )

@@ -45,6 +45,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema.
+
+    JSONL is the canonical LLM-corpus interchange format; the explicit
+    schema matters twice at 100 TB: it skips Spark's whole-corpus
+    inference pre-pass, and it prunes parsing to the requested fields
+    (Jackson stops tokenizing unrequested keys). Malformed lines go to
+    PERMISSIVE-mode nulls rather than failing the scan - filter
+    downstream if the corpus needs strict parsing.
+    """
+    reader = spark.read.schema(schema)
+    if isinstance(paths, str):
+        return reader.json(paths)
+    return reader.json(list(paths))
+
+
 def dim_from_pandas(
     spark: SparkSession,
     pdf: pd.DataFrame,
