@@ -108,16 +108,25 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    full = dict(out)
     if small_timings:
         small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
-        out["sf_small"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
-        out["value_small"] = round(sum(small_timings.values()), 3)
-        out["queries_small"] = small_timings
-        out["scale_ratio"] = {
+        full["sf_small"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
+        full["value_small"] = round(sum(small_timings.values()), 3)
+        full["queries_small"] = small_timings
+        full["scale_ratio"] = {
             name: round(timings[name] / small_timings[name], 2)
             for name in BENCH_QUERIES
             if small_timings.get(name)
         }
+        # stdout carries only the compact headline record: the driver
+        # tail-captures a bounded byte window, and r2's full line
+        # (queries + queries_small + scale_ratio) overflowed it and
+        # truncated the head of the JSON. The complete record (scale
+        # curve included) goes to a sidecar file instead.
+        out["value_small"] = full["value_small"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
     print(json.dumps(out))
     spark.stop()
 

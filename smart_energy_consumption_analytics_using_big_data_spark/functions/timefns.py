@@ -19,6 +19,39 @@ from pyspark.sql import Column, DataFrame, functions as F
 REFERENCE_PI = 3.14159  # feature_engineering.py:142 uses this literal
 
 
+def as_utc_timestamp(col: Column | str) -> Column:
+    """Normalize a time column to TimestampType under the pinned-UTC session.
+
+    The testdata's physical representation has drifted across rounds
+    (INT64 TIMESTAMP(NANOS) read as bigint -> TIMESTAMP_NTZ micros), and
+    epoch arithmetic hard-coded to one representation broke when it
+    changed. This is the single typed accessor every epoch-deriving
+    plan goes through instead:
+
+    * ``timestamp``      -> identity (Catalyst folds the no-op cast).
+    * ``timestamp_ntz``  -> exact under the session timezone pinned to
+      UTC by ``sources.catalog.configure_runtime`` (a wall-clock
+      reinterpretation, no value shift).
+    * ``bigint`` *epoch seconds* -> cast interprets the value as
+      seconds (ANSI semantics) - identity for epoch-second longs.
+
+    bigint *nanos* never reaches here: ``sources.catalog.load_table``
+    converts that flavor at the scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Epoch microseconds (bigint) from any supported time column."""
+    return F.unix_micros(as_utc_timestamp(col))
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Epoch seconds (bigint, floor) from any supported time column."""
+    return F.unix_seconds(as_utc_timestamp(col))
+
+
 def with_calendar(df: DataFrame, ts: str) -> DataFrame:
     """Date-part derivations (F2/F3; `data_preprocessing.py:147-152`)."""
     return (

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_s
+
 
 def join_dim(
     fact: DataFrame,
@@ -191,7 +193,9 @@ def range_join_bucketed(
     """
 
     def floor_bucket(c: str) -> Column:
-        return (F.col(c).cast("long") / bucket_s).cast("long") * bucket_s
+        # epoch_s handles timestamp / timestamp_ntz / epoch-second longs
+        # uniformly (the testdata's ts representation has drifted once).
+        return (epoch_s(c) / bucket_s).cast("long") * bucket_s
 
     pts = points.withColumn("__bkt", floor_bucket(point_ts))
     # sequence() throws on a negative span; an inverted interval means

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_s, epoch_us
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
 
@@ -120,7 +121,7 @@ def q_sessionize(spark, sf_dir):
     key serves both windows - the batch analog of a session window."""
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
     new_session = F.when(gap > 1_800_000_000, 1).otherwise(0)
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -243,7 +244,7 @@ def q_window_range_7d(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_s("ts"))
         .rangeBetween(-604800, Window.currentRow)
     )
     return ev.select(
@@ -473,7 +474,7 @@ def q_funnel(spark, sf_dir):
     their first click - two conditional-min aggregates in ONE pass over
     events (no self-join, no sessionize), then a driver-sized rollup."""
     ev = t(spark, sf_dir, "events")
-    sec = F.col("ts").cast("long")
+    sec = epoch_s("ts")
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "click", sec)).alias("first_click"),
         F.min(F.when(F.col("event_type") == "purchase", sec)).alias("first_purchase"),
@@ -550,7 +551,7 @@ def q_cohort_retention(spark, sf_dir):
     # which scanned events twice and shuffled three times), derive the
     # cohort week with array_min, explode, then the final rollup.
     weeks = (
-        ev.select("user_id", (F.col("ts").cast("long") / 604800).cast("long").alias("w"))
+        ev.select("user_id", (epoch_s("ts") / 604800).cast("long").alias("w"))
         .groupBy("user_id")
         .agg(F.collect_set("w").alias("ws"))
     )

@@ -107,36 +107,78 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _driver_seen_keys() -> set[str]:
-    """Query names that already have a driver-side row in any
-    CORRECTNESS_r*.json at the repo root (the driver records at most
-    the first N registry entries per round)."""
+def _driver_history() -> tuple[set[str], tuple[str, ...]]:
+    """(seen, failed_latest) from the CORRECTNESS_r*.json driver records.
+
+    ``seen``: names with a driver-side row in any round (the driver
+    records at most the first N registry entries per round).
+    ``failed_latest``: names whose row in the MOST RECENT round was a
+    mismatch or error — these need driver re-verification even though
+    they are "seen", so rotation must put them back in the window.
+    """
     import glob
     import json
     import os
 
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     seen: set[str] = set()
+    failed: tuple[str, ...] = ()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        seen.update(rows.keys())
+        failed = tuple(
+            k
+            for k, v in rows.items()
+            if v.get("err") not in (None, "no_oracle")
+            or v.get("rows_match") is False
+            or v.get("hash_match") is False
+        )
+    return seen, failed
+
+
+# Queries added in round 2 with no driver row yet (VERDICT r2, item 3):
+# bumped to the front of the unseen set so the bounded driver window
+# reaches them before the rotated-out core scalars.
+_NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_emb_pq_codebook",
+    "q_emb_pq_encode",
+    "q_emb_pq_search",
+    "q_text_chunk",
+    "q_text_logprob",
+    "q_scan_jsonl",
+    "q_ts_stl_decompose",
+    "q_ts_anomaly_stl",
+    "q_join_bloom",
+    "q_join_fuzzy",
+    "q_graph_pagerank",
+    "q_dq_checks",
+    "q_merge_upsert",
+    "q_pack_sequences",
+    "q_docs_quality_filter",
+    "q_sample_mix",
+    "q_resample_gapfill",
+    "q_rollup_incremental",
+)
 
 
 def _rotate_registry() -> None:
-    """Reorder QUERIES so not-yet-driver-verified queries come first.
+    """Reorder QUERIES: last round's failures first, then never-driver-
+    verified queries, then everything else.
 
     The correctness driver checks a bounded prefix of the registry each
     round; rotating the order guarantees every query eventually gets a
-    driver-side green row while the full set stays registered.  Within
-    the unseen set, families are prioritised flagship -> sqltext ->
-    streamq -> ml -> extensions -> core -> analytics so each round's
-    window spans as many families as possible.
+    driver-side green row while the full set stays registered.  Queries
+    that FAILED in the latest driver round outrank everything — a fix
+    is only real once the driver (not just the local gate) re-verifies
+    it.  Within the unseen set, the round-2 additions come first, then
+    families flagship -> sqltext -> streamq -> ml -> extensions ->
+    core -> analytics so each window spans as many families as possible.
     """
-    seen = _driver_seen_keys()
+    seen, failed = _driver_history()
     family_order = (
         ("q_flagship",)
         + _K_SQL
@@ -148,11 +190,18 @@ def _rotate_registry() -> None:
     )
     # Anything registered outside the snapshots (defensive) keeps its place.
     tail = tuple(k for k in QUERIES if k not in set(family_order))
-    unseen = [k for k in family_order + tail if k not in seen]
-    rest = [k for k in QUERIES if k not in set(unseen)]
+    redo = [k for k in failed if k in QUERIES]
+    unseen = [
+        k
+        for k in _NEVER_RUN_PRIORITY + family_order + tail
+        if k not in seen and k in QUERIES
+    ]
+    # de-dup while preserving order (priority list overlaps family order)
+    head = list(dict.fromkeys(redo + unseen))
+    rest = [k for k in QUERIES if k not in set(head)]
     snapshot = dict(QUERIES)
     QUERIES.clear()
-    for key in unseen + rest:
+    for key in head + rest:
         QUERIES[key] = snapshot[key]
 
 

@@ -29,6 +29,34 @@ def q_stream_rollup(spark, sf_dir):
     return stream_daily_rollup(spark, f"{sf_dir}/events.parquet", window="1 day")
 
 
+@q(
+    "q_stream_rollup_append",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    d AS (
+      SELECT date_trunc('day', ts) AS day_start, event_type,
+             {dsum} AS total_value, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day_start, '%Y-%m-%d') AS day, event_type, total_value, n
+    FROM d, mx
+    WHERE day_start + INTERVAL 1 DAY <= m - INTERVAL 1 DAY
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_rollup_append(spark, sf_dir):
+    """Watermarked APPEND-mode daily rollup — the live-ingest production
+    shape (state evicts as the watermark passes; only closed windows
+    emit). Deterministic under availableNow replay: the final watermark
+    is max(ts) - 1 day, so the emitted set is exactly the batch rollup
+    restricted to windows whose end precedes it — expressible in SQL,
+    making even the late-data/eviction path oracle-checked."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_daily_rollup_append,
+    )
+
+    return stream_daily_rollup_append(spark, f"{sf_dir}/events.parquet")
+
+
 @q("q_stream_stateful")  # rows-only: custom state, float accumulation in pandas
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user

@@ -28,14 +28,17 @@ from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging 
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
 
-# readStream needs an explicit schema; ts is INT64 TIMESTAMP(NANOS) in
-# the testdata parquet, admitted as long (see sources/catalog.py).
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events table, `ts` normalized to TimestampType.
+
+    readStream needs an explicit schema, and the testdata's physical
+    `ts` representation has drifted across generator versions (INT64
+    TIMESTAMP(NANOS) admitted as long -> TIMESTAMP_NTZ micros). Probing
+    the batch schema of the same files (one footer read at plan build,
+    no data scan) and branching on the dtype mirrors the batch
+    catalog's guard (sources/catalog.py:load_table) instead of baking
+    one representation into the stream schema.
+    """
     configure_runtime(spark)
     # The file stream source only accepts directories; when handed a
     # bare parquet file, stage it into a temp dir (stand-in for the
@@ -43,8 +46,14 @@ def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
     path = Path(events_path)
     if path.is_file():
         events_path = staged_stream_dir("stream_events_", {path.name: str(path)})
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(events_path).schema
+    raw = spark.readStream.schema(schema).parquet(events_path)
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":  # legacy INT64 TIMESTAMP(NANOS) read as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp_ntz -> timestamp is exact under the pinned-UTC session;
+    # plain timestamp passes through (identity cast folded by Catalyst).
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _windowed_agg(events: DataFrame, window: str) -> DataFrame:

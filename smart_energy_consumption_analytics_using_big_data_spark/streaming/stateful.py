@@ -12,20 +12,13 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Iterator
-from pathlib import Path
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
-    configure_runtime,
-)
-from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
-    staged_stream_dir,
-)
 from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
-    EVENTS_STREAM_SCHEMA,
+    _streaming_events,
 )
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value double"
@@ -51,12 +44,7 @@ def _update_user_state(
 def stream_user_running_stats(spark: SparkSession, events_path: str) -> DataFrame:
     """Replay events through a custom stateful operator; returns the
     final per-user running stats (update-mode memory sink)."""
-    configure_runtime(spark)
-    path = Path(events_path)
-    if path.is_file():
-        events_path = staged_stream_dir("stream_stateful_", {path.name: str(path)})
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_path)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = _streaming_events(spark, events_path)
 
     stats = events.groupBy("user_id").applyInPandasWithState(
         _update_user_state,
