@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import cosine
 
@@ -415,4 +415,58 @@ def semantic_dedup(
             "cell",
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
         )
+    )
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_salt: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched exact kNN join: the top-k cosine neighbors in `corpus`
+    for EVERY row of `queries` at once (retrieval eval, semantic-dedup
+    verification, hard-negative mining) — the multi-query counterpart
+    of cosine_topk's single probe.
+
+    Scale shape: the query batch broadcasts (bounded by construction),
+    so scoring is one map-side corpus scan producing |Q| rows per
+    corpus row. Grouped top-k then runs in TWO window stages: stage 1
+    partitions by (query, corpus_id % n_salt) and keeps each salt
+    slice's local top-k; stage 2 reduces the n_salt*k survivors per
+    query to the final k. Top-k distributes over a partition union, so
+    the result is exact — but no single window partition ever holds a
+    whole corpus's scores (with a handful of queries, an unsalted
+    window would sort N rows in ONE task; salting bounds it at ~N/n_salt
+    and the second stage touches only Q*n_salt*k rows). Ties break on
+    the corpus id, so the output is deterministic and SQL-oracle-able.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+        )
+    )
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    local = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(n_salt))
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(local))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

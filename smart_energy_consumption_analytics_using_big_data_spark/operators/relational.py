@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def project(df: DataFrame, columns: dict[str, str | Column]) -> DataFrame:
@@ -114,3 +114,44 @@ def merge_upsert(
         for c in value_cols
     ]
     return joined.select(*out_cols)
+
+
+def scd2_from_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from a change
+    log: per key, collapse consecutive identical attribute values into
+    one versioned row with [valid_from, valid_to) bounds; the open
+    (valid_to IS NULL) row is the current version.
+
+    The warehouse-dimension counterpart of merge_upsert: instead of
+    overwriting, every attribute change closes the previous version
+    and opens a new one — the shape a 100 TB CDC feed materializes
+    into. One shuffle on the key serves BOTH windows (change detection
+    via lag, interval close via lead); everything stays in whole-stage
+    codegen. Ties on ts_col are broken by `tiebreak_cols` so the
+    version sequence — and therefore the SQL oracle — is deterministic.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # row_number()==1 keeps a key's first version even when its
+    # attribute is NULL (eqNullSafe(NULL, lag=NULL) would collapse it).
+    changed = (F.row_number().over(w) == 1) | ~F.col(attr_col).eqNullSafe(
+        F.lag(attr_col).over(w)
+    )
+    versions = changes.withColumn("__new", changed).filter("__new")
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .select(
+            *key_cols,
+            attr_col,
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

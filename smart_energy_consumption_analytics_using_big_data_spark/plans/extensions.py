@@ -1891,3 +1891,84 @@ def q_text_chunk(spark, sf_dir):
         F.size(ctoks).alias("n_tok"),
         F.md5(F.concat_ws(" ", ctoks)).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data selection (DSIR) + batched kNN join (round 3)
+
+
+@q(
+    "q_sample_dsir",
+    """
+    WITH tok AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+             unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, t,
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM tok
+    ),
+    counts AS (
+      SELECT bucket, sum(t) AS n_target, count(*) AS n_raw
+      FROM bt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(n_target) AS tt, sum(n_raw) AS rr FROM counts),
+    ratio AS (
+      SELECT bucket,
+             round(ln((n_target + 1) / (tt + 1024.0))
+                   - ln((n_raw + 1) / (rr + 1024.0)), 12) AS log_ratio
+      FROM counts CROSS JOIN tot
+    )
+    SELECT bt.doc_id,
+           round(CAST(SUM(CAST(ratio.log_ratio AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*), 6) AS dsir_weight
+    FROM bt JOIN ratio USING (bucket)
+    GROUP BY bt.doc_id
+    ORDER BY dsir_weight DESC, bt.doc_id LIMIT 100
+    """,
+)
+def q_sample_dsir(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023): hashed-unigram
+    log-ratio weights against an in-corpus target slice (lang='en'),
+    top-100 most target-like documents. Ratio table is 1024 rows ->
+    broadcast; token stream never shuffles (ext/selection.py)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.selection import dsir_select
+
+    docs = t(spark, sf_dir, "documents")
+    return dsir_select(docs, F.col("lang") == "en", k=100, n_buckets=1024)
+
+
+@q(
+    "q_sim_knn_join",
+    f"""
+    WITH qs AS (SELECT vec_id AS query_id, embedding AS qvec
+                FROM embeddings WHERE vec_id < 5),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings
+               WHERE vec_id >= 5),
+    scored AS (
+      SELECT qs.query_id, corpus.neighbor_id,
+             round({_DOT.format(a='corpus.embedding', b='qs.qvec')} /
+                   (sqrt({_DOT.format(a='corpus.embedding', b='corpus.embedding')}) *
+                    sqrt({_DOT.format(a='qs.qvec', b='qs.qvec')})), 6) AS cosine
+      FROM corpus CROSS JOIN qs
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q_sim_knn_join(spark, sf_dir):
+    """Batched exact kNN join: top-3 cosine neighbors for EVERY query
+    in one pass (broadcast query batch, map-side scoring, salted
+    two-stage grouped top-k so no window partition sorts the whole
+    corpus; ext/similarity.knn_join)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.knn_join(corpus, queries, k=3)

@@ -140,10 +140,16 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
     return seen, failed
 
 
-# Queries added in round 2 with no driver row yet (VERDICT r2, item 3):
-# bumped to the front of the unseen set so the bounded driver window
-# reaches them before the rotated-out core scalars.
+# Queries added in rounds 2-3 with no driver row yet (VERDICT r2,
+# item 3): bumped to the front of the unseen set so the bounded driver
+# window reaches them before the rotated-out core scalars.
 _NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_scd2_history",
+    "q_sample_dsir",
+    "q_sim_knn_join",
+    "q_sql_promo_share",
+    "q_sql_inactive_rich",
+    "q_stream_rollup_append",
     "q_emb_pq_codebook",
     "q_emb_pq_encode",
     "q_emb_pq_search",

@@ -339,3 +339,67 @@ def q_sql_disjunctive_pushdown(spark, sf_dir):
            OR (p_brand = 'Brand#4' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
         """
     )
+
+
+@q(
+    "q_sql_promo_share",
+    """
+    SELECT round(100.0 *
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount) END
+                           AS DECIMAL(25,6))) AS DOUBLE) /
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_sql_promo_share(spark, sf_dir):
+    """TPC-H Q14-shaped promo revenue share: conditional aggregate over
+    a fact-dim join, expressed as SQL text. The part side broadcasts
+    under AQE; the time predicate pushes into the lineitem scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT round(100.0 *
+                 CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount) END
+                               AS DECIMAL(25,6))) AS DOUBLE) /
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """
+    )
+
+
+@q(
+    "q_sql_inactive_rich",
+    """
+    SELECT c_nationkey, count(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_sql_inactive_rich(spark, sf_dir):
+    """TPC-H Q22-shaped: customers with above-average positive balance
+    and no URGENT orders, rolled up by nation — an uncorrelated scalar
+    subquery plus an anti join (NOT EXISTS) in one SQL statement."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey, count(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        """
+    )
