@@ -44,9 +44,12 @@ BENCH_QUERIES = [
     "q_rollup",
     "q_dedup_minhash_lsh",
     "q_dedup_winnow",
+    "q_dedup_winnow_fast",
     "q_dedup_semantic",
     "q_dedup_simhash",
     "q_sim_cosine_topk",
+    "q_sim_knn_join",
+    "q_sample_dsir",
     "q_text_quality",
     "q_docs_quality_filter",
     "q_pack_sequences",

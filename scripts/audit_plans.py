@@ -43,6 +43,9 @@ ALLOWED_BNLJ = {
     "q_text_tfidf": "scalar total-docs count cross-joined as a 1-row broadcast",
     "q_skew_audit": "scalar totals (sum + key count) cross-joined as a 1-row broadcast",
     "q_dedup_semantic": "centroid assignment: k centroids broadcast, corpus scanned once (pair stage is cell equi-join, plan-tested)",
+    "q_text_logprob": "scalar corpus-token total cross-joined as a 1-row broadcast",
+    "q_sample_dsir": "scalar target/raw totals cross-joined as a 1-row broadcast (ratio join itself is an equi-join)",
+    "q_sim_knn_join": "bounded query batch broadcast against one corpus scan (top-k stages are windows)",
 }
 
 

@@ -379,6 +379,7 @@ def winnow_fingerprints(
     w: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm): hash every k-char gram, then keep the MINIMUM
@@ -389,17 +390,27 @@ def winnow_fingerprints(
 
     Everything is native higher-order-function math (transform /
     slice / array_min over sequence) on a single scan - no explode
-    until the final distinct-fingerprint unnest, no Python. Hashes are
-    the first 8 md5 hex digits as a long, portable to the SQL oracle.
-    Output: (id_col, fp) distinct.
+    until the final distinct-fingerprint unnest, no Python.
+
+    ``hash_fn``: "md5" (default) takes the first 8 md5 hex digits as a
+    long - portable to the SQL oracle, but pays a full digest per
+    character k-gram (the dominant cost of the operator). "xxhash64"
+    is the production lever: one native 64-bit hash per gram, ~3x
+    cheaper, identical winnowing guarantees (any hash family works -
+    exact-duplicate substrings still collide) - just not reproducible
+    in DuckDB, so the fast path is pytest/bench-verified instead of
+    oracled. Output: (id_col, fp) distinct.
     """
     n_grams = F.length(text_col) - F.lit(k - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
+    if hash_fn == "xxhash64":
+        gram_hash = lambda i: F.xxhash64(F.col(text_col).substr(i, F.lit(k)))  # noqa: E731
+    elif hash_fn == "md5":
+        gram_hash = lambda i: F.conv(  # noqa: E731
             F.substring(F.md5(F.col(text_col).substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
-    )
+        ).cast("long")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    grams = F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     sized = docs.filter(F.length(text_col) >= w + k - 1).select(
         F.col(id_col), grams.alias("__grams")
     )
@@ -420,13 +431,14 @@ def winnow_pairs(
     min_shared: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Exact-substring-overlap candidates: documents sharing >=
     `min_shared` winnowing fingerprints. Boilerplate fingerprints
     (appearing in > `max_df` docs) are pruned BEFORE the pair join -
     same df-pruning that keeps the shingle LSH join off hot keys, so
     bucket sizes (not corpus^2) bound the join."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col, hash_fn)
     w_df = Window.partitionBy("fp")
     pruned = (
         fps.withColumn("__df", F.count(F.lit(1)).over(w_df))

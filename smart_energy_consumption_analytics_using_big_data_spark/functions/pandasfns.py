@@ -55,3 +55,40 @@ def normalize_per_group(
         return pdf
 
     return df.groupBy(key).applyInPandas(_norm, schema=out_schema)
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 table function): text -> one row per
+    sentence with its index and whitespace token count — the
+    row-EXPANDING escape hatch (pandas UDFs are 1:1, applyInPandas is
+    per-group; a UDTF yields arbitrarily many rows per input). Returns
+    the decorated class; register with spark.udtf.register or call
+    directly over a column.
+
+    Scale note: UDTFs execute per input PARTITION with Arrow transfer
+    like any Python UDF — fine for a bounded expansion like sentence
+    splitting, but prefer native explode(split(...)) when the split
+    rule is expressible (this one exists for the '.'/'?'/'!' +
+    abbreviation-guard logic regexes can't cleanly do in one pass).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_tokens int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            buf, idx = [], 0
+            for ch in text:
+                buf.append(ch)
+                if ch in ".?!":
+                    s = "".join(buf).strip()
+                    if s:
+                        yield idx, s, len(s.split())
+                        idx += 1
+                    buf = []
+            tail = "".join(buf).strip()
+            if tail:
+                yield idx, tail, len(tail.split())
+
+    return SentenceSplit

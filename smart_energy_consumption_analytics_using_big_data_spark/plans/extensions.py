@@ -1972,3 +1972,14 @@ def q_sim_knn_join(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5)
     corpus = emb.filter(F.col("vec_id") >= 5)
     return S.knn_join(corpus, queries, k=3)
+
+
+@q("q_dedup_winnow_fast")  # rows-only: xxhash64 not reproducible in DuckDB
+def q_dedup_winnow_fast(spark, sf_dir):
+    """Winnowing substring dedup on the xxhash64 fast path — the
+    production hash for the heaviest bench operator (one native 64-bit
+    hash per character k-gram instead of a full md5 digest, ~3x
+    cheaper, same winnowing guarantee). Pair semantics pytest-verified
+    against the md5 path on exact-duplicate fixtures; the md5 variant
+    (q_dedup_winnow) remains the oracled baseline."""
+    return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="xxhash64")

@@ -23,10 +23,14 @@ TESTDATA_TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-# Columns written by the data generator as INT64 TIMESTAMP(NANOS), which
-# Spark's Parquet reader only admits as long (spark.sql.legacy.parquet.
-# nanosAsLong). DuckDB truncates the same values to microseconds, so we
-# convert with integer division (`div 1000`) - floor semantics match.
+# Time columns whose PHYSICAL parquet representation has drifted across
+# testdata generator versions: round 1 wrote INT64 TIMESTAMP(NANOS)
+# (admitted as long under spark.sql.legacy.parquet.nanosAsLong; DuckDB
+# truncates the same values to micros, so `div 1000` floor-matches),
+# round 3 writes TIMESTAMP_NTZ micros (read natively). load_table
+# branches on the observed dtype, so EITHER flavor yields a usable
+# column; epoch arithmetic downstream goes through
+# functions/timefns.epoch_us|epoch_s (tests/test_dtype_drift.py).
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),

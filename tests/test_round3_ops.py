@@ -112,3 +112,51 @@ def test_dsir_deterministic_on_testdata(spark):
     a = [tuple(r) for r in dsir_select(docs, F.col("lang") == "en", k=20).collect()]
     b = [tuple(r) for r in dsir_select(docs, F.col("lang") == "en", k=20).collect()]
     assert a == b and len(a) == 20
+
+
+def test_winnow_fast_hash_finds_exact_duplicates(spark):
+    """Any hash family must surface exact duplicate substrings: two
+    docs sharing their full text collide on every fingerprint under
+    md5 AND xxhash64; disjoint-text docs pair under neither."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import winnow_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    other = "completely different content with no shared substring runs " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        got = winnow_pairs(docs, hash_fn=hash_fn).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in got] == [(1, 2)], hash_fn
+
+
+def test_winnow_fast_deterministic_on_testdata(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import winnow_pairs
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    a = sorted(map(tuple, winnow_pairs(docs, hash_fn="xxhash64").collect()))
+    b = sorted(map(tuple, winnow_pairs(docs, hash_fn="xxhash64").collect()))
+    assert a == b
+
+
+def test_sentence_split_udtf(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.pandasfns import (
+        sentence_split_udtf,
+    )
+
+    SentenceSplit = sentence_split_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    rows = spark.sql(
+        "SELECT * FROM sentence_split('One two. Three? Four five six')"
+    ).collect()
+    got = [(r["sentence_idx"], r["sentence"], r["n_tokens"]) for r in rows]
+    assert got == [(0, "One two.", 2), (1, "Three?", 1), (2, "Four five six", 3)]
+    # lateral join over a table: one row in -> many rows out
+    docs = spark.createDataFrame([(1, "A b. C d."), (2, None)], "doc_id long, text string")
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence FROM udtf_docs, "
+        "LATERAL sentence_split(text) s"
+    ).collect()
+    assert len(out) == 2 and all(r["doc_id"] == 1 for r in out)
