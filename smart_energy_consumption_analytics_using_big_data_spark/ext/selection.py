@@ -9,13 +9,15 @@ keep the highest-weight documents.
 
 Scale design (100 TB corpus):
 
-* bucket counts are ONE scan + one B-row aggregate (B = n_buckets,
-  e.g. 1024) with map-side partial aggregation absorbing the token
-  blowup; the resulting log-ratio table is dimension-sized and
-  broadcast;
-* document scores are a second scan joined map-side against the
-  broadcast ratio table — no shuffle of the token stream at all; the
-  only full shuffle is the final per-document sum keyed by doc id;
+* the token stream is exploded ONCE and immediately compacted to
+  per-(document, bucket) counts — at most min(n_tokens, B) rows per
+  document (B = n_buckets, e.g. 1024) — with map-side partial
+  aggregation absorbing the token blowup; both the ratio estimate and
+  the scoring read this compacted table (persisted), never the raw
+  token stream again;
+* the log-ratio table is B rows — dimension-sized — and broadcast
+  into the scoring join; the only full shuffles key on (doc, bucket)
+  and doc;
 * everything is JVM column math (split/explode/md5/conv); the md5
   bucket hash is portable to the SQL oracle
   (`CAST(concat('0x', substr(md5(token),1,8)) AS BIGINT)` in DuckDB).
@@ -35,34 +37,61 @@ def _bucket(token: Column, n_buckets: int) -> Column:
     return F.pmod(h, F.lit(n_buckets))
 
 
+def doc_bucket_counts(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, __t, bucket, n): the ONE token-level pass, compacted.
+
+    Explode whitespace tokens, bucket them, count per (document,
+    bucket). Every downstream DSIR stage reads this table instead of
+    re-exploding the corpus; its size is bounded by
+    sum_over_docs(min(n_tokens, n_buckets)) rows.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            is_target.cast("int").alias("__t"),
+            F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+        )
+        .groupBy(id_col, "__t", _bucket(F.col("__tok"), n_buckets).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def dsir_log_ratios(
     docs: DataFrame,
     is_target: Column,
     n_buckets: int = 1024,
     text_col: str = "text",
+    id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket smoothed log( p_target / p_raw ) over hashed tokens.
 
-    One scan: explode whitespace tokens, bucket them, count target vs
-    all occurrences per bucket, then Laplace-smooth both distributions
+    Aggregates the compacted (doc, bucket) counts to per-bucket target
+    vs raw totals, then Laplace-smooths both distributions
     ((c+1)/(total+B)). Output is at most `n_buckets` rows — broadcast
-    it into the scoring join.
+    it into the scoring join. Pass `counts` to reuse an existing
+    doc_bucket_counts table (dsir_select does).
     """
-    toks = docs.select(
-        is_target.cast("int").alias("__t"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    if counts is None:
+        counts = doc_bucket_counts(docs, is_target, n_buckets, text_col, id_col)
+    per_bucket = counts.groupBy("bucket").agg(
+        F.sum(F.col("n") * F.col("__t")).alias("n_target"),
+        F.sum("n").alias("n_raw"),
     )
-    counts = toks.groupBy(_bucket(F.col("__tok"), n_buckets).alias("bucket")).agg(
-        F.sum("__t").alias("n_target"), F.count(F.lit(1)).alias("n_raw")
-    )
-    totals = counts.agg(
+    totals = per_bucket.agg(
         F.sum("n_target").alias("__T"), F.sum("n_raw").alias("__R")
     )
     b = float(n_buckets)
     # round to 12 dp before any cross-row summation: ln() may differ in
     # the last ulp across engines, and downstream sums must be
     # order-independent (same trick as q_text_logprob).
-    return counts.crossJoin(F.broadcast(totals)).select(
+    return per_bucket.crossJoin(F.broadcast(totals)).select(
         "bucket",
         F.round(
             F.log((F.col("n_target") + 1) / (F.col("__T") + b))
@@ -86,20 +115,29 @@ def dsir_select(
     per-token normalization removes the length bias a raw sum has:
     common-token mass makes every log-ratio slightly negative, so
     longer documents would always lose). Ties break on the document id
-    so selection is deterministic. The log-ratio table broadcasts; the
-    per-document aggregate is the only shuffle; TakeOrdered picks k
-    without a global sort.
+    so selection is deterministic.
+
+    The compacted counts table is built once and persisted (it feeds
+    both the ratio estimate and the scoring — without the persist the
+    corpus would be re-exploded per consumer); the weighted mean
+    sum(n * log_ratio) / sum(n) over buckets equals the token-level
+    mean exactly, in exact decimal so partition order can't change the
+    answer. TakeOrdered picks k without a global sort.
     """
-    ratios = dsir_log_ratios(docs, is_target, n_buckets, text_col)
+    counts = doc_bucket_counts(docs, is_target, n_buckets, text_col, id_col).persist()
+    ratios = dsir_log_ratios(docs, is_target, n_buckets, text_col, id_col, counts=counts)
     scored = (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok"))
-        .withColumn("bucket", _bucket(F.col("__tok"), n_buckets))
-        .join(F.broadcast(ratios), "bucket")
+        counts.join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
         .agg(
             F.round(
-                F.sum(F.col("log_ratio").cast("decimal(28,12)")).cast("double")
-                / F.count(F.lit(1)),
+                # multiply in DOUBLE (IEEE-identical across engines),
+                # round to 12 dp, then exact decimal sum — decimal*int
+                # precision-widening rules differ between engines.
+                F.sum(
+                    F.round(F.col("log_ratio") * F.col("n"), 12).cast("decimal(28,12)")
+                ).cast("double")
+                / F.sum("n"),
                 6,
             ).alias("dsir_weight")
         )

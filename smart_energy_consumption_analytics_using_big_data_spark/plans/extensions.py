@@ -1905,14 +1905,15 @@ def q_text_chunk(spark, sf_dir):
              unnest(string_split(text, ' ')) AS tk
       FROM documents
     ),
-    bt AS (
+    dbc AS (
       SELECT doc_id, t,
-             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS bucket
-      FROM tok
+             CAST(concat('0x', substr(md5(tk), 1, 8)) AS BIGINT) % 1024 AS bucket,
+             count(*) AS n
+      FROM tok GROUP BY 1, 2, 3
     ),
     counts AS (
-      SELECT bucket, sum(t) AS n_target, count(*) AS n_raw
-      FROM bt GROUP BY bucket
+      SELECT bucket, sum(n * t) AS n_target, sum(n) AS n_raw
+      FROM dbc GROUP BY bucket
     ),
     tot AS (SELECT sum(n_target) AS tt, sum(n_raw) AS rr FROM counts),
     ratio AS (
@@ -1921,12 +1922,13 @@ def q_text_chunk(spark, sf_dir):
                    - ln((n_raw + 1) / (rr + 1024.0)), 12) AS log_ratio
       FROM counts CROSS JOIN tot
     )
-    SELECT bt.doc_id,
-           round(CAST(SUM(CAST(ratio.log_ratio AS DECIMAL(28,12))) AS DOUBLE)
-                 / count(*), 6) AS dsir_weight
-    FROM bt JOIN ratio USING (bucket)
-    GROUP BY bt.doc_id
-    ORDER BY dsir_weight DESC, bt.doc_id LIMIT 100
+    SELECT dbc.doc_id,
+           round(CAST(SUM(CAST(round(ratio.log_ratio * dbc.n, 12)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / sum(dbc.n), 6) AS dsir_weight
+    FROM dbc JOIN ratio USING (bucket)
+    GROUP BY dbc.doc_id
+    ORDER BY dsir_weight DESC, dbc.doc_id LIMIT 100
     """,
 )
 def q_sample_dsir(spark, sf_dir):

@@ -69,7 +69,12 @@ def _windowed_agg(events: DataFrame, window: str) -> DataFrame:
     )
 
 
-def stream_daily_rollup(spark: SparkSession, events_glob: str, window: str = "1 day") -> DataFrame:
+def stream_daily_rollup(
+    spark: SparkSession,
+    events_glob: str,
+    window: str = "1 day",
+    state_store_provider: str | None = None,
+) -> DataFrame:
     """Replay the events table as a stream; return the final rollup.
 
     availableNow processes all existing files then stops; complete mode
@@ -77,12 +82,19 @@ def stream_daily_rollup(spark: SparkSession, events_glob: str, window: str = "1 
     """
     agg = _windowed_agg(_streaming_events(spark, events_glob), window)
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    query = _run_to_memory(spark, agg, name, "complete")
+    query = _run_to_memory(
+        spark, agg, name, "complete", state_store_provider=state_store_provider
+    )
     query.awaitTermination()
     return spark.table(name)
 
 
 DEFAULT_STATE_PARTITIONS = 8
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def _run_to_memory(
@@ -91,6 +103,7 @@ def _run_to_memory(
     name: str,
     mode: str,
     state_partitions: int = DEFAULT_STATE_PARTITIONS,
+    state_store_provider: str | None = None,
 ):
     """Start a memory-sink stream with a bounded state-partition count.
 
@@ -104,9 +117,22 @@ def _run_to_memory(
     3.9s on a 150-window rollup at sf0.1. A genuinely large keyspace
     (billions of session keys) wants hundreds of partitions instead -
     callers pass `state_partitions` accordingly.
+
+    ``state_store_provider``: pass ROCKSDB_PROVIDER to keep state
+    off-heap in RocksDB - the production choice when per-partition
+    state (sessions, join buffers) outgrows executor heap; the default
+    HDFS-backed in-memory store is fine for windowed rollup state.
+    Result-identical either way (tests pin this).
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if state_store_provider:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", state_store_provider
+        )
     try:
         return (
             agg.writeStream.format("memory")
@@ -117,6 +143,13 @@ def _run_to_memory(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_store_provider:
+            if prev_provider:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
 def stream_daily_rollup_append(

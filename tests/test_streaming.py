@@ -137,3 +137,30 @@ def test_stream_upsert_snapshot_converges_and_is_idempotent(spark, tmp_path):
     q2.awaitTermination(120)
     final = {r["uid"]: (r["ver"], r["val"]) for r in sink.current().collect()}
     assert final == got
+
+
+def test_rocksdb_state_store_equals_default(spark):
+    """The RocksDB state store (the off-heap production choice for
+    large streaming state) must be a pure physical swap: same rollup
+    answer as the default HDFS-backed in-memory provider, and the
+    session conf is restored afterwards."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        ROCKSDB_PROVIDER,
+        stream_daily_rollup,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    default = sorted(map(tuple, stream_daily_rollup(spark, src).collect()))
+    rocks = sorted(
+        map(
+            tuple,
+            stream_daily_rollup(
+                spark, src, state_store_provider=ROCKSDB_PROVIDER
+            ).collect(),
+        )
+    )
+    assert default == rocks and len(default) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        != ROCKSDB_PROVIDER
+    )
