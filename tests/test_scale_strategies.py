@@ -90,3 +90,64 @@ def test_salted_join_left_keeps_unmatched_left_rows(spark):
         (r["k"], r["v"], r["w"]) for r in J.salted_join(left, right, "k", "left").collect()
     )
     assert got == [("a", 1, 10), ("b", 2, 20), ("zz", 3, None)]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join is the RUNTIME complement to salted_join: with the
+    skew thresholds scoped down, a sort-merge join whose build of one
+    hot key dwarfs the others must be re-planned with the skewed
+    partition split (SortMergeJoin(skew=true) + AQEShuffleRead skewed
+    in the final plan) — and the answer must equal the non-adaptive
+    join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 2000 'hot' rows (~60 KB serialized) vs ~2-row tail keys: the
+        # hot shuffle partition exceeds the scoped 8 KB threshold.
+        left = spark.range(0, 2200).select(
+            F.when(F.col("id") < 2000, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+            ).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.when(F.col("id") < 50, F.lit("hot")).otherwise(
+                F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+            ).alias("k"),
+            F.col("id").alias("w"),
+        )
+        joined = left.join(right, "k")
+        rows = joined.collect()  # drives THIS DataFrame's QueryExecution
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final or "skewed" in final, final[:2000]
+        # answer parity with the aggregate-based exact computation
+        n = len(rows)
+        s = sum(r["v"] + r["w"] for r in rows)
+        plain = (
+            left.groupBy("k").agg(F.count(F.lit(1)).alias("ln"), F.sum("v").alias("lv"))
+            .join(
+                right.groupBy("k").agg(F.count(F.lit(1)).alias("rn"), F.sum("w").alias("rv")),
+                "k",
+            )
+            .agg(
+                F.sum(F.col("ln") * F.col("rn")).alias("n"),
+                F.sum(F.col("lv") * F.col("rn") + F.col("rv") * F.col("ln")).alias("s"),
+            )
+            .collect()[0]
+        )
+        assert (n, s) == (plain["n"], plain["s"])
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
