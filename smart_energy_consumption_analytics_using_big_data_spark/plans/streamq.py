@@ -196,3 +196,16 @@ def q_stream_session(spark, sf_dir):
     )
 
     return stream_session_rollup(spark, f"{sf_dir}/events.parquet")
+
+
+@q("q_stream_score")  # rows-only: LR weights are not SQL-reproducible
+def q_stream_score(spark, sf_dir):
+    """Streaming model scoring: a batch-trained assembler+LR pipeline
+    applied to the event stream as a stateless row-wise transform
+    (map-side; no state until the rollup). Stream == batch scoring
+    parity is pinned by test_stream_scoring_equals_batch."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.scoring import (
+        stream_model_scoring,
+    )
+
+    return stream_model_scoring(spark, f"{sf_dir}/events.parquet")

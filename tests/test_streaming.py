@@ -164,3 +164,21 @@ def test_rocksdb_state_store_equals_default(spark):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         != ROCKSDB_PROVIDER
     )
+
+
+def test_stream_scoring_equals_batch(spark):
+    """Applying the SAME fitted model to the stream replay and to the
+    batch table must produce identical rollups (per-row rounding +
+    exact decimal sums make this partition-invariant)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.scoring import (
+        score_events,
+        stream_model_scoring,
+        train_event_value_model,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    model = train_event_value_model(spark, src)
+    streamed = stream_model_scoring(spark, src, model)
+    batch = score_events(load_table(spark, "/root/testdata/sf0.001", "events"), model)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
