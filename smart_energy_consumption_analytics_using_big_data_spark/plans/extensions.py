@@ -1985,3 +1985,129 @@ def q_dedup_winnow_fast(spark, sf_dir):
     against the md5 path on exact-duplicate fixtures; the md5 variant
     (q_dedup_winnow) remains the oracled baseline."""
     return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="xxhash64")
+
+
+@q(
+    "q_drift_ks",
+    """
+    WITH binned AS (
+      SELECT CAST(floor(value / 25.0) AS INTEGER) AS bin,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    counts AS (
+      SELECT bin, sum(a) AS na, sum(b) AS nb FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             sum(na) OVER (ORDER BY bin) AS ca,
+             sum(nb) OVER (ORDER BY bin) AS cb,
+             sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      FROM counts
+    )
+    SELECT round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+             AS ks_stat,
+           CAST(max(ta) AS BIGINT) AS n_ref, CAST(max(tb) AS BIGINT) AS n_cur
+    FROM cum
+    """,
+)
+def q_drift_ks(spark, sf_dir):
+    """Binned two-sample Kolmogorov-Smirnov statistic (click vs
+    purchase value distributions): max CDF gap over fixed-width bins.
+    The exact KS needs a GLOBAL sort of both samples - a non-starter at
+    100 TB - but binned KS aggregates to a ~40-row bin table first, so
+    the ordered window runs over bins, not rows (same design as
+    q_drift_psi; the bin width bounds the statistic's error). One scan,
+    one tiny window."""
+    ev = t(spark, sf_dir, "events")
+    binned = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.floor(F.col("value") / 25.0).cast("int").alias("bin"),
+        (F.col("event_type") == "click").cast("int").alias("a"),
+        (F.col("event_type") == "purchase").cast("int").alias("b"),
+    )
+    counts = binned.groupBy("bin").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # ordered + unbounded windows over the BIN table only (tiny)
+    w_ord = Window.orderBy("bin")
+    w_all = Window.partitionBy()
+    cum = counts.select(
+        (F.sum("na").over(w_ord).cast("double") / F.sum("na").over(w_all)).alias("fa"),
+        (F.sum("nb").over(w_ord).cast("double") / F.sum("nb").over(w_all)).alias("fb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        F.max("ta").alias("n_ref"),
+        F.max("tb").alias("n_cur"),
+    )
+
+
+@q(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT event_id, event_type, round(value, 6) AS value FROM events
+    ),
+    new AS (
+      SELECT event_id, event_type,
+             round(CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END, 6)
+               AS value
+      FROM events WHERE event_id % 17 <> 3
+      UNION ALL
+      SELECT event_id + 1000000000, 'inserted', round(value, 6)
+      FROM events WHERE event_id % 100 = 7
+    )
+    SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value <> n.value OR o.event_type <> n.event_type
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (table-version comparison / CDC backfill audit):
+    classify every key of two table versions as added / removed /
+    changed / unchanged in ONE full outer join + rollup - the
+    data-reconciliation primitive for validating an incremental
+    pipeline against a rebuild. Both versions shuffle once on the key;
+    at scale pre-bucket both snapshots on event_id to make the diff
+    co-located and shuffle-free."""
+    ev = t(spark, sf_dir, "events")
+    old = ev.select("event_id", "event_type", F.round("value", 6).alias("value"))
+    new = (
+        ev.filter(F.col("event_id") % 17 != 3)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(F.col("event_id") % 10 == 0, F.col("value") * 2).otherwise(
+                    F.col("value")
+                ),
+                6,
+            ).alias("value"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 100 == 7).select(
+                (F.col("event_id") + 1000000000).alias("event_id"),
+                F.lit("inserted").alias("event_type"),
+                F.round("value", 6).alias("value"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.event_id") == F.col("n.event_id"), "full_outer")
+    change = (
+        F.when(F.col("o.event_id").isNull(), "added")
+        .when(F.col("n.event_id").isNull(), "removed")
+        .when(
+            (F.col("o.value") != F.col("n.value"))
+            | (F.col("o.event_type") != F.col("n.event_type")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(change.alias("change_type")).agg(F.count(F.lit(1)).alias("n"))
