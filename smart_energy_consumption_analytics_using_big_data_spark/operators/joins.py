@@ -118,28 +118,44 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join (J5 stretch goal, SURVEY.md SS2.3): attach to
-    every left row the most recent right row with ``right_ts <= left_ts``
-    for the same key.
+    """As-of join (J5 stretch goal, SURVEY.md SS2.3): attach to every
+    left row the nearest right row for the same key — ``backward``
+    (most recent right with ``right_ts <= left_ts``, the default) or
+    ``forward`` (earliest right with ``right_ts >= left_ts``); with
+    ``tolerance_s`` the match must also lie within that many seconds
+    (pandas merge_asof's full surface).
 
     Implemented as union + running ``last(ignorenulls)`` over a single
     per-key window - ONE shuffle on the key, unbounded lookback, and no
     range-join row explosion (a naive ``l.ts >= r.ts`` theta join is
-    O(n*m) per key and unusable at 100 TB). Equal timestamps match
-    (right side sorts before left at the same instant).
+    O(n*m) per key and unusable at 100 TB). Forward is the same pass
+    with the window ordered descending. Equal timestamps match in both
+    directions (right side sorts before left at the same instant).
+    Tolerance is a post-filter on the carried match timestamp, not a
+    join-shape change.
 
     Contract: the right side must be unique per ``(key, right_ts)``
     (pre-aggregate with max_by otherwise) and ``right_cols`` must not
     collide with left column names.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     ldt = dict(left.dtypes)
     left_payload = [c for c in left.columns if c != key]
     # Carry the whole right payload as ONE struct so the window pass is a
     # single last(ignorenulls) regardless of payload width (k window
-    # expressions over the same spec -> 1).
-    rpay_type = right.select(*right_cols).schema
+    # expressions over the same spec -> 1). The match timestamp rides in
+    # the struct so tolerance can be checked after the pass.
+    rpay_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__mts")
+    )
+    rpay_type = right.select(
+        *right_cols, F.col(right_ts).alias("__mts")
+    ).schema
     l2 = left.select(
         F.col(key),
         F.col(left_ts).alias("__ats"),
@@ -152,17 +168,26 @@ def asof_join(
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(ldt[c]).alias(c) for c in left_payload],
-        F.struct(*[F.col(c) for c in right_cols]).alias("__rpay"),
+        rpay_struct.alias("__rpay"),
     )
     from pyspark.sql import Window
 
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
     u = l2.unionByName(r2)
+    ats = F.col("__ats") if direction == "backward" else F.col("__ats").desc()
     w = (
         Window.partitionBy(key)
-        .orderBy("__ats", "__side")
+        .orderBy(ats, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__rpay", F.last("__rpay", ignorenulls=True).over(w))
+    if tolerance_s is not None:
+        within = (
+            F.abs(epoch_us(F.col("__ats")) - epoch_us(F.col("__rpay.__mts")))
+            <= int(tolerance_s) * 1_000_000
+        )
+        u = u.withColumn("__rpay", F.when(within, F.col("__rpay")))
     return u.filter(F.col("__side") == 1).select(
         F.col(key),
         *[F.col(c) for c in left_payload],

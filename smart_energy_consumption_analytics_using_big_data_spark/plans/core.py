@@ -1148,3 +1148,45 @@ def q_rollup_incremental(spark, sf_dir):
             F.sum("n").alias("n"),
         )
     )
+
+
+@q(
+    "q_join_asof_fwd",
+    """
+    WITH p AS (
+      SELECT user_id, ts, min(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id,
+           (SELECT p.pid FROM p
+            WHERE p.user_id = v.user_id AND p.ts >= v.ts
+              AND p.ts <= v.ts + INTERVAL 2 HOUR
+            ORDER BY p.ts LIMIT 1) AS next_purchase_id
+    FROM v
+    """,
+)
+def q_join_asof_fwd(spark, sf_dir):
+    """FORWARD as-of join with tolerance (pandas merge_asof surface):
+    each view event gets the user's next purchase within 2 hours, or
+    NULL. Same union + running-last single-shuffle plan as the backward
+    direction, window ordered descending; the oracle's correlated
+    LIMIT-1 subquery is the O(n*m) semantics it replaces."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("next_purchase_id"))
+    )
+    joined = J.asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["next_purchase_id"],
+        direction="forward",
+        tolerance_s=7200,
+    )
+    return joined.select("event_id", "user_id", "next_purchase_id")

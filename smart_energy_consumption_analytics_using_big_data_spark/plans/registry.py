@@ -144,6 +144,11 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
 # item 3): bumped to the front of the unseen set so the bounded driver
 # window reaches them before the rotated-out core scalars.
 _NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_join_asof_fwd",
+    "q_drift_ks",
+    "q_snapshot_diff",
+    "q_stream_score",
+    "q_dedup_winnow_fast",
     "q_scd2_history",
     "q_sample_dsir",
     "q_sim_knn_join",

@@ -160,3 +160,42 @@ def test_sentence_split_udtf(spark):
         "LATERAL sentence_split(text) s"
     ).collect()
     assert len(out) == 2 and all(r["doc_id"] == 1 for r in out)
+
+
+def test_asof_forward_and_tolerance(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "k int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "a"), (1, "2024-01-01 23:00:00", "b")],
+        "k int, ts string, v string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    fwd = {
+        (r["k"], str(r["ts"])): r["v"]
+        for r in asof_join(left, right, "k", direction="forward").collect()
+    }
+    # 10:00 -> next right at 10:30; 12:00 -> 23:00; key 2 -> no match
+    assert fwd[(1, "2024-01-01 10:00:00")] == "a"
+    assert fwd[(1, "2024-01-01 12:00:00")] == "b"
+    assert fwd[(2, "2024-01-01 10:00:00")] is None
+
+    tol = {
+        (r["k"], str(r["ts"])): r["v"]
+        for r in asof_join(
+            left, right, "k", direction="forward", tolerance_s=3600
+        ).collect()
+    }
+    # 12:00 -> 23:00 is 11h away: outside the 1h tolerance
+    assert tol[(1, "2024-01-01 10:00:00")] == "a"
+    assert tol[(1, "2024-01-01 12:00:00")] is None
+
+    back = {
+        (r["k"], str(r["ts"])): r["v"]
+        for r in asof_join(left, right, "k", direction="backward").collect()
+    }
+    assert back[(1, "2024-01-01 10:00:00")] is None
+    assert back[(1, "2024-01-01 12:00:00")] == "a"
