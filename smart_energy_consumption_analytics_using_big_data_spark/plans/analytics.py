@@ -948,26 +948,24 @@ def q_scd2_dim(spark, sf_dir):
     row_number) partition by the same key: the change filter runs
     between two window passes over one exchange, and the second pass
     sorts only the surviving change rows."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.select(
-            "user_id",
-            "event_type",
-            "ts",
-            "event_id",
-            F.lag("event_type").over(w).alias("prev_type"),
-        )
-        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        scd2_from_changelog,
     )
-    lead_ts = F.lead("ts").over(w)
-    return changes.select(
+
+    ev = t(spark, sf_dir, "events")
+    hist = scd2_from_changelog(
+        ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+    # version numbering is a window over the already-collapsed version
+    # rows (tiny per key), reusing the same partitioning
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return hist.select(
         "user_id",
         "event_type",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
-        F.date_format(lead_ts, "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
-        F.row_number().over(w).alias("version_no"),
-        F.when(lead_ts.isNull(), 1).otherwise(0).alias("is_current"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("effective_to"),
+        F.row_number().over(wv).alias("version_no"),
+        F.col("is_current").cast("int").alias("is_current"),
     )
 
 
@@ -1337,50 +1335,4 @@ def q_ts_anomaly_stl(spark, sf_dir):
         "trend",
         "resid",
         F.round(F.abs(F.col("resid") - F.col("mu")) / sigma, 6).alias("resid_score"),
-    )
-
-
-@q(
-    "q_scd2_history",
-    """
-    WITH o AS (
-      SELECT user_id, event_type, ts, event_id,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
-    ),
-    v AS (
-      SELECT user_id, event_type, ts, event_id
-      FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
-    )
-    SELECT user_id, event_type,
-           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
-             AS is_current
-    FROM v
-    """,
-)
-def q_scd2_history(spark, sf_dir):
-    """Slowly-changing-dimension type-2 build from a change log: each
-    user's event_type stream collapses into versioned rows with
-    [valid_from, valid_to) bounds; the open row is current. One shuffle
-    on the key serves change detection (lag/row_number) AND interval
-    close (lead) — operators/relational.scd2_from_changelog."""
-    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
-        scd2_from_changelog,
-    )
-
-    ev = t(spark, sf_dir, "events")
-    hist = scd2_from_changelog(
-        ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
-    )
-    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return hist.select(
-        "user_id",
-        "event_type",
-        F.date_format("valid_from", fmt).alias("valid_from"),
-        F.date_format("valid_to", fmt).alias("valid_to"),
-        "is_current",
     )

@@ -149,7 +149,7 @@ _NEVER_RUN_PRIORITY: tuple[str, ...] = (
     "q_snapshot_diff",
     "q_stream_score",
     "q_dedup_winnow_fast",
-    "q_scd2_history",
+    "q_scd2_dim",
     "q_sample_dsir",
     "q_sim_knn_join",
     "q_sql_promo_share",

@@ -403,3 +403,37 @@ def q_sql_inactive_rich(spark, sf_dir):
         GROUP BY c_nationkey
         """
     )
+
+
+@q(
+    "q_sql_count_distribution",
+    """
+    SELECT c_count, count(*) AS n_custs
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_sql_count_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped order-count distribution: LEFT join with an
+    ON-clause filter (customers with zero qualifying orders must
+    survive into the c_count=0 bucket — a WHERE would drop them), then
+    a second aggregation over the first's results. Two shuffles by
+    construction; the second is over the tiny count-histogram."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_count, count(*) AS n_custs
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """
+    )
