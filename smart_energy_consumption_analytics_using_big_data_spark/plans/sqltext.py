@@ -437,3 +437,70 @@ def q_sql_count_distribution(spark, sf_dir):
         GROUP BY c_count
         """
     )
+
+
+@q(
+    "q_sql_top_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, total, rnk FROM (
+      SELECT c_mktsegment, c_custkey, total,
+             CAST(row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey
+             ) AS INTEGER) AS rnk
+      FROM (
+        SELECT c_mktsegment, c_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1, 2
+      )
+    ) WHERE rnk <= 5
+    """,
+)
+def q_sql_top_per_group(spark, sf_dir):
+    """Windowed top-k per group as SQL TEXT (the window-function syntax
+    family through spark.sql): top-5 customers by order total per
+    market segment. Aggregation and ranking share the segment+customer
+    shuffle; the rank filter prunes before any further stage."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_custkey, total, rnk FROM (
+          SELECT c_mktsegment, c_custkey, total,
+                 CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey
+                 ) AS INTEGER) AS rnk
+          FROM (
+            SELECT c_mktsegment, c_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1, 2
+          )
+        ) WHERE rnk <= 5
+        """
+    )
+
+
+@q(
+    "q_sql_lateral_tokens",
+    """
+    SELECT doc_id, CAST(p['i'] - 1 AS INTEGER) AS pos, p['tok'] AS token
+    FROM (SELECT doc_id,
+                 unnest(list_transform(string_split(text, ' '),
+                                       (x, i) -> {'i': i, 'tok': x})) AS p
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def q_sql_lateral_tokens(spark, sf_dir):
+    """LATERAL VIEW posexplode as SQL TEXT: token-position table per
+    document (the row-generating SQL syntax family; the DataFrame
+    explode path is exercised everywhere else). Generator runs inside
+    the scan projection — no join, no shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, pos, token
+        FROM documents
+        LATERAL VIEW posexplode(split(text, ' ')) t AS pos, token
+        WHERE doc_id < 20
+        """
+    )
