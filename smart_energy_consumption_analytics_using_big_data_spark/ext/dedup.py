@@ -164,6 +164,58 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 6) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(
+    signatures: DataFrame, num_hashes: int = 6, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, band, band_key) from a signature table — ONE explode
+    over the signature row (banding re-used by the intra-corpus and
+    incremental LSH paths)."""
+    n_bands = num_hashes // band_size
+    entries = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.concat(
+                *[F.col(f"mh_{band * band_size + j}") for j in range(band_size)]
+            ).alias("band_key"),
+        )
+        for band in range(n_bands)
+    ]
+    return signatures.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
+    )
+
+
+def lsh_incremental_candidates(
+    new_sigs: DataFrame,
+    history_sigs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+) -> DataFrame:
+    """Near-dup candidates of a NEW batch against an indexed HISTORY —
+    the nightly-ingest shape (intra-corpus LSH compares everything to
+    everything; here history x history pairs are never generated, so
+    candidate cost follows the new batch's bucket overlap only).
+
+    The history side is exactly a materialized signature table (one
+    k-hash row per historical document) — the lake-resident index a
+    production pipeline appends to after each accepted batch; at 100 TB
+    of history the banded join still only shuffles band keys, never
+    documents. Output: distinct (new_id, hist_id) pairs sharing >= 1
+    band.
+    """
+    nb = band_table(new_sigs, num_hashes, band_size).alias("n")
+    hb = band_table(history_sigs, num_hashes, band_size).alias("h")
+    return (
+        nb.join(
+            hb,
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.band_key") == F.col("h.band_key")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("h.doc_id").alias("hist_id"))
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 6,
@@ -188,18 +240,7 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_size
     if persist:
         signatures = signatures.persist()
-    entries = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.concat(
-                *[F.col(f"mh_{band * band_size + j}") for j in range(band_size)]
-            ).alias("band_key"),
-        )
-        for band in range(n_bands)
-    ]
-    bands = signatures.select("doc_id", F.explode(F.array(*entries)).alias("e")).select(
-        "doc_id", F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key")
-    )
+    bands = band_table(signatures, num_hashes, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

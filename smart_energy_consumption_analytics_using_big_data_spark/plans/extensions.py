@@ -2111,3 +2111,39 @@ def q_snapshot_diff(spark, sf_dir):
         .otherwise("unchanged")
     )
     return j.groupBy(change.alias("change_type")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q_dedup_lsh_incremental",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             min(md5('0|' || shingle)) AS mh_0, min(md5('1|' || shingle)) AS mh_1,
+             min(md5('2|' || shingle)) AS mh_2, min(md5('3|' || shingle)) AS mh_3,
+             min(md5('4|' || shingle)) AS mh_4, min(md5('5|' || shingle)) AS mh_5
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh_0 || mh_1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, mh_2 || mh_3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh_4 || mh_5 FROM sig
+    )
+    SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+    FROM bands n JOIN bands h
+      ON n.band = h.band AND n.band_key = h.band_key
+    WHERE n.doc_id >= 250 AND h.doc_id < 250
+    """,
+)
+def q_dedup_lsh_incremental(spark, sf_dir):
+    """Incremental near-dup: the NEW batch (doc_id >= 250) LSH-checked
+    against the HISTORY index (doc_id < 250) only — history x history
+    pairs are never generated, so nightly-ingest dedup cost follows the
+    new batch, not the accumulated corpus
+    (ext/dedup.lsh_incremental_candidates)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, n=3, max_df=100)
+    sig = D.minhash_signatures(sh, num_hashes=6)
+    hist = sig.filter(F.col("doc_id") < 250)
+    new = sig.filter(F.col("doc_id") >= 250)
+    return D.lsh_incremental_candidates(new, hist)
