@@ -1,0 +1,121 @@
+"""Three-point scale probe: extend bench.py's sf0.01 -> sf0.1 curve
+with a derived ~sf1 point (sf0.1 events replicated 10x with shifted
+ids, written once to a local temp dataset) and report per-query scale
+ratios. A ratio near the data ratio is linear scaling; well above it means a
+super-linear stage that would sink a 100x scale-up.
+
+Execution is forced with sum(xxhash64(every column)) rather than
+count(): count() lets Catalyst prune window/projection work entirely
+(a Window that no surviving column references is eliminated), which
+under-measures projection-shaped queries.
+
+Derived data is an ANALYSIS artifact (scale measurement), not a
+substitute for the driver's testdata: correctness queries always run
+against /root/testdata.
+
+Usage: python scripts/scale_probe.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark import get_spark
+from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+SF01 = "/root/testdata/sf0.1"
+REPLICAS = 100          # events (scan/agg/window/join probes)
+REPLICAS_DOCS = 10      # documents: replicas are near-dups of each other by
+                        # construction, so LSH pair output grows ~quadratically
+                        # in the replica count — 10x keeps the OUTPUT size an
+                        # artifact-free measure of the candidate-join stage
+# scan/agg/window/join/dedup representatives whose inputs we can blow up
+PROBE = ["q_flagship", "q_agg_multikey", "q_sessionize", "q_dedup_minhash_lsh"]
+
+
+def build_derived(spark, out_dir: str) -> None:
+    """events x10 (ids and users shifted per replica so cardinalities
+    scale too), documents x10 (doc_id shifted; text perturbed with a
+    replica token so dedup does not degenerate to 10 exact copies)."""
+    ev = load_table(spark, SF01, "events")
+    ev_parts = [
+        ev.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for i in range(REPLICAS)
+    ]
+    big_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        big_ev = big_ev.unionByName(p)
+    big_ev.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    docs = load_table(spark, SF01, "documents")
+    d_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 1_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(REPLICAS_DOCS)
+    ]
+    big_d = d_parts[0]
+    for p in d_parts[1:]:
+        big_d = big_d.unionByName(p)
+    big_d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    # tiny dims referenced via sf_dir by some probes
+    for name in ("customer",):
+        load_table(spark, SF01, name).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale_probe"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_derived(spark, out_dir)
+
+    def force(df) -> None:
+        # one row hash over every column, modded before the sum so the
+        # ANSI long sum cannot overflow
+        h = F.pmod(F.xxhash64(*df.columns), F.lit(1_000_003))
+        df.agg(F.sum(h)).collect()
+
+    report = {}
+    for name in PROBE:
+        force(QUERIES[name](spark, "/root/testdata/sf0.001"))  # warm
+        t0 = time.time()
+        force(QUERIES[name](spark, SF01))
+        base = time.time() - t0
+        t0 = time.time()
+        force(QUERIES[name](spark, out_dir))
+        big = time.time() - t0
+        ratio = REPLICAS_DOCS if name.startswith("q_dedup") else REPLICAS
+        report[name] = {
+            "sf0.1_s": round(base, 2),
+            "big_s": round(big, 2),
+            "data_ratio": ratio,
+            "scale_ratio": round(big / base, 2),
+        }
+        print(json.dumps({name: report[name]}), file=sys.stderr)
+    print(json.dumps({"queries": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

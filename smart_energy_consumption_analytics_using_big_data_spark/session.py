@@ -39,9 +39,16 @@ def get_spark(
             or os.cpu_count()
             or 32
         )
+    # In local mode the "cluster" is one JVM: executors, shuffle state
+    # and the driver share a single heap, and Spark's 1g default OOMs
+    # long before the machine does (measured: a 10M-row window probe on
+    # local[32] died at 1g on a 128 GiB box). Only effective when this
+    # session launches the JVM - a foreign session's heap is its own.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
