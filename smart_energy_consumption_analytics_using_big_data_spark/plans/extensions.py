@@ -2147,3 +2147,73 @@ def q_dedup_lsh_incremental(spark, sf_dir):
     hist = sig.filter(F.col("doc_id") < 250)
     new = sig.filter(F.col("doc_id") >= 250)
     return D.lsh_incremental_candidates(new, hist)
+
+
+@q(
+    "q_text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text,
+           CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def q_text_normalize(spark, sf_dir):
+    """Text normalization (the first stage of every dedup/quality
+    pipeline): lowercase, strip non-alphanumerics, collapse whitespace,
+    trim — pure JVM regexp expressions in one projection, no shuffle.
+    Normalizing BEFORE hashing is what makes exact-dedup robust to
+    case/punctuation variants."""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("n_chars")
+    )
+
+
+@q(
+    "q_agg_winsorized",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(avg(value), 6) AS raw_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6) AS winsorized_mean,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_agg_winsorized(spark, sf_dir):
+    """Winsorized (p05/p95-clamped) mean per group — the robust-mean
+    companion to q_agg_robust's median/MAD: outliers are clamped to the
+    percentile fence instead of dropped. Per-group fences are a
+    GROUP-cardinality table broadcast back onto the fact scan (same
+    no-fact-window shape as q_agg_robust); one wide scan + one tiny
+    aggregate."""
+    ev = t(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+        F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+        F.sum(
+            ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast(
+                "bigint"
+            )
+        ).alias("n_clamped"),
+    )
