@@ -204,3 +204,105 @@ def test_fuzzy_join_matches_bruteforce_levenshtein(spark, names):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+_changelog = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),   # key
+        st.integers(min_value=0, max_value=50),  # ts (seconds offset)
+        st.sampled_from(["A", "B", "C"]),        # attr
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_changelog)
+def test_scd2_reconstructs_changelog_state(spark, rows):
+    """For every probe instant, the SCD2 version covering it must carry
+    exactly the changelog's most recent attribute at/before it (ties on
+    ts broken by sequence number, matching the operator's tiebreak)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(seconds=ts), attr, i)
+        for i, (k, ts, attr) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, ts timestamp, attr string, seq int")
+    hist = scd2_from_changelog(df, ["k"], "attr", "ts", ["seq"]).collect()
+
+    # brute-force truth: last (ts, seq) <= probe per key
+    by_key = {}
+    for k, ts, attr, seq in data:
+        by_key.setdefault(k, []).append((ts, seq, attr))
+    for vals in by_key.values():
+        vals.sort()
+
+    probes = sorted({ts for _, ts, _, _ in data})
+    for k, vals in by_key.items():
+        versions = sorted(
+            (r for r in hist if r["k"] == k), key=lambda r: r["valid_from"]
+        )
+        # versions tile the key's lifetime: contiguous, last one open
+        assert versions[-1]["valid_to"] is None and versions[-1]["is_current"]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        for probe in probes:
+            want = None
+            for ts, seq, attr in vals:
+                if ts <= probe:
+                    want = attr
+            covering = [
+                r
+                for r in versions
+                if r["valid_from"] <= probe
+                and (r["valid_to"] is None or probe < r["valid_to"])
+            ]
+            if want is None:
+                assert covering == []
+            else:
+                assert len(covering) == 1 and covering[0]["attr"] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_changelog, _changelog)
+def test_asof_join_equals_bruteforce_both_directions(spark, lrows, rrows):
+    import datetime as dt
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = [
+        (k, base + dt.timedelta(seconds=ts), i)
+        for i, (k, ts, _) in enumerate(lrows)
+    ]
+    # right unique per (key, ts): keep the first attr seen
+    seen = {}
+    for k, ts, attr in rrows:
+        seen.setdefault((k, base + dt.timedelta(seconds=ts)), attr)
+    right = [(k, ts, attr) for (k, ts), attr in seen.items()]
+
+    ldf = spark.createDataFrame(left, "k int, ts timestamp, lid int")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, v string")
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["v"]
+            for r in asof_join(ldf, rdf, "k", direction=direction).collect()
+        }
+        for k, lts, lid in left:
+            if direction == "backward":
+                cands = [(ts, v) for (kk, ts, v) in right if kk == k and ts <= lts]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [(ts, v) for (kk, ts, v) in right if kk == k and ts >= lts]
+                want = min(cands)[1] if cands else None
+            assert got[lid] == want, (direction, lid)
