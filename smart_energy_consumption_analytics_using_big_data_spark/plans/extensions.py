@@ -2217,3 +2217,59 @@ def q_agg_winsorized(spark, sf_dir):
             )
         ).alias("n_clamped"),
     )
+
+
+@q(
+    "q_corr_matrix",
+    """
+    WITH f AS (
+      SELECT value,
+             CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 3600000000 AS hour_f,
+             CAST(user_id % 97 AS DOUBLE) AS user_bucket,
+             CAST(len(props) AS DOUBLE) AS props_len
+      FROM events
+    )
+    SELECT col_a, col_b, round(c, 6) AS corr
+    FROM (
+      SELECT 'value' AS col_a, 'hour_f' AS col_b, corr(value, hour_f) AS c FROM f
+      UNION ALL SELECT 'value', 'user_bucket', corr(value, user_bucket) FROM f
+      UNION ALL SELECT 'value', 'props_len', corr(value, props_len) FROM f
+      UNION ALL SELECT 'hour_f', 'user_bucket', corr(hour_f, user_bucket) FROM f
+      UNION ALL SELECT 'hour_f', 'props_len', corr(hour_f, props_len) FROM f
+      UNION ALL SELECT 'user_bucket', 'props_len', corr(user_bucket, props_len) FROM f
+    )
+    """,
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise correlation MATRIX (long form) over derived numeric
+    features — the pre-training feature-audit step (the reference
+    checks one pair at a time; `feature_engineering.py` has no matrix).
+    ALL pairs aggregate in ONE scan/one reduce: each corr() is just
+    another aggregate expression over the same pass, not a per-pair
+    job; output is C(k,2) rows, driver-sized. The DuckDB oracle's
+    UNION-ALL-of-scans form is the shape this replaces."""
+    ev = t(spark, sf_dir, "events")
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    f = ev.select(
+        F.col("value"),
+        ((epoch_us("ts") % 86_400_000_000) / 3_600_000_000).alias("hour_f"),
+        (F.col("user_id") % 97).cast("double").alias("user_bucket"),
+        F.length("props").cast("double").alias("props_len"),
+    )
+    cols = ["value", "hour_f", "user_bucket", "props_len"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = f.agg(
+        *[F.corr(a, b).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(F.col(f"`{a}|{b}`"), 6).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select("e.*")

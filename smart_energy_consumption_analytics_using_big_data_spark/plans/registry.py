@@ -144,6 +144,13 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
 # item 3): bumped to the front of the unseen set so the bounded driver
 # window reaches them before the rotated-out core scalars.
 _NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_corr_matrix",
+    "q_text_normalize",
+    "q_agg_winsorized",
+    "q_dedup_lsh_incremental",
+    "q_sql_count_distribution",
+    "q_sql_top_per_group",
+    "q_sql_lateral_tokens",
     "q_join_asof_fwd",
     "q_drift_ks",
     "q_snapshot_diff",
