@@ -504,3 +504,152 @@ def q_sql_lateral_tokens(spark, sf_dir):
         WHERE doc_id < 20
         """
     )
+
+
+@q(
+    "q_sql_filter_agg",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+             AS potential_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_sql_filter_agg(spark, sf_dir):
+    """TPC-H Q6-shaped: pure multi-predicate scan + single aggregate —
+    the whole-stage-codegen/pushdown microbenchmark shape (every
+    predicate lands in PushedFilters; no join, no grouping)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE)
+                 AS potential_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@q(
+    "q_sql_double_exists",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate <= o_orderdate + INTERVAL 7 DAY)
+    GROUP BY 1
+    """,
+)
+def q_sql_double_exists(spark, sf_dir):
+    """Q4/Q21-shaped DOUBLE correlated existence test against the same
+    fact (a late line exists AND no prompt line exists): Catalyst must
+    decorrelate BOTH subqueries — one semi join plus one anti join on
+    the same key, with the correlated date predicate evaluated inside
+    each join condition (non-equi correlation)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate <= o_orderdate + INTERVAL 7 DAY)
+        GROUP BY 1
+        """
+    )
+
+
+@q(
+    "q_sql_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                  AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 6) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q_sql_top_supplier(spark, sf_dir):
+    """Q15-shaped: aggregate 'view' consumed twice — once as the join
+    input and once inside a scalar-subquery max over ITSELF. Catalyst
+    folds the scalar max once (no per-row re-aggregation); the ties-
+    included max-filter is the shape rank() can't express without a
+    window over the whole aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                      AS DOUBLE) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY 1
+        )
+        SELECT s_suppkey, s_name, round(total_rev, 6) AS total_rev
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """
+    )
+
+
+@q(
+    "q_sql_big_orders",
+    """
+    SELECT c_name, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_sql_big_orders(spark, sf_dir):
+    """Q18-shaped: IN over a grouped-HAVING subquery on the SAME fact
+    (large-volume orders), re-joined through customer for the final
+    rollup — the aggregate-then-semi-join shape; TakeOrdered caps the
+    output without a global sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_name, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150
+        )
+        GROUP BY 1, 2, 3
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """
+    )
