@@ -139,3 +139,68 @@ def resize_stub(
     return docs_with_payload.select(id_col, "payload").mapInPandas(
         resize, schema=RESIZE_OUTPUT_SCHEMA
     )
+
+
+def audio_window_plan(
+    docs_with_payload: DataFrame,
+    bytes_per_s: int = 200,
+    window_s: float = 1.0,
+    hop_s: float = 0.5,
+    max_windows: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping audio-analysis windows (the STFT/feature-frame input
+    grid): fan each payload out to one row per (window_idx, start_ts,
+    byte range) with hop-size overlap — sequence+explode plan-side
+    arithmetic like frame_sample_plan, no decode, no Python. Windows
+    stay co-partitioned with their source row, so the downstream
+    Arrow-batched feature UDF shuffles nothing. Duration derives from
+    payload size at `bytes_per_s` (header-probe stand-in)."""
+    dur = F.col("payload_meta.n_bytes") / F.lit(bytes_per_s)
+    n_full = F.floor((dur - F.lit(window_s)) / F.lit(hop_s)).cast("int") + F.lit(1)
+    last_idx = F.least(F.lit(max_windows - 1), F.greatest(n_full - 1, F.lit(0)))
+    hop_bytes = int(hop_s * bytes_per_s)
+    win_bytes = int(window_s * bytes_per_s)
+    return docs_with_payload.filter(dur >= window_s).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), last_idx)).alias("window_idx"),
+    ).select(
+        id_col,
+        "window_idx",
+        F.round(F.col("window_idx") * F.lit(hop_s), 6).alias("start_ts"),
+        (F.col("window_idx").cast("long") * F.lit(hop_bytes)).alias("byte_offset"),
+        F.lit(win_bytes).alias("n_bytes"),
+    )
+
+
+def image_patch_plan(
+    docs_with_payload: DataFrame,
+    width: int = 32,
+    patch: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ViT-style patch grid over image-like payloads: treat the payload
+    as a `width`-pixel-wide 1-byte/px image (rows = n_bytes / width,
+    floored to whole patch rows) and emit one row per PxP patch with
+    its (row, col, byte_offset) — the patch-embedding input schedule,
+    all plan-side arithmetic. A real pipeline swaps the fake geometry
+    for header-probed (w, h) and keeps the same fan-out."""
+    n_rows_px = F.floor(F.col("payload_meta.n_bytes") / F.lit(width))
+    patch_rows = F.floor(n_rows_px / F.lit(patch)).cast("int")
+    patch_cols = width // patch
+    n_patches = patch_rows * F.lit(patch_cols)
+    return docs_with_payload.filter(patch_rows >= 1).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), n_patches - 1)).alias("patch_idx"),
+        patch_rows.alias("__pr"),
+    ).select(
+        id_col,
+        "patch_idx",
+        F.floor(F.col("patch_idx") / F.lit(patch_cols)).cast("int").alias("patch_row"),
+        F.pmod(F.col("patch_idx"), F.lit(patch_cols)).cast("int").alias("patch_col"),
+        (
+            F.floor(F.col("patch_idx") / F.lit(patch_cols)).cast("long")
+            * F.lit(patch * width)
+            + F.pmod(F.col("patch_idx"), F.lit(patch_cols)).cast("long") * F.lit(patch)
+        ).alias("byte_offset"),
+    )

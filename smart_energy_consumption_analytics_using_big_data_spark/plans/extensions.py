@@ -2273,3 +2273,53 @@ def q_corr_matrix(spark, sf_dir):
         ]
     )
     return wide.select(F.explode(entries).alias("e")).select("e.*")
+
+
+@q(
+    "q_mm_audio_windows",
+    """
+    SELECT doc_id, CAST(u AS INTEGER) AS window_idx,
+           round(u * 0.5, 6) AS start_ts,
+           CAST(u * 100 AS BIGINT) AS byte_offset,
+           200 AS n_bytes
+    FROM (
+      SELECT doc_id, unnest(generate_series(0,
+        least(7, greatest(CAST(floor((strlen(text)/200.0 - 1.0)/0.5) AS BIGINT), 0))
+        )) AS u
+      FROM documents WHERE strlen(text)/200.0 >= 1.0
+    )
+    """,
+)
+def q_mm_audio_windows(spark, sf_dir):
+    """Audio-analysis window schedule (STFT/feature-frame input grid):
+    overlapping (1 s window, 0.5 s hop) byte ranges per payload, all
+    plan-side sequence+explode arithmetic — windows co-partitioned with
+    their source row so the downstream Arrow decode UDF shuffles
+    nothing (`ext/multimodal.audio_window_plan`)."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.audio_window_plan(
+        docs, bytes_per_s=200, window_s=1.0, hop_s=0.5, max_windows=8
+    )
+
+
+@q(
+    "q_mm_patches",
+    """
+    SELECT doc_id, CAST(u AS INTEGER) AS patch_idx,
+           CAST(u // 4 AS INTEGER) AS patch_row,
+           CAST(u % 4 AS INTEGER) AS patch_col,
+           CAST((u // 4) * 256 + (u % 4) * 8 AS BIGINT) AS byte_offset
+    FROM (
+      SELECT doc_id, unnest(generate_series(0,
+        CAST(floor(floor(strlen(text)/32.0)/8.0) AS BIGINT) * 4 - 1)) AS u
+      FROM documents WHERE floor(floor(strlen(text)/32.0)/8.0) >= 1
+    )
+    """,
+)
+def q_mm_patches(spark, sf_dir):
+    """ViT-style patch grid: each image-like payload fans out to one
+    row per 8x8 patch with (row, col, byte_offset) — the
+    patch-embedding input schedule as pure plan arithmetic
+    (`ext/multimodal.image_patch_plan`)."""
+    docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
+    return MM.image_patch_plan(docs, width=32, patch=8)

@@ -144,6 +144,12 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
 # item 3): bumped to the front of the unseen set so the bounded driver
 # window reaches them before the rotated-out core scalars.
 _NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_mm_audio_windows",
+    "q_mm_patches",
+    "q_sql_double_exists",
+    "q_sql_top_supplier",
+    "q_sql_big_orders",
+    "q_sql_filter_agg",
     "q_corr_matrix",
     "q_text_normalize",
     "q_agg_winsorized",
