@@ -1336,3 +1336,44 @@ def q_ts_anomaly_stl(spark, sf_dir):
         "resid",
         F.round(F.abs(F.col("resid") - F.col("mu")) / sigma, 6).alias("resid_score"),
     )
+
+
+@q(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current type) — the session-flow
+    analysis behind funnel design and next-action prediction. One
+    shuffle on the user key for the lead(), then the count rollup; the
+    row-normalizing window runs over the TYPE x TYPE matrix (25 rows),
+    never the fact."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
+    )

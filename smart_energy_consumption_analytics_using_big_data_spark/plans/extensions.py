@@ -2323,3 +2323,36 @@ def q_mm_patches(spark, sf_dir):
     (`ext/multimodal.image_patch_plan`)."""
     docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
     return MM.image_patch_plan(docs, width=32, patch=8)
+
+
+@q(
+    "q_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment (80/10/10) by
+    hashing the STABLE document id — reproducible across runs, engines
+    and re-partitioning, unlike randomSplit (which depends on partition
+    layout). The md5 bucket is the same oracle-portable idiom the dedup
+    family uses; no shuffle, pure projection."""
+    docs = t(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))

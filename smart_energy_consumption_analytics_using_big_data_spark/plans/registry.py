@@ -144,6 +144,8 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
 # item 3): bumped to the front of the unseen set so the bounded driver
 # window reaches them before the rotated-out core scalars.
 _NEVER_RUN_PRIORITY: tuple[str, ...] = (
+    "q_event_transitions",
+    "q_split_assign",
     "q_mm_audio_windows",
     "q_mm_patches",
     "q_sql_double_exists",
