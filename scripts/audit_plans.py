@@ -9,7 +9,13 @@ inspects the formatted physical plan for scale-hostile shapes:
   the sanctioned slow path and reported separately;
 * scan counts (Location: entries / 2, formatted explain prints each
   node twice) so compositions that accidentally re-scan the fact show
-  up round-over-round.
+  up round-over-round;
+* non-atomic top-level output columns (array/map/struct) on ORACLED
+  queries - the correctness driver's order-insensitive hash comparator
+  cannot hash list values (pandas ``TypeError: unhashable type``), so
+  an oracled query with an array output column can never get a green
+  driver row even when its values are right (the r3 q_emb_pq_codebook
+  failure class; the local gate stringifies arrays and misses it).
 
 Usage: python scripts/audit_plans.py [sf_dir] [--json out.json]
 Streaming and ML queries execute work at build time; they are audited
@@ -26,7 +32,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from smart_energy_consumption_analytics_using_big_data_spark import get_spark
-from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+from smart_energy_consumption_analytics_using_big_data_spark.plans import ORACLE, QUERIES
 
 BAD_NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 PANDAS_NODES = ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
@@ -55,6 +61,30 @@ def formatted_plan(df) -> str:
     )
 
 
+def nested_output_fields(df) -> list[str]:
+    """Top-level output columns the driver's hash comparator cannot
+    hash (array/map/struct). Any ORACLED query with one is un-greenable
+    by construction — the q_emb_pq_codebook r3 failure class."""
+    return [
+        f.name for f in df.schema.fields if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
+def audit_one(name: str, df, plan: str, oracled: bool) -> dict:
+    """Scale/compat findings for one query's plan + output schema."""
+    bad = [node for node in BAD_NODES if node in plan]
+    if oracled:
+        nested = nested_output_fields(df)
+        if nested:
+            bad.append(f"non-atomic oracled output: {nested}")
+    return {
+        "bad_nodes": bad,
+        "allowed": name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"],
+        "pandas_stages": [node for node in PANDAS_NODES if node in plan],
+        "scans": plan.count("Location: InMemoryFileIndex") // 2,
+    }
+
+
 def main() -> int:
     import argparse
 
@@ -71,30 +101,23 @@ def main() -> int:
     n_bad = 0
     for name, fn in QUERIES.items():
         try:
-            plan = formatted_plan(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = formatted_plan(df)
         except Exception as exc:  # noqa: BLE001 - audit must visit every query
             report[name] = {"error": str(exc)[:200]}
             n_bad += 1
             print(f"ERROR {name}: {str(exc)[:120]}")
             continue
-        bad = [node for node in BAD_NODES if node in plan]
-        allowed = name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"]
-        pandas_stages = [node for node in PANDAS_NODES if node in plan]
-        scans = plan.count("Location: InMemoryFileIndex") // 2
-        report[name] = {
-            "bad_nodes": bad,
-            "allowed": allowed,
-            "pandas_stages": pandas_stages,
-            "scans": scans,
-        }
-        if bad and not allowed:
+        row = audit_one(name, df, plan, oracled=name in ORACLE)
+        report[name] = row
+        if row["bad_nodes"] and not row["allowed"]:
             n_bad += 1
-            print(f"BAD   {name}: {bad}")
-        elif allowed:
+            print(f"BAD   {name}: {row['bad_nodes']}")
+        elif row["allowed"]:
             print(f"allow {name}: BNLJ ({ALLOWED_BNLJ[name]})")
         else:
-            tag = f" pandas={pandas_stages}" if pandas_stages else ""
-            print(f"ok    {name}: scans={scans}{tag}")
+            tag = f" pandas={row['pandas_stages']}" if row["pandas_stages"] else ""
+            print(f"ok    {name}: scans={row['scans']}{tag}")
 
     print(f"\n== {len(report)} queries audited, {n_bad} flagged ==")
     if json_out:

@@ -1,8 +1,9 @@
 """Three-point scale probe: extend bench.py's sf0.01 -> sf0.1 curve
-with a derived ~sf1 point (sf0.1 events replicated 10x with shifted
-ids, written once to a local temp dataset) and report per-query scale
-ratios. A ratio near the data ratio is linear scaling; well above it means a
-super-linear stage that would sink a 100x scale-up.
+with a derived ~sf10 point (sf0.1 events replicated {REPLICAS}x = 100x
+with shifted ids, documents {REPLICAS_DOCS}x = 10x, written once to a
+local temp dataset) and report per-query scale ratios. A ratio near
+the data ratio is linear scaling; well above it means a super-linear
+stage that would sink a 100x scale-up.
 
 Execution is forced with sum(xxhash64(every column)) rather than
 count(): count() lets Catalyst prune window/projection work entirely
@@ -42,9 +43,10 @@ PROBE = ["q_flagship", "q_agg_multikey", "q_sessionize", "q_dedup_minhash_lsh"]
 
 
 def build_derived(spark, out_dir: str) -> None:
-    """events x10 (ids and users shifted per replica so cardinalities
-    scale too), documents x10 (doc_id shifted; text perturbed with a
-    replica token so dedup does not degenerate to 10 exact copies)."""
+    """events x{REPLICAS} (ids and users shifted per replica so
+    cardinalities scale too), documents x{REPLICAS_DOCS} (doc_id
+    shifted; text perturbed with a replica token so dedup does not
+    degenerate to exact copies)."""
     ev = load_table(spark, SF01, "events")
     ev_parts = [
         ev.select(

@@ -495,3 +495,88 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_fingerprints_arrow(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(n)-per-document winnowing via an Arrow-batched mapInPandas
+    (VERDICT r3 item 8: the prototype that answers whether moving the
+    text column through Arrow beats the native O(n*w) array_min path).
+
+    Per batch, pure numpy: a vectorized polynomial rolling hash over
+    the utf-8 bytes (k fused multiply-adds, uint64 wraparound), then
+    the van Herk/Gil-Werman sliding minimum — two `minimum.accumulate`
+    passes over w-sized blocks combined into every w-window's min, O(n)
+    total regardless of w, against the native path's O(n*w) slice/
+    array_min. The winnowing GUARANTEE (any shared substring of length
+    >= w + k - 1 yields a shared fingerprint) holds for ANY hash
+    family, so this path trades oracle portability (md5) for speed the
+    same way the xxhash64 fast path does; its selection quality is
+    pinned by the same pytest invariants, not by DuckDB.
+
+    Scale shape: one scan, no shuffle until the final distinct; each
+    Arrow batch holds ~10k docs' text once — the transfer cost r3's
+    analysis predicted would dominate, now measured (PERFORMANCE.md
+    round 4) instead of argued.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType(), False), StructField("fp", LongType(), True)]
+    )
+    min_len = w + k - 1
+
+    def _batches(iterator):
+        import numpy as np
+        import pandas as pd
+
+        base = np.uint64(1099511628211)  # FNV-1a prime; any 64-bit odd base works
+        powers = np.array(
+            [base ** np.uint64(k - 1 - j) for j in range(k)], dtype=np.uint64
+        )
+
+        def sliding_min(a: "np.ndarray", win: int) -> "np.ndarray":
+            n = len(a)
+            n_out = n - win + 1
+            n_blocks = -(-n // win)
+            pad = np.full(n_blocks * win - n, np.iinfo(np.int64).max, dtype=a.dtype)
+            blocks = np.concatenate([a, pad]).reshape(n_blocks, win)
+            pref = np.minimum.accumulate(blocks, axis=1).ravel()
+            suff = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+            return np.minimum(suff[:n_out], pref[win - 1 : win - 1 + n_out])
+
+        for pdf in iterator:
+            ids_out: list = []
+            fps_out: list = []
+            for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if text is None:
+                    continue
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                if len(raw) < min_len:
+                    continue
+                b = raw.astype(np.uint64)
+                n_grams = len(b) - k + 1
+                with np.errstate(over="ignore"):
+                    h = np.zeros(n_grams, dtype=np.uint64)
+                    for j in range(k):
+                        h += b[j : j + n_grams] * powers[j]
+                # int64 view keeps ordering irrelevant details away from
+                # the guarantee (mins of a consistent total order)
+                fps = np.unique(sliding_min(h.view(np.int64), w))
+                ids_out.append(np.full(len(fps), did, dtype=np.int64))
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids_out),
+                        "fp": np.concatenate(fps_out),
+                    }
+                )
+
+    sized = docs.select(id_col, text_col)
+    return sized.mapInPandas(_batches, out_schema).distinct()

@@ -108,6 +108,7 @@ def dsir_select(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k raw documents by DSIR importance weight.
 
@@ -117,14 +118,23 @@ def dsir_select(
     longer documents would always lose). Ties break on the document id
     so selection is deterministic.
 
-    The compacted counts table is built once and persisted (it feeds
-    both the ratio estimate and the scoring — without the persist the
-    corpus would be re-exploded per consumer); the weighted mean
+    The compacted counts table is built once and materialized via an
+    eager ``localCheckpoint`` (it feeds both the ratio estimate and the
+    scoring — without materialization the corpus would be re-exploded
+    per consumer). Unlike ``persist()``, the checkpoint blocks are NOT
+    registered in the session cache manager: the ContextCleaner frees
+    them once the returned plan is dropped, so repeated invocations in
+    a long session (bench loops, the oracle gate) don't accumulate
+    cached tables (ADVICE r3). Callers that already hold a counts table
+    pass it via ``counts`` and own its lifecycle. The weighted mean
     sum(n * log_ratio) / sum(n) over buckets equals the token-level
     mean exactly, in exact decimal so partition order can't change the
     answer. TakeOrdered picks k without a global sort.
     """
-    counts = doc_bucket_counts(docs, is_target, n_buckets, text_col, id_col).persist()
+    if counts is None:
+        counts = doc_bucket_counts(
+            docs, is_target, n_buckets, text_col, id_col
+        ).localCheckpoint(eager=True)
     ratios = dsir_log_ratios(docs, is_target, n_buckets, text_col, id_col, counts=counts)
     scored = (
         counts.join(F.broadcast(ratios), "bucket")

@@ -1771,20 +1771,25 @@ _PQ_ENC_CTES = f"""
     "q_emb_pq_codebook",
     f"""
     WITH {_PQ_CB_CTES}
-    SELECT s, code, list(round(cval, 6) ORDER BY p) AS centroid
-    FROM cb GROUP BY s, code
+    SELECT s, code, p, round(cval, 6) AS cval
+    FROM cb
     """,
 )
 def q_emb_pq_codebook(spark, sf_dir):
     """PQ codebook training (Jegou et al. 2011): m=8 subspaces x k=16
     centroids, one derandomized Lloyd step from md5(vec_id) hash init.
-    One posexplode scan, map-side-combined means, 128-row output -
-    broadcast-sized at ANY corpus scale (codebook size is m*k*sub_dim,
-    independent of N)."""
+    One posexplode scan, map-side-combined means, m*k*sub_dim-row output
+    - broadcast-sized at ANY corpus scale (codebook size is independent
+    of N). Output is one SCALAR row per (s, code, p) centroid cell: the
+    driver's hash comparator cannot hash array values, so the
+    array-assembled form stays internal (`pq_codebook_arrays`)."""
     emb = t(spark, sf_dir, "embeddings")
-    cba = S.pq_codebook_arrays(emb)
-    return cba.select(
-        "s", "code", F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid")
+    cb = S.pq_codebook(emb)
+    return cb.select(
+        "s",
+        "code",
+        (F.col("pos") % 8).alias("p"),
+        F.round("cval", 6).alias("cval"),
     )
 
 
@@ -1985,6 +1990,20 @@ def q_dedup_winnow_fast(spark, sf_dir):
     against the md5 path on exact-duplicate fixtures; the md5 variant
     (q_dedup_winnow) remains the oracled baseline."""
     return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="xxhash64")
+
+
+@q("q_dedup_winnow_arrow")  # rows-only: numpy rolling hash not in DuckDB
+def q_dedup_winnow_arrow(spark, sf_dir):
+    """O(n)-per-doc winnowing fingerprints via Arrow mapInPandas (the
+    VERDICT r3 item-8 prototype): vectorized polynomial rolling hash +
+    van Herk/Gil-Werman sliding min, measured against the native
+    O(n*w) path in PERFORMANCE.md round 4. Guarantee invariants and
+    brute-force hash parity are pinned by tests/test_winnow_arrow.py;
+    the md5 variant (q_dedup_winnow) remains the oracled baseline."""
+    fps = D.winnow_fingerprints_arrow(t(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp")
+    )
 
 
 @q(

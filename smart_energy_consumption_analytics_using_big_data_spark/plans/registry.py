@@ -190,6 +190,19 @@ _NEVER_RUN_PRIORITY: tuple[str, ...] = (
     "q_rollup_incremental",
 )
 
+# Queries whose only driver-green row predates the round-2 testdata
+# timestamp migration (VERDICT r3, item 3): the code was fixed in r3
+# (epoch math routed through functions/timefns) and the local gate
+# confirms, but the driver has never re-run them on the new data.
+# Slotted AFTER the never-run set so they fill the window's remaining
+# slots without displacing first-ever coverage.
+_STALE_PRIORITY: tuple[str, ...] = (
+    "q_sessionize",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_window_range_7d",
+)
+
 
 def _rotate_registry() -> None:
     """Reorder QUERIES: last round's failures first, then never-driver-
@@ -222,8 +235,9 @@ def _rotate_registry() -> None:
         for k in _NEVER_RUN_PRIORITY + family_order + tail
         if k not in seen and k in QUERIES
     ]
+    stale = [k for k in _STALE_PRIORITY if k in QUERIES]
     # de-dup while preserving order (priority list overlaps family order)
-    head = list(dict.fromkeys(redo + unseen))
+    head = list(dict.fromkeys(redo + unseen + stale))
     rest = [k for k in QUERIES if k not in set(head)]
     snapshot = dict(QUERIES)
     QUERIES.clear()

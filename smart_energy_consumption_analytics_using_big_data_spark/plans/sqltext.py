@@ -653,3 +653,84 @@ def q_sql_big_orders(spark, sf_dir):
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """
     )
+
+
+@q(
+    "q_sql_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, {rev} AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """.format(rev=DSUM("volume")),
+)
+def q_sql_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-shaped volume shipping as SQL text: nation joined TWICE
+    (supplier side and customer side) with a symmetric disjunctive
+    nation-pair predicate, revenue by (supp_nation, cust_nation, year).
+    The disjunction can't push below either nation join alone, but both
+    nation dims broadcast and the residual filter runs before the
+    year rollup — only the two fact-side joins shuffle."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        FROM (
+          SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier
+          JOIN lineitem ON s_suppkey = l_suppkey
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+              OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """
+    )
+
+
+@q(
+    "q_sql_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
+    """,
+)
+def q_sql_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16-shaped supplier-part counts as SQL text: COUNT
+    DISTINCT per (brand, size) with a NOT IN scalar-set subquery
+    (negative-balance suppliers stand in for Q16's complaints filter).
+    NOT IN compiles to a null-aware anti join against a dim-sized
+    broadcast set; the distinct count is the only wide shuffle (two-
+    phase partial_count(distinct ...) after the broadcast part join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
+        """
+    )

@@ -48,6 +48,22 @@ def configure_runtime(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one physical time column to TimestampType.
+
+    The dtype branch shared by every reader of driver-generated time
+    columns (batch catalog, streaming reader, model trainers): a
+    ``bigint`` column is the legacy INT64 TIMESTAMP(NANOS) flavor
+    admitted under ``nanosAsLong`` (divide to micros), anything else
+    (timestamp, timestamp_ntz under the pinned-UTC session) casts
+    exactly. Hard-coding either branch is the round-2 bug class
+    (tests/test_dtype_drift.py).
+    """
+    if dict(df.dtypes).get(col) == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df.withColumn(col, F.col(col).cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType."""
     configure_runtime(spark)

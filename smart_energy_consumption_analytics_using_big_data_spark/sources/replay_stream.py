@@ -75,21 +75,17 @@ class ReplayDataSource(DataSource):
     def schema(self):
         import pyarrow.parquet as pq
 
-        from pyspark.pandas.typedef import as_spark_type  # type: ignore
+        from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import StructType
 
-        # Derive the Spark schema from the parquet file via pandas dtypes
-        # (avoids a second SparkSession read inside the source).
-        pdf = pq.read_table(self.options["path"]).to_pandas()
+        # Footer-only read: pq.read_schema touches metadata, never row
+        # groups — probing by materializing the whole file on the driver
+        # would read the data twice (once here, once per replay buffer)
+        # and scale with file size instead of column count (ADVICE r3).
+        arrow_schema = pq.read_schema(self.options["path"])
         fields = StructType()
-        for name, dtype in pdf.dtypes.items():
-            try:
-                typ = as_spark_type(dtype)
-            except TypeError:
-                from pyspark.sql.types import StringType
-
-                typ = StringType()
-            fields = fields.add(str(name), typ)
+        for field in from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True).fields:
+            fields = fields.add(field)
         return fields
 
     def simpleStreamReader(self, schema):

@@ -26,7 +26,10 @@ from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging 
 )
 
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
-from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import configure_runtime
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
+    configure_runtime,
+    normalize_ts,
+)
 
 def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
     """readStream over the events table, `ts` normalized to TimestampType.
@@ -48,12 +51,7 @@ def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
         events_path = staged_stream_dir("stream_events_", {path.name: str(path)})
     schema = spark.read.parquet(events_path).schema
     raw = spark.readStream.schema(schema).parquet(events_path)
-    ts_type = schema["ts"].dataType.simpleString()
-    if ts_type == "bigint":  # legacy INT64 TIMESTAMP(NANOS) read as long
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # timestamp_ntz -> timestamp is exact under the pinned-UTC session;
-    # plain timestamp passes through (identity cast folded by Catalyst).
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_ts(raw, "ts")
 
 
 def _windowed_agg(events: DataFrame, window: str) -> DataFrame:

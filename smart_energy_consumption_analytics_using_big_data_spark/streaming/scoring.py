@@ -45,15 +45,21 @@ def _with_event_features(events: DataFrame) -> DataFrame:
 
 
 def train_event_value_model(spark: SparkSession, events_path: str) -> PipelineModel:
-    """Batch-train the value regressor the stream will apply."""
+    """Batch-train the value regressor the stream will apply.
+
+    The batch leg goes through the same dtype guard as the stream leg
+    (`catalog.normalize_ts`): a hard-coded ``cast('timestamp')`` would
+    interpret the legacy INT64-nanos bigint flavor as epoch SECONDS and
+    silently mis-train the model on garbage calendar features — and the
+    stream-equals-batch parity test can't catch it because both legs
+    share the fitted model (ADVICE r3)."""
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
         configure_runtime,
+        normalize_ts,
     )
 
     configure_runtime(spark)
-    batch = spark.read.parquet(events_path).withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    batch = normalize_ts(spark.read.parquet(events_path), "ts")
     feats = _with_event_features(batch)
     pipe = Pipeline(
         stages=[

@@ -150,3 +150,128 @@ def test_streaming_reader_agrees_across_flavors(flavor_dirs, spark):
     assert out["nanos_int64"] == out["ntz_micros"] == out["utc_micros"]
     days = {r[0] for r in out["ntz_micros"]}
     assert "2024-01-01" in days and "2024-02-22" in days
+
+
+def test_model_trainer_features_agree_across_flavors(flavor_dirs, spark):
+    """The batch model-training leg goes through the same dtype guard
+    as the stream leg (ADVICE r3): a hard-coded cast('timestamp') would
+    read INT64-nanos as epoch SECONDS and produce garbage calendar
+    features that the stream==batch parity test can't see (both legs
+    share the mis-trained model). Pin the feature frame itself."""
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import normalize_ts
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.scoring import (
+        _with_event_features,
+    )
+
+    out = {}
+    for flavor, d in flavor_dirs.items():
+        raw = normalize_ts(spark.read.parquet(f"{d}/events.parquet"), "ts")
+        out[flavor] = _collected(
+            _with_event_features(raw).select("event_id", "hour", "dow", "day")
+        )
+    assert out["nanos_int64"] == out["ntz_micros"] == out["utc_micros"]
+    # spot value: event 8 = 2024-02-15T09:00 -> hour 9, Thursday (dow 5), day 15
+    assert ("8", "9.0", "5.0", "15.0") in out["ntz_micros"]
+
+
+# ---------------------------------------------------------------------------
+# Numeric/array dtype drift (VERDICT r3 item 6): the same generator that
+# migrated events.ts could drift embeddings.embedding element type
+# (float <-> double) or events.value width. All fixture values are exact
+# in float32 (multiples of 1/64 for embeddings, halves for values), so
+# any cross-flavor difference is a code-path divergence, not rounding.
+
+_EMB_FLAVORS = ("emb_f32", "emb_f64")
+_VAL_FLAVORS = ("val_f32", "val_f64")
+_DIM = 64
+
+
+def _emb_value(i: int, j: int) -> float:
+    return ((i * 67 + j * 13) % 128 - 64) / 64.0
+
+
+@pytest.fixture(scope="module")
+def emb_flavor_dirs(tmp_path_factory):
+    dirs = {}
+    vecs = [[_emb_value(i, j) for j in range(_DIM)] for i in range(20)]
+    for flavor, elem in (("emb_f32", pa.float32()), ("emb_f64", pa.float64())):
+        d = tmp_path_factory.mktemp(flavor)
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(elem)),
+                "label": pa.array([i % 3 for i in range(20)], pa.int32()),
+            }
+        )
+        pq.write_table(table, str(d / "embeddings.parquet"), version="2.6")
+        dirs[flavor] = str(d)
+    return dirs
+
+
+@pytest.fixture(scope="module")
+def value_flavor_dirs(tmp_path_factory):
+    dirs = {}
+    for flavor, typ in (("val_f32", pa.float32()), ("val_f64", pa.float64())):
+        d = tmp_path_factory.mktemp(flavor)
+        ts = [dt.datetime.fromisoformat(r[1]) for r in _ROWS]
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in _ROWS], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in _ROWS], pa.int64()),
+                "event_type": pa.array([r[3] for r in _ROWS], pa.string()),
+                "value": pa.array([r[4] for r in _ROWS], typ),
+                "props": pa.array(["{}"] * len(_ROWS), pa.string()),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"), version="2.6")
+        dirs[flavor] = str(d)
+    return dirs
+
+
+def test_embedding_element_flavors_differ(emb_flavor_dirs, spark):
+    raw = {
+        f: dict(spark.read.parquet(f"{d}/embeddings.parquet").dtypes)["embedding"]
+        for f, d in emb_flavor_dirs.items()
+    }
+    assert raw["emb_f32"] == "array<float>" and raw["emb_f64"] == "array<double>"
+
+
+def test_similarity_family_agrees_across_embedding_flavors(emb_flavor_dirs, spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import (
+        cosine_topk,
+        knn_join,
+        pq_codebook,
+        pq_encode,
+    )
+
+    out = {}
+    for flavor, d in emb_flavor_dirs.items():
+        emb = load_table(spark, d, "embeddings")
+        query = emb.orderBy("vec_id").limit(1)
+        out[flavor] = {
+            "cos": _collected(cosine_topk(emb, query, k=5)),
+            "cb": _collected(pq_codebook(emb)),
+            "enc": _collected(pq_encode(emb)),
+            "knn": _collected(knn_join(emb, emb.orderBy("vec_id").limit(2), k=3)),
+        }
+    assert out["emb_f32"] == out["emb_f64"]
+    assert out["emb_f32"]["cos"]  # non-empty
+
+
+def test_agg_family_agrees_across_value_flavors(value_flavor_dirs, spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import flagship
+
+    out = {}
+    for flavor, d in value_flavor_dirs.items():
+        ev = load_table(spark, d, "events")
+        rollup = ev.groupBy("event_type").agg(
+            F.sum(F.col("value").cast("double")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        out[flavor] = {
+            "rollup": _collected(rollup),
+            "flagship": _collected(flagship(spark, d)),
+        }
+    assert out["val_f32"] == out["val_f64"]
+    assert out["val_f32"]["rollup"]
