@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_winnow",
     "q_dedup_winnow_fast",
+    "q_dedup_winnow_arrow",
     "q_dedup_semantic",
     "q_dedup_simhash",
     "q_sim_cosine_topk",

@@ -478,8 +478,16 @@ def winnow_pairs(
     `min_shared` winnowing fingerprints. Boilerplate fingerprints
     (appearing in > `max_df` docs) are pruned BEFORE the pair join -
     same df-pruning that keeps the shingle LSH join off hot keys, so
-    bucket sizes (not corpus^2) bound the join."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col, hash_fn)
+    bucket sizes (not corpus^2) bound the join.
+
+    ``hash_fn="arrow"`` routes the fingerprint stage through the O(n)
+    Arrow/numpy path (winnow_fingerprints_arrow) — measured 5x faster
+    than the native xxhash64 O(n*w) path at sf0.1 (PERFORMANCE.md
+    round 4); selection guarantees are hash-family-independent."""
+    if hash_fn == "arrow":
+        fps = winnow_fingerprints_arrow(docs, k, w, text_col, id_col)
+    else:
+        fps = winnow_fingerprints(docs, k, w, text_col, id_col, hash_fn)
     w_df = Window.partitionBy("fp")
     pruned = (
         fps.withColumn("__df", F.count(F.lit(1)).over(w_df))
