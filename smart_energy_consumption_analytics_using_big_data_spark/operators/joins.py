@@ -141,8 +141,10 @@ def asof_join(
     (pre-aggregate with max_by otherwise) and ``right_cols`` must not
     collide with left column names.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
     ldt = dict(left.dtypes)
     left_payload = [c for c in left.columns if c != key]
@@ -175,19 +177,44 @@ def asof_join(
     from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
 
     u = l2.unionByName(r2)
-    ats = F.col("__ats") if direction == "backward" else F.col("__ats").desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ats, "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    u = u.withColumn("__rpay", F.last("__rpay", ignorenulls=True).over(w))
-    if tolerance_s is not None:
+
+    def _running_last(frame, asc: bool):
+        order = F.col("__ats") if asc else F.col("__ats").desc()
+        w = (
+            Window.partitionBy(key)
+            .orderBy(order, "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rpay", ignorenulls=True).over(w)
+
+    def _within_tol(pay):
+        if tolerance_s is None:
+            return pay
         within = (
-            F.abs(epoch_us(F.col("__ats")) - epoch_us(F.col("__rpay.__mts")))
+            F.abs(epoch_us(F.col("__ats")) - epoch_us(pay["__mts"]))
             <= int(tolerance_s) * 1_000_000
         )
-        u = u.withColumn("__rpay", F.when(within, F.col("__rpay")))
+        return F.when(within, pay)
+
+    if direction == "nearest":
+        # Both directional passes share the key shuffle (same partition
+        # spec, two sort orders); the closer match wins, ties prefer the
+        # EARLIER right row (backward), pandas merge_asof semantics.
+        u = u.withColumn("__bwd", _within_tol(_running_last(u, asc=True))).withColumn(
+            "__fwd", _within_tol(_running_last(u, asc=False))
+        )
+        d_b = F.abs(epoch_us(F.col("__ats")) - epoch_us(F.col("__bwd.__mts")))
+        d_f = F.abs(epoch_us(F.col("__fwd.__mts")) - epoch_us(F.col("__ats")))
+        u = u.withColumn(
+            "__rpay",
+            F.when(F.col("__bwd").isNull(), F.col("__fwd"))
+            .when(F.col("__fwd").isNull(), F.col("__bwd"))
+            .when(d_f < d_b, F.col("__fwd"))
+            .otherwise(F.col("__bwd")),
+        ).drop("__bwd", "__fwd")
+    else:
+        u = u.withColumn("__rpay", _running_last(u, asc=direction == "backward"))
+        u = u.withColumn("__rpay", _within_tol(F.col("__rpay")))
     return u.filter(F.col("__side") == 1).select(
         F.col(key),
         *[F.col(c) for c in left_payload],

@@ -1190,3 +1190,48 @@ def q_join_asof_fwd(spark, sf_dir):
         tolerance_s=7200,
     )
     return joined.select("event_id", "user_id", "next_purchase_id")
+
+
+@q(
+    "q_join_asof_nearest",
+    """
+    WITH p AS (
+      SELECT user_id, ts, min(event_id) AS pid
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id,
+           (SELECT p.pid FROM p
+            WHERE p.user_id = v.user_id
+              AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= CAST(7200 AS BIGINT) * 1000000
+            ORDER BY abs(epoch_us(p.ts) - epoch_us(v.ts)), p.ts LIMIT 1)
+             AS nearest_purchase_id
+    FROM v
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join with tolerance — the last direction of the
+    pandas merge_asof surface (backward r1, forward r3): each view
+    event gets the user's closest purchase within 2 hours either way,
+    ties preferring the earlier purchase. One key shuffle carries BOTH
+    directional running-last passes (same partition spec, two sort
+    orders); the oracle's correlated abs-distance LIMIT-1 subquery is
+    the O(n*m) semantics it replaces."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("nearest_purchase_id"))
+    )
+    joined = J.asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["nearest_purchase_id"],
+        direction="nearest",
+        tolerance_s=7200,
+    )
+    return joined.select("event_id", "user_id", "nearest_purchase_id")

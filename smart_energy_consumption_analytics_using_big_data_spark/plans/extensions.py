@@ -2374,3 +2374,50 @@ def q_split_assign(spark, sf_dir):
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+@q(
+    "q_text_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+      SELECT w, count(*) AS n_w FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, n_w
+      FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT pair, sum(n_w) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+    """,
+)
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE vocabulary training inner loop (Sennrich et al. 2016): the
+    most frequent adjacent symbol pair across the corpus — the pair a
+    BPE trainer would merge next. Scale shape is the classic BPE trick:
+    compact the token stream to WORD FREQUENCIES first (vocab-sized,
+    sublinear in corpus growth), then explode each distinct word's
+    adjacent char pairs weighted by its count — the corpus-sized
+    explode never happens. Top-30 via TakeOrdered, no global sort."""
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = wf.select(
+        "n_w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(30)
+    )

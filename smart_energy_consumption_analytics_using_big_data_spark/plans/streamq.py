@@ -66,6 +66,27 @@ def q_stream_stateful(spark, sf_dir):
 
 
 @q(
+    "q_stream_stateful_counts",
+    "SELECT user_id, count(*) AS n_events, max(value) AS max_value "
+    "FROM events GROUP BY user_id",
+)
+def q_stream_stateful_counts(spark, sf_dir):
+    """Hash-checked companion to q_stream_stateful: the SAME
+    applyInPandasWithState operator projected onto its order-
+    independent half. n_events and max_value are monotone folds, so
+    the max over every emitted update row IS the final state no matter
+    how the replay micro-batches — only the float total_value stays
+    rows-only. Pins that the custom state operator neither drops nor
+    double-counts events through the state store."""
+    from pyspark.sql import functions as F
+
+    updates = stream_user_running_stats(spark, f"{sf_dir}/events.parquet")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
+@q(
     "q_stream_dedup",
     "SELECT event_type, count(*) AS n, {dsum} AS total_value "
     "FROM events GROUP BY 1".format(dsum=DSUM("value")),

@@ -306,3 +306,12 @@ def test_asof_join_equals_bruteforce_both_directions(spark, lrows, rrows):
                 cands = [(ts, v) for (kk, ts, v) in right if kk == k and ts >= lts]
                 want = min(cands)[1] if cands else None
             assert got[lid] == want, (direction, lid)
+
+    # nearest: closest |ts diff|, ties -> earlier right row (backward)
+    got = {
+        r["lid"]: r["v"] for r in asof_join(ldf, rdf, "k", direction="nearest").collect()
+    }
+    for k, lts, lid in left:
+        cands = [(abs((ts - lts).total_seconds()), ts, v) for (kk, ts, v) in right if kk == k]
+        want = min(cands)[2] if cands else None
+        assert got[lid] == want, ("nearest", lid)
