@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "q_topk_count",
     "q_rollup",
     "q_dedup_minhash_lsh",
+    "q_dedup_minhash_arrow",
     "q_dedup_winnow",
     "q_dedup_winnow_fast",
     "q_dedup_winnow_arrow",

@@ -588,3 +588,159 @@ def winnow_fingerprints_arrow(
 
     sized = docs.select(id_col, text_col)
     return sized.mapInPandas(_batches, out_schema).distinct()
+
+
+def minhash_signatures_arrow(
+    docs: DataFrame,
+    num_hashes: int = 6,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures via Arrow mapInPandas — the vectorized
+    counterpart of `minhash_signatures` (same Arrow lesson as
+    winnow_fingerprints_arrow, PERFORMANCE.md round 4).
+
+    Per Arrow batch the whole batch's word n-gram shingles are hashed
+    in ONE vectorized call (pandas' cython siphash over an object
+    array, fixed key so results are deterministic), the k hash
+    functions derive by splitmix64-finalizing h XOR a per-function
+    constant, and each document's minimum comes from
+    ``np.minimum.reduceat`` over the batch-concatenated hash array —
+    no shingle ever leaves the executor, no shuffle at all for the
+    signature stage (vs the native path's explode + groupBy shuffle of
+    the corpus-sized shingle table).
+
+    Signature components are zero-padded hex STRINGS so the shared
+    `band_table`/`lsh_candidate_pairs` machinery applies unchanged.
+    Unlike the oracled md5 path, signatures are computed over ALL
+    shingles (no max_df pruning — pruning needs global document
+    frequencies; boilerplate suppression belongs to the verify stage).
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType(), False)]
+        + [StructField(f"mh_{i}", StringType(), False) for i in range(num_hashes)]
+    )
+
+    def _batches(iterator):
+        import numpy as np
+        import pandas as pd
+
+        keys = np.array(
+            [np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1) for i in range(num_hashes)],
+            dtype=np.uint64,
+        )
+
+        def splitmix64(x: "np.ndarray") -> "np.ndarray":
+            x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            return x
+
+        for pdf in iterator:
+            shingles: list = []
+            starts: list = []
+            doc_ids: list = []
+            for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if text is None:
+                    continue
+                toks = text.split()
+                if len(toks) < n:
+                    continue
+                starts.append(len(shingles))
+                doc_ids.append(did)
+                shingles.extend(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            if not doc_ids:
+                continue
+            base = pd.util.hash_array(
+                np.array(shingles, dtype=object), hash_key="spark_graft_mh16"
+            )
+            out = {id_col: np.array(doc_ids, dtype=np.int64)}
+            with np.errstate(over="ignore"):
+                for i in range(num_hashes):
+                    hk = splitmix64(base ^ keys[i])
+                    mins = np.minimum.reduceat(hk, np.array(starts, dtype=np.intp))
+                    out[f"mh_{i}"] = [f"{v:016x}" for v in mins]
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+
+
+def minhash_lsh_arrow(
+    docs: DataFrame,
+    num_hashes: int = 6,
+    band_size: int = 2,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full Arrow-path near-dup pipeline: vectorized signatures ->
+    shared LSH banding/bucket join -> exact n-gram Jaccard verification
+    of the candidates in a second Arrow pass over the paired texts.
+
+    The verify stage computes jaccard over DISTINCT word n-gram sets,
+    so its values are hash-family-independent and must EQUAL the
+    oracled `jaccard_pairs` numbers for the same pairs (pinned by
+    tests/test_minhash_arrow.py) — only candidate RECALL differs with
+    the hash family. Candidates are bucket-confined; the only wide
+    shuffles are the band-key join and the two doc_id text joins.
+    """
+    sigs = minhash_signatures_arrow(docs, num_hashes, n, text_col, id_col)
+    cand = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    paired = (
+        cand.join(
+            texts.select(
+                F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            texts.select(
+                F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+            ),
+            "doc_b",
+        )
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc_a", LongType(), False),
+            StructField("doc_b", LongType(), False),
+            StructField("jaccard", DoubleType(), True),
+        ]
+    )
+
+    def _verify(iterator):
+        import pandas as pd
+
+        def grams(text: str) -> set:
+            toks = text.split()
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            jac = []
+            for ta, tb in zip(pdf["__ta"].to_numpy(), pdf["__tb"].to_numpy()):
+                ga, gb = grams(ta), grams(tb)
+                inter = len(ga & gb)
+                union = len(ga) + len(gb) - inter
+                jac.append(round(inter / union, 6) if union else None)
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": jac}
+            )
+
+    out = paired.mapInPandas(_verify, out_schema)
+    return out.filter(F.col("jaccard") >= min_jaccard)

@@ -2005,6 +2005,21 @@ def q_dedup_winnow_arrow(spark, sf_dir):
     return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="arrow")
 
 
+@q("q_dedup_minhash_arrow")  # rows-only: siphash signatures not in DuckDB
+def q_dedup_minhash_arrow(spark, sf_dir):
+    """Full Arrow-path MinHash near-dup pipeline: vectorized per-batch
+    signatures (one cython siphash call per Arrow batch + splitmix64
+    hash family + minimum.reduceat — the signature stage does NOT
+    shuffle, vs the native path's corpus-sized shingle explode +
+    groupBy), then the SHARED banding/bucket join, then exact n-gram
+    Jaccard verification of candidates in a second Arrow pass. The
+    verify-stage jaccard values are hash-family-independent and are
+    pinned equal to the oracled jaccard_pairs numbers in
+    tests/test_minhash_arrow.py; candidate recall is what the hash
+    family changes (rows-only, like every non-md5 hash path)."""
+    return D.minhash_lsh_arrow(t(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
 @q(
     "q_drift_ks",
     """

@@ -1,0 +1,65 @@
+"""Arrow-path MinHash pipeline (PERFORMANCE.md round 4).
+
+The hash family differs from the oracled md5 path, so correctness
+splits into (a) MinHash invariants that hold for any family — exact
+duplicates get identical signatures, disjoint docs get disjoint-ish
+ones, banding finds exact dups with probability 1 — and (b) the
+verify stage's exact Jaccard, which is hash-independent and must equal
+the oracled `jaccard_pairs` values for the same pairs.
+"""
+
+from __future__ import annotations
+
+from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+    jaccard_pairs,
+    minhash_lsh_arrow,
+    minhash_signatures_arrow,
+    shingle_table,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog and keeps on running through the field"
+
+
+def test_signatures_deterministic_and_duplicate_invariant(spark):
+    rows = [(1, BASE), (2, BASE), (3, "completely different words entirely " * 5)]
+    sigs1 = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_arrow(_docs(spark, rows)).collect()}
+    sigs2 = {r.doc_id: tuple(r)[1:] for r in minhash_signatures_arrow(_docs(spark, rows)).collect()}
+    assert sigs1 == sigs2, "signatures must be deterministic across runs"
+    assert sigs1[1] == sigs1[2], "exact duplicates must share every component"
+    assert sigs1[1] != sigs1[3]
+
+
+def test_lsh_arrow_finds_duplicates_and_verifies_exact_jaccard(spark):
+    near = BASE + " with a small tail change"
+    rows = [(1, BASE), (2, BASE), (3, near), (4, "unrelated text about completely other topics " * 4)]
+    docs = _docs(spark, rows)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_arrow(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    # verify-stage jaccard equals the oracle-path exact jaccard for the
+    # same pairs (hash-family-independent): compare on unpruned shingles
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingle_table(docs, max_df=None)).collect()
+    }
+    for pair, j in got.items():
+        assert exact[pair] == j, (pair, exact[pair], j)
+
+
+def test_lsh_arrow_on_corpus_jaccard_matches_oracle_path(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_arrow(docs).collect()}
+    assert got, "corpus has near-dups by construction"
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingle_table(docs, max_df=None)).collect()
+    }
+    for pair, j in got.items():
+        assert exact[pair] == j, (pair, exact[pair], j)
