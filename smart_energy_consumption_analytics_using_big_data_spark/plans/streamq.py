@@ -167,6 +167,52 @@ def q_stream_join(spark, sf_dir):
 
 
 @q(
+    "q_stream_join_outer",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r))
+             - INTERVAL 1 DAY AS w
+    )
+    SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delay_us
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR
+    UNION ALL
+    SELECT l.user_id, l.event_id AS view_id,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS delay_us
+    FROM l
+    WHERE NOT EXISTS (
+            SELECT 1 FROM r
+            WHERE r.user_id = l.user_id
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOUR)
+      AND l.ts + INTERVAL 6 HOUR < (SELECT w FROM wm)
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join — the hardest
+    emission semantics in Structured Streaming: a matched pair emits
+    on match, but an UNMATCHED view may only emit its NULL row once
+    the global watermark (min over both inputs, here max(ts) - 1 day)
+    passes view_ts + 6h, proving no admissible purchase can still
+    arrive. Views inside the final watermark horizon stay withheld in
+    state. The oracle reproduces exactly that gate: the batch interval
+    join UNION ALL the NOT-EXISTS rows whose match window closed
+    before the final watermark."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    return stream_stream_join(spark, f"{sf_dir}/events.parquet", how="leftOuter")
+
+
+@q(
     "q_stream_enrich",
     "SELECT c_mktsegment, {dsum} AS total_value, count(*) AS n "
     "FROM events JOIN customer ON user_id = c_custkey "

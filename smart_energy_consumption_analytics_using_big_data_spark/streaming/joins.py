@@ -31,6 +31,7 @@ def stream_stream_join(
     right_type: str = "purchase",
     within: str = "6 hours",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Pair each `left_type` event with the same user's `right_type`
     events arriving within `within` after it.
@@ -40,6 +41,14 @@ def stream_stream_join(
     what lets the engine drop a buffered left row as soon as the right
     watermark passes left_ts + within (bounded state). Equi-key
     `user_id` keeps it a hash join on the stream partitioning.
+
+    ``how="leftOuter"`` adds the watermark-gated NULL emissions: an
+    unmatched left row may only emit once the GLOBAL watermark (min
+    over both inputs) passes ``l_ts + within`` — before that a future
+    right-side match is still admissible, so the row sits in state.
+    Replayed with availableNow this is deterministic (the engine runs
+    the no-data batch that advances the final watermark and flushes
+    evictable state), so even the outer variant carries a SQL oracle.
     """
     src = _streaming_events(spark, events_path)
     left = (
@@ -66,7 +75,7 @@ def stream_stream_join(
         & (right["r_ts"] >= left["l_ts"])
         & (right["r_ts"] <= left["l_ts"] + F.expr(f"INTERVAL {within}"))
     )
-    pairs = left.join(right, cond, "inner").select(
+    pairs = left.join(right, cond, how).select(
         F.col("l_user").alias("user_id"),
         F.col("left_id").alias(f"{left_type}_id"),
         F.col("right_id").alias(f"{right_type}_id"),

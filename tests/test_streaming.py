@@ -248,3 +248,53 @@ def test_replay_datasource_offsets_and_parity(spark):
     # exhaustion: offsets stop advancing at EOF
     it_last, off_last = r.read({"row": 1000})
     assert list(it_last) == [] and off_last == {"row": 1000}
+
+
+def test_stream_outer_join_gates_null_rows_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched view emits its NULL
+    row only once the global watermark (max ts - 1 day) passes
+    view_ts + 6h; a fresher unmatched view stays withheld in state."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # old unmatched view: window closed long before the watermark
+        (1, base, 101, "view", 1.0),
+        # matched pair
+        (2, base + dt.timedelta(days=1), 102, "view", 1.0),
+        (3, base + dt.timedelta(days=1, hours=2), 102, "purchase", 1.0),
+        # fresh unmatched view: inside the watermark horizon -> withheld
+        (4, base + dt.timedelta(days=3, hours=20), 103, "view", 1.0),
+        # late purchase fixes the right-side max ts (watermark anchor)
+        (5, base + dt.timedelta(days=4), 104, "purchase", 1.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(table, str(path), version="2.6")
+
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in stream_stream_join(spark, str(path), how="leftOuter").collect()
+    }
+    # global watermark = min(max view ts, max purchase ts) - 1 day
+    #                  = min(base+3d20h, base+4d) - 1d = base+2d20h.
+    # view 1's match window closed at base+6h, before it -> NULL row
+    # emits; view 4's window closes at base+4d2h, beyond it ->
+    # withheld; pair (2,3) matches normally.
+    assert got == {(1, None), (2, 3)}
