@@ -39,7 +39,15 @@ REPLICAS_DOCS = 10      # documents: replicas are near-dups of each other by
                         # in the replica count — 10x keeps the OUTPUT size an
                         # artifact-free measure of the candidate-join stage
 # scan/agg/window/join/dedup representatives whose inputs we can blow up
-PROBE = ["q_flagship", "q_agg_multikey", "q_sessionize", "q_dedup_minhash_lsh"]
+PROBE = [
+    "q_flagship",
+    "q_agg_multikey",
+    "q_sessionize",
+    "q_dedup_minhash_lsh",
+    "q_dedup_minhash_arrow",
+    "q_dedup_winnow_arrow",
+    "q_join_asof_nearest",
+]
 
 
 def build_derived(spark, out_dir: str) -> None:

@@ -58,6 +58,45 @@ class SnapshotUpsertSink:
         gen = json.loads(self._manifest.read_text())["generation"]
         return self.spark.read.parquet(str(self.root / f"gen={gen}"))
 
+    def generations(self) -> list[int]:
+        """Snapshot generations still on disk, oldest first — the
+        double-buffered dirs double as a time-travel history until
+        vacuum() reclaims them (same mechanics as a table format's
+        snapshot log, minus the transaction layer)."""
+        return sorted(
+            int(p.name.split("=", 1)[1])
+            for p in self.root.glob("gen=*")
+            if p.is_dir()
+        )
+
+    def snapshot_at(self, generation: int) -> DataFrame:
+        """Time-travel read of a specific retained generation."""
+        path = self.root / f"gen={generation}"
+        if not path.is_dir():
+            raise ValueError(
+                f"generation {generation} not retained (have {self.generations()})"
+            )
+        return self.spark.read.parquet(str(path))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest `keep_last` generations (never the
+        current one). Returns the removed generation ids. The retention
+        knob every snapshot store needs: without it the double-buffer
+        becomes an unbounded history."""
+        import shutil
+
+        keep_last = max(keep_last, 1)
+        current = (
+            json.loads(self._manifest.read_text())["generation"]
+            if self._manifest.exists()
+            else None
+        )
+        gens = self.generations()
+        removed = [g for g in gens[:-keep_last] if g != current]
+        for g in removed:
+            shutil.rmtree(self.root / f"gen={g}")
+        return removed
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window, functions as F
 

@@ -298,3 +298,39 @@ def test_stream_outer_join_gates_null_rows_on_watermark(spark, tmp_path):
     # emits; view 4's window closes at base+4d2h, beyond it ->
     # withheld; pair (2,3) matches normally.
     assert got == {(1, None), (2, 3)}
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    """Retained generations are time-travel-readable; vacuum drops all
+    but the newest keep_last and never the current one."""
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.upsert import (
+        SnapshotUpsertSink,
+    )
+
+    sink = SnapshotUpsertSink(spark, str(tmp_path / "snap"), ["uid"], ["ver"])
+    b1 = pd.DataFrame({"uid": [1, 2], "ver": [1, 1], "val": ["a1", "b1"]})
+    b2 = pd.DataFrame({"uid": [2, 3], "ver": [2, 1], "val": ["b2", "c1"]})
+    b3 = pd.DataFrame({"uid": [1, 1], "ver": [3, 2], "val": ["a3", "a2"]})
+    for i, b in enumerate((b1, b2, b3)):
+        sink.process_batch(spark.createDataFrame(b), batch_id=i)
+
+    assert sink.generations() == [0, 1, 2]
+    # time travel: generation 0 is the pre-merge state of batch 1
+    g0 = {r["uid"]: (r["ver"], r["val"]) for r in sink.snapshot_at(0).collect()}
+    assert g0 == {1: (1, "a1"), 2: (1, "b1")}
+    g2 = {r["uid"]: (r["ver"], r["val"]) for r in sink.snapshot_at(2).collect()}
+    assert g2 == {1: (3, "a3"), 2: (2, "b2"), 3: (1, "c1")}
+    assert g2 == {r["uid"]: (r["ver"], r["val"]) for r in sink.current().collect()}
+
+    removed = sink.vacuum(keep_last=2)
+    assert removed == [0]
+    assert sink.generations() == [1, 2]
+    # current survives even with keep_last=1
+    assert sink.vacuum(keep_last=1) == [1]
+    assert sink.generations() == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.snapshot_at(0)
