@@ -221,6 +221,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 6,
     band_size: int = 2,
     persist: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: pairs agreeing on at least one band of the signature.
 
@@ -236,11 +237,28 @@ def lsh_candidate_pairs(
     columnar cache fill outweighs one cheap extra scan) but it is the
     right call on a cluster where the upstream is a multi-TB corpus
     scan; callers can equally persist `signatures` themselves.
+
+    ``max_bucket`` drops band buckets holding more than that many
+    documents BEFORE the self-join — the bucket-level analogue of the
+    shingle df-prune: a boilerplate-dominated bucket of B docs emits
+    B^2/2 candidate pairs, and a handful of hub buckets can dominate
+    the whole join (the scale probe's 10x near-dup-rich corpus grows
+    candidates 577x without it). Capped buckets trade recall on
+    LARGE duplicate groups (usually exact-dup families that the cheap
+    exact pass should have removed first) for a hard bound on the
+    pair-join output.
     """
     n_bands = num_hashes // band_size
     if persist:
         signatures = signatures.persist()
     bands = band_table(signatures, num_hashes, band_size)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("__bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -628,8 +646,10 @@ def minhash_signatures_arrow(
         import numpy as np
         import pandas as pd
 
+        # per-function constants: golden-ratio multiples mod 2^64
+        # (python ints, so the intentional wraparound raises no warning)
         keys = np.array(
-            [np.uint64(0x9E3779B97F4A7C15) * np.uint64(i + 1) for i in range(num_hashes)],
+            [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 64) for i in range(num_hashes)],
             dtype=np.uint64,
         )
 
@@ -681,6 +701,7 @@ def minhash_lsh_arrow(
     min_jaccard: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full Arrow-path near-dup pipeline: vectorized signatures ->
     shared LSH banding/bucket join -> exact n-gram Jaccard verification
@@ -694,7 +715,7 @@ def minhash_lsh_arrow(
     shuffles are the band-key join and the two doc_id text joins.
     """
     sigs = minhash_signatures_arrow(docs, num_hashes, n, text_col, id_col)
-    cand = lsh_candidate_pairs(sigs, num_hashes, band_size)
+    cand = lsh_candidate_pairs(sigs, num_hashes, band_size, max_bucket=max_bucket)
     texts = docs.select(F.col(id_col), F.col(text_col))
     paired = (
         cand.join(

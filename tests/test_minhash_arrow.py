@@ -63,3 +63,19 @@ def test_lsh_arrow_on_corpus_jaccard_matches_oracle_path(spark):
     }
     for pair, j in got.items():
         assert exact[pair] == j, (pair, exact[pair], j)
+
+
+def test_max_bucket_caps_hub_buckets_but_keeps_small_groups(spark):
+    """A B-doc duplicate family emits B^2/2 pairs; max_bucket drops the
+    hub bucket while small groups survive untouched."""
+    hub = "identical boilerplate text repeated across many documents here"
+    pair = "a rare shared passage that only these two documents contain ok"
+    rows = [(i, hub) for i in range(10)] + [(100, pair), (101, pair)]
+    docs = _docs(spark, rows)
+    uncapped = minhash_lsh_arrow(docs).collect()
+    capped = minhash_lsh_arrow(docs, max_bucket=5).collect()
+    un_pairs = {(r.doc_a, r.doc_b) for r in uncapped}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (100, 101) in un_pairs and (100, 101) in cap_pairs
+    assert any(a < 10 and b < 10 for a, b in un_pairs)
+    assert not any(a < 10 and b < 10 for a, b in cap_pairs)
