@@ -188,6 +188,56 @@ _NEVER_RUN_PRIORITY: tuple[str, ...] = (
     "q_sample_mix",
     "q_resample_gapfill",
     "q_rollup_incremental",
+    # --- r4 extension of the priority list: the 46 queries that had no
+    # driver row through r3 (VERDICT r3 item 2). Pinned EXPLICITLY so
+    # that queries added in r4+ (which are also unseen and sit earlier
+    # in family order) cannot displace them from the bounded window.
+    "q_dedup_containment",
+    "q_dedup_minhash_estimate",
+    "q_dedup_keep_best",
+    "q_text_ngrams",
+    "q_text_contamination",
+    "q_docs_repetition",
+    "q_text_piiscrub",
+    "q_dedup_semantic",
+    "q_dedup_winnow",
+    "q_scan_xlsx",
+    "q_join_salted",
+    "q_agg_rate",
+    "q_agg_profile",
+    "q_topk_count",
+    "q_corr",
+    "q_agg_stats",
+    "q_rollup",
+    "q_window_lag",
+    "q_window_rollavg",
+    "q_window_rollstd",
+    "q_window_rollminmax",
+    "q_window_rollsum",
+    "q_window_zscore",
+    "q_window_rank",
+    "q_sort",
+    "q_topk",
+    "q_union_all",
+    "q_intersect",
+    "q_except",
+    "q_scalar_datetime",
+    "q_scalar_datefmt",
+    "q_scalar_case",
+    "q_scalar_trig",
+    "q_scalar_arith",
+    "q_scalar_trydiv",
+    "q_scalar_string",
+    "q_scalar_json",
+    "q_join_range",
+    "q_quality_audit",
+    "q_scalar_calendar",
+    "q_interpolate_linear",
+    "q_skew_audit",
+    "q_feature_binning",
+    "q_window_rollmedian",
+    "q_agg_weighted",
+    "q_approx_topk",
 )
 
 # Queries whose only driver-green row predates the round-2 testdata
@@ -230,14 +280,21 @@ def _rotate_registry() -> None:
     # Anything registered outside the snapshots (defensive) keeps its place.
     tail = tuple(k for k in QUERIES if k not in set(family_order))
     redo = [k for k in failed if k in QUERIES]
-    unseen = [
+    unseen_priority = [
+        k for k in _NEVER_RUN_PRIORITY if k not in seen and k in QUERIES
+    ]
+    # VERDICT r3 ordering: failures, then the pinned never-run backlog,
+    # then the stale-evidence redos, and only THEN queries added in
+    # later rounds (also unseen, but they must not displace the backlog
+    # or the stale redos from the bounded driver window).
+    unseen_new = [
         k
-        for k in _NEVER_RUN_PRIORITY + family_order + tail
-        if k not in seen and k in QUERIES
+        for k in family_order + tail
+        if k not in seen and k in QUERIES and k not in set(_NEVER_RUN_PRIORITY)
     ]
     stale = [k for k in _STALE_PRIORITY if k in QUERIES]
     # de-dup while preserving order (priority list overlaps family order)
-    head = list(dict.fromkeys(redo + unseen + stale))
+    head = list(dict.fromkeys(redo + unseen_priority + stale + unseen_new))
     rest = [k for k in QUERIES if k not in set(head)]
     snapshot = dict(QUERIES)
     QUERIES.clear()
