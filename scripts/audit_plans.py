@@ -52,6 +52,8 @@ ALLOWED_BNLJ = {
     "q_text_logprob": "scalar corpus-token total cross-joined as a 1-row broadcast",
     "q_sample_dsir": "scalar target/raw totals cross-joined as a 1-row broadcast (ratio join itself is an equi-join)",
     "q_sim_knn_join": "bounded query batch broadcast against one corpus scan (top-k stages are windows)",
+    "q_text_bm25": "1-row corpus stats (N, avgdl, per-term df) cross-joined as a broadcast",
+    "q_emb_ivfpq_search": "coarse-quantizer assignment + query probe: centroid set and 1-row query broadcast, corpus scanned once per stage",
 }
 
 

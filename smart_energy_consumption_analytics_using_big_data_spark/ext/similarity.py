@@ -470,3 +470,96 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_search(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k_top: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    sub_dim: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ asymmetric search — the composition that is the standard
+    billion-vector ANN layout (Jegou et al. 2011; FAISS's IVFPQ): a
+    coarse quantizer routes the query to `nprobe` inverted lists, and
+    within them vectors are scored through PQ codes trained on the
+    RESIDUAL (vector - cell centroid), which quantizes a much tighter
+    distribution than raw vectors.
+
+    Scale shape: centroids and the PQ codebook are broadcast-sized BY
+    CONSTRUCTION (|cells| and m*k*sub_dim rows); the corpus appears as
+    one scan for assignment, one for residual encoding; query time
+    touches only the probed cells' codes via an m*k ADC lookup table
+    per cell. Everything derandomized (label centroids, md5 hash init)
+    so the whole composite carries a SQL oracle.
+    """
+    cents = ivf_centroids(embeddings, vec_col, label_col)
+    # The assignment and residual tables feed the codebook, the encode
+    # pass AND the final list restriction; without materialization the
+    # composite re-scans the corpus 8x (measured via the plan audit).
+    # A lazy localCheckpoint computes each once and lets the
+    # ContextCleaner reclaim the blocks when the plan is dropped — at
+    # full scale this is the deliberate index-build materialization
+    # every IVF-PQ construction does (the codes ARE the product).
+    assign = (
+        ivf_assign(embeddings, cents, vec_col, id_col)
+        .select(id_col, "cell")
+        .localCheckpoint(eager=False)
+    )
+    res_vec = (
+        embeddings.join(assign, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            id_col,
+            F.zip_with(
+                vec_col, "centroid", lambda x, c: x.cast("double") - c
+            ).alias("res"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    enc = pq_encode(res_vec, m, sub_dim, k, vec_col="res", id_col=id_col)
+    cba = pq_codebook_arrays(res_vec, m, sub_dim, k, vec_col="res", id_col=id_col)
+
+    qv = query.select(F.col(vec_col).alias("__qvec"))
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .withColumn("qcos", F.round(cosine(F.col("centroid"), F.col("__qvec")), 6))
+        .orderBy(F.desc("qcos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell", "centroid")
+    )
+    qres = probe.crossJoin(F.broadcast(qv)).select(
+        "cell",
+        F.zip_with("__qvec", "centroid", lambda x, c: x.cast("double") - c).alias(
+            "qres"
+        ),
+    )
+    qsub = qres.select(
+        "cell", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "qres"
+    ).select(
+        "cell",
+        "s",
+        F.slice(F.col("qres"), F.col("s") * sub_dim + 1, F.lit(sub_dim)).alias("qsubv"),
+    )
+    dtab = qsub.join(F.broadcast(cba), "s").select(
+        "cell",
+        "s",
+        "code",
+        F.aggregate(
+            F.zip_with("qsubv", "centroid", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("dq"),
+    )
+    adc = (
+        enc.join(assign, id_col)
+        .join(F.broadcast(dtab), ["cell", "s", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+    )
+    return adc.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)

@@ -1828,7 +1828,7 @@ def q_emb_pq_encode(spark, sf_dir):
     SELECT enc.vec_id, round(sum(dtab.dq), 6) AS adc_dist
     FROM enc JOIN dtab ON enc.s = dtab.s AND enc.code = dtab.code
     GROUP BY enc.vec_id
-    ORDER BY adc_dist, vec_id LIMIT 10
+    ORDER BY adc_dist, enc.vec_id LIMIT 10
     """,
 )
 def q_emb_pq_search(spark, sf_dir):
@@ -2436,3 +2436,190 @@ def q_text_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(30)
     )
+
+
+_BM25_TERMS = ("vector", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@q(
+    "q_text_bm25",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (tok = 'vector') AS tf_vector,
+             count(*) FILTER (tok = 'join') AS tf_join,
+             count(*) FILTER (tok = 'filter') AS tf_filter
+      FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT avg(dl) AS avgdl, count(*) AS n,
+             count(*) FILTER (tf_vector > 0) AS df_vector,
+             count(*) FILTER (tf_join > 0) AS df_join,
+             count(*) FILTER (tf_filter > 0) AS df_filter
+      FROM per_doc
+    )
+    SELECT doc_id,
+           round(
+             round(ln(1 + (n - df_vector + 0.5) / (df_vector + 0.5))
+               * tf_vector * (1.2 + 1)
+               / (tf_vector + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)
+           + round(ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+               * tf_join * (1.2 + 1)
+               / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)
+           + round(ln(1 + (n - df_filter + 0.5) / (df_filter + 0.5))
+               * tf_filter * (1.2 + 1)
+               / (tf_filter + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 12)
+           , 6) AS bm25
+    FROM per_doc CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (Robertson/Sparck Jones; k1=1.2, b=0.75)
+    for a fixed 3-term query — the lexical-retrieval primitive a
+    contamination / dedup / retrieval-augmentation pipeline runs at
+    corpus scale. ONE token explode feeds a single per-doc aggregation
+    (doc length + per-term tf as conditional counts — no second pass,
+    no per-term join); corpus stats (N, avgdl, per-term df) reduce to
+    a 1-row broadcast. Per-term scores round to 12 dp before the fixed
+    -order in-row sum so both engines agree to the final 6-dp hash.
+    Top-20 via TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.count_if(F.col("tok") == term).alias(f"tf_{term}") for term in _BM25_TERMS
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    stats = per_doc.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.count_if(F.col(f"tf_{term}") > 0).alias(f"df_{term}")
+            for term in _BM25_TERMS
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = per_doc.crossJoin(F.broadcast(stats))
+
+    def term_score(term: str):
+        tf = F.col(f"tf_{term}")
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n") - F.col(f"df_{term}") + F.lit(0.5))
+            / (F.col(f"df_{term}") + F.lit(0.5))
+        )
+        norm = tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        return F.round(idf * tf * (k1 + 1) / norm, 12)
+
+    total = term_score(_BM25_TERMS[0])
+    for term in _BM25_TERMS[1:]:
+        total = total + term_score(term)
+    return (
+        scored.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_emb_ivfpq_search",
+    f"""
+    WITH cent AS (
+      SELECT label AS cell, u.pos AS pos, avg(u.val) AS cval
+      FROM ({_UNNEST_EMB.format(id='label')}) GROUP BY label, u.pos
+    ),
+    emb AS (
+      SELECT vec_id, u.pos AS pos, u.val AS v
+      FROM ({_UNNEST_EMB.format(id='vec_id')})
+    ),
+    cellcos AS (
+      SELECT e.vec_id, c.cell,
+             round(sum(e.v * c.cval) /
+                   (sqrt(sum(e.v * e.v)) * sqrt(sum(c.cval * c.cval))), 6) AS cc
+      FROM emb e JOIN cent c USING (pos) GROUP BY e.vec_id, c.cell
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cc DESC, cell) AS rn
+        FROM cellcos
+      ) WHERE rn = 1
+    ),
+    res AS (
+      SELECT e.vec_id, a.cell, e.pos, e.v - c.cval AS r
+      FROM emb e JOIN assign a USING (vec_id)
+      JOIN cent c ON c.cell = a.cell AND c.pos = e.pos
+    ),
+    psub AS (
+      SELECT vec_id, cell, CAST((pos - 1) // 8 AS INT) AS s,
+             (pos - 1) % 8 AS p, r AS v,
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INT) % 16
+               AS code0
+      FROM res
+    ),
+    cb AS (
+      SELECT s, code0 AS code, p, avg(v) AS cval
+      FROM psub GROUP BY s, code0, p
+    ),
+    enc0 AS (
+      SELECT psub.vec_id, psub.s, cb.code,
+             round(sum((psub.v - cb.cval) * (psub.v - cb.cval)), 6) AS d2
+      FROM psub JOIN cb ON psub.s = cb.s AND psub.p = cb.p
+      GROUP BY psub.vec_id, psub.s, cb.code
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rn
+        FROM enc0
+      ) WHERE rn = 1
+    ),
+    qe AS (
+      SELECT u.pos AS pos, u.val AS v
+      FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+                   i -> {{'pos': i, 'val': CAST(embedding[i] AS DOUBLE)}})) AS u
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 1))
+    ),
+    probe AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               round(sum(qe.v * c.cval) /
+                     (sqrt(sum(qe.v * qe.v)) * sqrt(sum(c.cval * c.cval))), 6) AS qcos
+        FROM qe JOIN cent c ON qe.pos = c.pos GROUP BY c.cell
+      ) ORDER BY qcos DESC, cell LIMIT 2
+    ),
+    qsub AS (
+      SELECT c.cell, CAST((qe.pos - 1) // 8 AS INT) AS s,
+             (qe.pos - 1) % 8 AS p, qe.v - c.cval AS r
+      FROM qe JOIN cent c ON qe.pos = c.pos
+      JOIN probe ON probe.cell = c.cell
+    ),
+    dtab AS (
+      SELECT qsub.cell, cb.s, cb.code,
+             sum((qsub.r - cb.cval) * (qsub.r - cb.cval)) AS dq
+      FROM qsub JOIN cb ON qsub.s = cb.s AND qsub.p = cb.p
+      GROUP BY qsub.cell, cb.s, cb.code
+    )
+    SELECT enc.vec_id, round(sum(dtab.dq), 6) AS adc_dist
+    FROM enc
+    JOIN assign ON assign.vec_id = enc.vec_id
+    JOIN dtab ON dtab.cell = assign.cell
+            AND dtab.s = enc.s AND dtab.code = enc.code
+    GROUP BY enc.vec_id
+    ORDER BY adc_dist, enc.vec_id LIMIT 10
+    """,
+)
+def q_emb_ivfpq_search(spark, sf_dir):
+    """IVF-PQ asymmetric top-10 — the billion-vector ANN layout as ONE
+    oracled composite: coarse quantizer routes the query to nprobe=2
+    cells, PQ codes trained on the RESIDUAL (vector - cell centroid)
+    score their lists through a per-cell m*k ADC table. Centroids and
+    codebook broadcast by construction; query time touches only probed
+    cells' codes. Completes the ANN ladder (brute force -> LSH -> IVF
+    -> PQ -> IVF-PQ), all derandomized and cross-engine-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    return S.ivfpq_search(emb, query, k_top=10, nprobe=2)
