@@ -101,3 +101,29 @@ def rolling_hash(text: Column, base: int = 257, mod: int = 2147483647) -> Column
         F.lit(0).cast("bigint"),
         lambda acc, i: (acc * base + F.ascii(text.substr(i, F.lit(1)))) % mod,
     )
+
+
+def bpe_pair_counts(docs, text_col: str = "text", top_n: int | None = None):
+    """Corpus-wide adjacent char-pair counts over whitespace words —
+    the BPE merge-selection inner loop (Sennrich et al. 2016). The
+    classic scale trick: compact the token stream to WORD FREQUENCIES
+    first (vocab-sized, sublinear in corpus growth), then explode each
+    DISTINCT word's pairs weighted by its count. Returns (pair, n);
+    `top_n` adds the deterministic TakeOrdered head."""
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    pairs = wf.select(
+        "n_w",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    out = pairs.groupBy("pair").agg(F.sum("n_w").alias("n"))
+    if top_n is None:
+        return out
+    return out.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)

@@ -2416,26 +2416,9 @@ def q_text_bpe_pairs(spark, sf_dir):
     sublinear in corpus growth), then explode each distinct word's
     adjacent char pairs weighted by its count — the corpus-sized
     explode never happens. Top-30 via TakeOrdered, no global sort."""
-    docs = t(spark, sf_dir, "documents")
-    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
-        F.length("w") >= 2
-    )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    pairs = wf.select(
-        "n_w",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
-            )
-        ).alias("pair"),
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.sum("n_w").alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(30)
-    )
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf_dir, "documents"), top_n=30)
 
 
 _BM25_TERMS = ("vector", "join", "filter")

@@ -90,3 +90,36 @@ def test_chunks_cover_all_tokens_with_overlap(spark):
         .filter(F.col("start_tok") != F.col("expected"))
     )
     assert w_bad.count() == 0
+
+
+def test_ivfpq_self_query_ranks_first_and_is_deterministic(spark):
+    """The query IS corpus vector 0 (min vec_id): its own ADC distance
+    is pure quantization error — the smallest — so it must rank first;
+    two runs must agree exactly (derandomized pipeline)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ivfpq_search
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    qid = query.collect()[0]["vec_id"]
+    a = [(r.vec_id, r.adc_dist) for r in ivfpq_search(emb, query).collect()]
+    b = [(r.vec_id, r.adc_dist) for r in ivfpq_search(emb, query).collect()]
+    assert a == b
+    assert a[0][0] == qid
+    assert all(d >= a[0][1] for _, d in a)
+
+
+def test_ivfpq_nprobe_widening_only_adds_candidates(spark):
+    """More probed cells can only add (never remove or re-rank) list
+    members: the nprobe=1 result set is a subset of nprobe=all's
+    candidate pool, and distances for shared ids are identical."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ivfpq_search
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    narrow = {r.vec_id: r.adc_dist for r in ivfpq_search(emb, query, k_top=1000, nprobe=1).collect()}
+    wide = {r.vec_id: r.adc_dist for r in ivfpq_search(emb, query, k_top=1000, nprobe=3).collect()}
+    assert set(narrow) <= set(wide)
+    for vid, d in narrow.items():
+        assert wide[vid] == d

@@ -315,3 +315,29 @@ def test_asof_join_equals_bruteforce_both_directions(spark, lrows, rrows):
         cands = [(abs((ts - lts).total_seconds()), ts, v) for (kk, ts, v) in right if kk == k]
         want = min(cands)[2] if cands else None
         assert got[lid] == want, ("nearest", lid)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_pair_counts_equal_bruteforce(spark, texts):
+    from collections import Counter
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(docs).collect()}
+    want: Counter = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    want[w[i : i + 2]] += 1
+    assert got == dict(want)
