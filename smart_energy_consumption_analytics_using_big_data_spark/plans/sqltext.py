@@ -734,3 +734,80 @@ def q_sql_supplier_part_counts(spark, sf_dir):
         ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20
         """
     )
+
+
+@q(
+    "q_sql_recursive_sessions",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_id AS src, event_id AS dst FROM ordered
+      WHERE prev_ts IS NOT NULL
+        AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+    ),
+    heads AS (
+      SELECT user_id, event_id FROM ordered
+      WHERE prev_ts IS NULL
+         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+    ),
+    walk AS (
+      SELECT user_id, event_id AS head_id, event_id AS cur, 1 AS n
+      FROM heads
+      UNION ALL
+      SELECT w.user_id, w.head_id, e.dst, w.n + 1
+      FROM walk w JOIN edges e ON e.src = w.cur
+    )
+    SELECT user_id, head_id, max(n) AS session_len
+    FROM walk GROUP BY user_id, head_id
+    """,
+)
+def q_sql_recursive_sessions(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE surface): session sizes
+    computed as an iterative graph walk — consecutive same-user events
+    within 30 minutes form edges, session heads seed the recursion,
+    each step follows one edge. Semantically identical to the
+    lag/cumsum sessionization (q_sessionize) but exercises the
+    fixpoint-iteration path of the engine (bounded here by the longest
+    session, depth 3 at sf0.01 — far under the 100-level default
+    recursion limit). Heads/edges derive from ONE window pass; the
+    recursion shuffles only the frontier. The CAST(ts AS TIMESTAMP)
+    inside unix_micros is the dtype-drift rule for SQL text: views from
+    register_views present timestamp or timestamp_ntz (load_table
+    already converts the bigint-nanos flavor at the scan), and the cast
+    is exact for both under the pinned-UTC session."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE ordered AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+                 lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_id
+          FROM events
+        ),
+        edges AS (
+          SELECT prev_id AS src, event_id AS dst FROM ordered
+          WHERE prev_ts IS NOT NULL
+            AND unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_ts AS TIMESTAMP)) <= 1800000000
+        ),
+        heads AS (
+          SELECT user_id, event_id FROM ordered
+          WHERE prev_ts IS NULL
+             OR unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+        ),
+        walk AS (
+          SELECT user_id, event_id AS head_id, event_id AS cur, 1 AS n
+          FROM heads
+          UNION ALL
+          SELECT w.user_id, w.head_id, e.dst, w.n + 1
+          FROM walk w JOIN edges e ON e.src = w.cur
+        )
+        SELECT user_id, head_id, max(n) AS session_len
+        FROM walk GROUP BY user_id, head_id
+        """
+    )
