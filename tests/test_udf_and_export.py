@@ -69,3 +69,57 @@ def test_merge_for_export(spark):
     assert out["B"]["forecast_prediction"] == 0.0  # fillna on missing forecast
     assert out["B"]["daily_energy_kwh"] == 3.0
     assert len(out) == 2  # left joins: no fan-out, no drops
+
+
+def test_jsonl_shard_sink_commit_protocol(spark, tmp_path):
+    """Custom batch DataSource writer: every row lands in exactly one
+    committed shard, the manifest names exactly the committed shards,
+    a manifest-honoring re-read round-trips, and abort() removes the
+    orphans of a failed attempt."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.jsonl_sink import (
+        JsonlCommit,
+        JsonlShardWriter,
+        read_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "sink")
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(4)
+    )
+    n = ev.count()
+    ev.write.format("jsonl_shards").option("path", out).mode("append").save()
+
+    man = read_manifest(out)
+    assert man["total_rows"] == n
+    shards = {e["shard"] for e in man["shards"]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert shards == on_disk and len(shards) == 4
+    assert not any(f.endswith(".inprogress") for f in os.listdir(out))
+
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == n
+    a = sorted(
+        (int(r["event_id"]), int(r["user_id"]), r["event_type"]) for r in back.collect()
+    )
+    b = sorted(tuple(r) for r in ev.collect())
+    assert a == b
+
+    # abort removes exactly the written (unmanifested) shards
+    w = JsonlShardWriter({"path": out})
+    fake = json.dumps({"x": 1})
+    orphan = os.path.join(out, "part-orphan.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write(fake + "\n")
+    w.abort([JsonlCommit("part-orphan.jsonl", 1), None])
+    assert not os.path.exists(orphan)
+    assert read_manifest(out) == man  # committed data untouched
