@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "q_dedup_winnow_arrow",
     "q_dedup_semantic",
     "q_dedup_simhash",
+    "q_dedup_simhash_arrow",
     "q_sim_cosine_topk",
     "q_sim_knn_join",
     "q_sample_dsir",

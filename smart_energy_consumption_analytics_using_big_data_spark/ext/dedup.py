@@ -765,3 +765,57 @@ def minhash_lsh_arrow(
 
     out = paired.mapInPandas(_verify, out_schema)
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprints via Arrow mapInPandas — third instance of
+    the measured text-kernel pattern (winnowing, MinHash, PERFORMANCE.md
+    round 4): the whole batch's tokens hash in one vectorized siphash
+    call, each token's hash unpacks to a (n_tokens, bits) ±1 matrix in
+    numpy, and per-document bit sums come from ``np.add.reduceat`` —
+    the signature stage never explodes or shuffles the token stream.
+    Hash family differs from the oracled md5 path (rows-only; SimHash
+    properties are hash-family-independent: exact duplicates collide,
+    hamming distance tracks token-multiset overlap)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("simhash", StringType(), False),
+        ]
+    )
+
+    def _batches(iterator):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+
+        for pdf in iterator:
+            tokens: list = []
+            starts: list = []
+            doc_ids: list = []
+            for did, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                if text is None:
+                    continue
+                toks = text.split()
+                if not toks:
+                    continue
+                starts.append(len(tokens))
+                doc_ids.append(did)
+                tokens.extend(toks)
+            if not doc_ids:
+                continue
+            h = pd.util.hash_array(np.array(tokens, dtype=object), hash_key="spark_graft_sh16")
+            signs = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+            sums = np.add.reduceat(signs, np.array(starts, dtype=np.intp), axis=0)
+            fps = ["".join("1" if v > 0 else "0" for v in row) for row in sums]
+            yield pd.DataFrame({id_col: np.array(doc_ids, dtype=np.int64), "simhash": fps})
+
+    return docs.select(id_col, text_col).mapInPandas(_batches, out_schema)

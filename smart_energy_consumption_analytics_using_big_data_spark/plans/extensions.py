@@ -2005,6 +2005,20 @@ def q_dedup_winnow_arrow(spark, sf_dir):
     return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="arrow")
 
 
+@q("q_dedup_simhash_arrow")  # rows-only: siphash bit family not in DuckDB
+def q_dedup_simhash_arrow(spark, sf_dir):
+    """SimHash near-dup candidates on the Arrow signature path (third
+    measured text-kernel win: 0.59 s vs 1.05 s native at sf0.1,
+    PERFORMANCE.md round 4): per-batch vectorized token hashing +
+    np.add.reduceat bit sums produce the same 32-bit 0/1 fingerprint
+    shape, so the SHARED pigeonhole-banding pair join
+    (simhash_candidate_pairs) applies unchanged. Invariants pinned in
+    tests/test_minhash_arrow.py; md5 path (q_dedup_simhash) stays the
+    oracled baseline."""
+    fps = D.simhash_arrow(t(spark, sf_dir, "documents"))
+    return D.simhash_candidate_pairs(fps)
+
+
 @q("q_dedup_minhash_arrow")  # rows-only: siphash signatures not in DuckDB
 def q_dedup_minhash_arrow(spark, sf_dir):
     """Full Arrow-path MinHash near-dup pipeline: vectorized per-batch

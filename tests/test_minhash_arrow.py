@@ -79,3 +79,20 @@ def test_max_bucket_caps_hub_buckets_but_keeps_small_groups(spark):
     assert (100, 101) in un_pairs and (100, 101) in cap_pairs
     assert any(a < 10 and b < 10 for a, b in un_pairs)
     assert not any(a < 10 and b < 10 for a, b in cap_pairs)
+
+
+def test_simhash_arrow_invariants(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import simhash_arrow
+
+    near = BASE + " tail"
+    rows = [(1, BASE), (2, BASE), (3, near), (4, "zq wx kj vb nm pl io uy " * 4)]
+    docs = _docs(spark, rows)
+    a = {r.doc_id: r.simhash for r in simhash_arrow(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_arrow(docs).collect()}
+    assert a == b and all(len(v) == 32 and set(v) <= {"0", "1"} for v in a.values())
+    assert a[1] == a[2], "exact duplicates share the fingerprint"
+
+    def ham(x, y):
+        return sum(c1 != c2 for c1, c2 in zip(x, y))
+
+    assert ham(a[1], a[3]) < ham(a[1], a[4]), "near-dup closer than unrelated"
