@@ -64,8 +64,12 @@ BENCH_QUERIES = [
 def run_one(spark, sf_dir: str, name: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
-    # Force full execution without driver-side materialization cost
-    # dominating: count() executes every operator in the plan.
+    # Force execution via count(). Caveat (measured in scale_probe.py):
+    # count() lets Catalyst eliminate Window/projection work no
+    # surviving column references, so projection-shaped queries are
+    # under-measured relative to a sum(xxhash64(*)) forcing. The suite
+    # keeps count() for round-over-round comparability (r1-r4 history);
+    # scale analysis uses the hash forcing instead.
     df.count()
     return time.time() - t0
 

@@ -2620,3 +2620,51 @@ def q_emb_ivfpq_search(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     query = emb.orderBy("vec_id").limit(1)
     return S.ivfpq_search(emb, query, k_top=10, nprobe=2)
+
+
+@q(
+    "q_text_vocab_zipf",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS n FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM freq
+    )
+    SELECT rank, n, round(ln(CAST(rank AS DOUBLE)), 6) AS log_rank,
+           round(ln(CAST(n AS DOUBLE)), 6) AS log_n
+    FROM ranked WHERE rank <= 100
+    """,
+)
+def q_text_vocab_zipf(spark, sf_dir):
+    """Vocabulary Zipf profile: top-100 token frequencies with log-log
+    coordinates — the corpus-health diagnostic (a truncated or
+    template-polluted crawl bends the Zipf line) run before committing
+    a 100 TB corpus to training. One token explode -> vocab-sized
+    frequency table; the rank window sorts only the vocab (bounded by
+    distinct tokens, not corpus size), and the top-100 head is
+    TakeOrdered."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("tok")))
+    )
+    return (
+        ranked.filter(F.col("rank") <= 100)
+        .select(
+            "rank",
+            "n",
+            F.round(F.log(F.col("rank").cast("double")), 6).alias("log_rank"),
+            F.round(F.log(F.col("n").cast("double")), 6).alias("log_n"),
+        )
+    )
