@@ -811,3 +811,295 @@ def q_sql_recursive_sessions(spark, sf_dir):
         FROM walk GROUP BY user_id, head_id
         """
     )
+
+
+@q(
+    "q_sql_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+    )
+    SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN offers ON p_partkey = offers.l_partkey
+    JOIN supplier ON s_suppkey = offers.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size < 10 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(unit_cost)
+        FROM offers o2
+        JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+    """,
+)
+def q_sql_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier. The dataset has no
+    partsupp table, so the observed per-(part, supplier) minimum unit
+    price from lineitem IS the supply-offer relation (built once in a
+    CTE, consumed twice). The correlated scalar-min subquery references
+    the outer p_partkey through its own region-restricted join chain —
+    Catalyst decorrelates it into a per-part min aggregate joined back
+    on partkey, so the per-row re-aggregation Q2 naively implies never
+    executes. Region/size/type filters prune the dim scans before any
+    fact-side shuffle; min over identical IEEE doubles is order-
+    independent, so the cost-equality join is exact on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+        )
+        SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_name
+        FROM part
+        JOIN offers ON p_partkey = offers.l_partkey
+        JOIN supplier ON s_suppkey = offers.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size < 10 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+          AND unit_cost = (
+            SELECT min(unit_cost)
+            FROM offers o2
+            JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+        """
+    )
+
+
+@q(
+    "q_sql_product_profit",
+    """
+    SELECT nation, o_year, {profit} AS profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity
+               AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%gear%'
+    ) profit_lines
+    GROUP BY nation, o_year
+    """.format(profit=DSUM("amount")),
+)
+def q_sql_product_profit(spark, sf_dir):
+    """TPC-H Q9-shaped product-type profit by (nation, year). The
+    supply-cost term is 10% of the part's retail price (no partsupp
+    table in this dataset), preserving Q9's physical challenge: a
+    five-way join where the LIKE filter on part must prune BEFORE the
+    fact joins (part and supplier broadcast; only lineitem-orders
+    shuffles), then a two-key rollup whose signed amounts accumulate in
+    DECIMAL so the profit sum is order-independent."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT nation, o_year,
+               CAST(SUM(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS profit
+        FROM (
+          SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                 l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity
+                   AS amount
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON o_orderkey = l_orderkey
+          WHERE p_name LIKE '%gear%'
+        ) profit_lines
+        GROUP BY nation, o_year
+        """
+    )
+
+
+@q(
+    "q_sql_returned_items",
+    """
+    SELECT c_custkey, c_name, {rev} AS revenue,
+           round(c_acctbal, 6) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """.format(rev=DSUM("l_extendedprice * (1 - l_discount)")),
+)
+def q_sql_returned_items(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: top-20 customers by lost
+    revenue on returned lines in one quarter. The quarter predicate
+    prunes the orders scan and the returnflag predicate prunes lineitem
+    BEFORE their join; customer and nation broadcast onto the
+    aggregated fact side; TakeOrdered caps at 20 without a global
+    sort."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+                    AS DOUBLE) AS revenue,
+               round(c_acctbal, 6) AS c_acctbal, n_name
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+        """
+    )
+
+
+@q(
+    "q_sql_important_parts",
+    """
+    WITH nation_lines AS (
+      SELECT l_partkey, l_extendedprice * l_quantity AS line_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT l_partkey, {val} AS part_value
+    FROM nation_lines
+    GROUP BY l_partkey
+    HAVING {val} > 0.001 * (SELECT {val} FROM nation_lines)
+    ORDER BY part_value DESC, l_partkey LIMIT 25
+    """.format(val=DSUM("line_value")),
+)
+def q_sql_important_parts(spark, sf_dir):
+    """TPC-H Q11-shaped important stock: parts whose shipped value
+    through NATION_3 suppliers exceeds a FRACTION OF THE GLOBAL TOTAL —
+    the scalar-subquery-in-HAVING shape (lineitem value stands in for
+    ps_supplycost * ps_availqty; no partsupp table). The same filtered
+    CTE aggregates twice: once per part, once globally; Catalyst
+    evaluates the global scalar ONCE and broadcasts it into the HAVING
+    filter. Both sides accumulate in DECIMAL then cast to DOUBLE, so
+    the threshold comparison applies identical IEEE ops on identical
+    inputs in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH nation_lines AS (
+          SELECT l_partkey, l_extendedprice * l_quantity AS line_value
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+        )
+        SELECT l_partkey,
+               CAST(SUM(CAST(line_value AS DECIMAL(25,6))) AS DOUBLE) AS part_value
+        FROM nation_lines
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(line_value AS DECIMAL(25,6))) AS DOUBLE) > 0.001 * (
+          SELECT CAST(SUM(CAST(line_value AS DECIMAL(25,6))) AS DOUBLE)
+          FROM nation_lines)
+        ORDER BY part_value DESC, l_partkey LIMIT 25
+        """
+    )
+
+
+@q(
+    "q_sql_priority_class",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_priority_class(spark, sf_dir):
+    """TPC-H Q12-shaped shipping-priority classification: late lines
+    (shipped >30 days after order, standing in for the commit/receipt
+    date pair this schema lacks) bucketed by return flag, with the
+    two-way CASE-sum pivot over order priority. The year window prunes
+    the lineitem scan; the late-shipment predicate is a non-equi
+    condition evaluated inside the single fact-fact join; the CASE
+    sums are pure map-side partial aggregates."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@q(
+    "q_sql_excess_suppliers",
+    """
+    SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 0.3 * (
+          SELECT sum(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+    ORDER BY s_name
+    """,
+)
+def q_sql_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20-shaped excess-stock suppliers: NATION_5 suppliers who
+    shipped more than 30% of a small-part's 1997 volume (observed
+    shipments stand in for ps_availqty). Three nested levels: an IN
+    over a grouped fact, whose HAVING compares against a CORRELATED
+    scalar sum over the same fact keyed by the group's partkey.
+    Catalyst decorrelates the inner sum to a per-part aggregate joined
+    on partkey, and the outer IN to a semi join — no per-group
+    re-scan survives in the physical plan. Quantities are integral
+    doubles, so sum order cannot perturb the threshold comparison."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_5'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(l_quantity) > 0.3 * (
+              SELECT sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey
+                AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+        ORDER BY s_name
+        """
+    )
