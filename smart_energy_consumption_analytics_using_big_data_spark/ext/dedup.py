@@ -379,6 +379,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     fp_col: str = "simhash",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via hamming-LSH block banding.
 
@@ -387,6 +388,21 @@ def simhash_candidate_pairs(
     max_hamming <= n_blocks - 1 candidate generation is COMPLETE (no
     false negatives) while the pair join stays per-block-bucket instead
     of corpus^2. Verification computes exact hamming on candidates only.
+
+    The bit-string fingerprint is parsed to a single integer ONCE per
+    block row (conv base 2), so per-candidate hamming is one
+    xor + bit_count instruction pair. The previous formulation - a
+    higher-order filter(sequence(1, bits)) with 2*bits substr calls -
+    is interpreted per element and allocated per character; replacing
+    it measured 54.8 s -> 4.7 s on the arrow pair stage at sf0.1
+    (5.4M candidates) and 170 s -> 9.4 s on the denser md5 stage
+    (15M candidates), identical pair sets both ways.
+
+    ``max_bucket`` (default off) drops block buckets holding more than
+    that many docs before the self-join - same hub-bucket guard and
+    same recall trade as lsh_candidate_pairs: a B-doc bucket emits
+    B^2/2 pairs, and dense boilerplate clusters produce exactly such
+    buckets. The oracled default keeps completeness.
 
     Dense-corpus caveat: on data with large near-identical clusters the
     TRUE pair set is itself quadratic in cluster size (the synthetic
@@ -404,8 +420,17 @@ def simhash_candidate_pairs(
         for i in range(n_blocks)
     ]
     blocks = fingerprints.select(
-        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"), F.explode(F.array(*entries)).alias("e")
-    ).select("doc_id", "fp", F.col("e.block").alias("block"), F.col("e.key").alias("key"))
+        F.col(id_col).alias("doc_id"),
+        F.conv(F.col(fp_col), 2, 10).cast("bigint").alias("fp_int"),
+        F.explode(F.array(*entries)).alias("e"),
+    ).select("doc_id", "fp_int", F.col("e.block").alias("block"), F.col("e.key").alias("key"))
+    if max_bucket is not None:
+        w = Window.partitionBy("block", "key")
+        blocks = (
+            blocks.withColumn("__bsize", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -417,14 +442,12 @@ def simhash_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+            F.col("a.fp_int").alias("fp_a"),
+            F.col("b.fp_int").alias("fp_b"),
         )
         .distinct()
     )
-    hamming = F.expr(
-        f"size(filter(sequence(1, {bits}), i -> substr(fp_a, i, 1) <> substr(fp_b, i, 1)))"
-    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -96,3 +96,70 @@ def test_simhash_arrow_invariants(spark):
         return sum(c1 != c2 for c1, c2 in zip(x, y))
 
     assert ham(a[1], a[3]) < ham(a[1], a[4]), "near-dup closer than unrelated"
+
+
+def test_simhash_pairs_bitcount_equals_string_hamming_and_cap(spark):
+    """The int-xor bit_count hamming must equal the definitional
+    per-character hamming on the same fingerprints, and max_bucket
+    must drop hub-block buckets while keeping small groups."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    hub = "identical boilerplate text repeated across many documents here"
+    rows = [(i, hub) for i in range(10)] + [
+        (100, BASE),
+        (101, BASE + " tail"),
+        (200, "zq wx kj vb nm pl io uy " * 4),
+    ]
+    fps = simhash(_docs(spark, rows))
+    fp_str = {r.doc_id: r.simhash for r in fps.collect()}
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_candidate_pairs(fps).collect()}
+    assert got, "hub family guarantees candidate pairs"
+    for (a, b), h in got.items():
+        expect = sum(c1 != c2 for c1, c2 in zip(fp_str[a], fp_str[b]))
+        assert h == expect, ((a, b), h, expect)
+    assert (100, 101) in got, "near-dup pair found"
+
+    capped = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(fps, max_bucket=5).collect()
+    }
+    assert (100, 101) in capped, "small group survives the cap"
+    assert not any(a < 10 and b < 10 for a, b in capped), "hub bucket dropped"
+
+
+def test_stateful_v2_gated_on_protobuf(spark):
+    """transformWithStateInPandas needs google.protobuf; without it the
+    operator must fail fast with a clear error (and with it, match the
+    batch aggregate exactly)."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+        stream_user_typed_stats,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not HAS_TWS_DEPS:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_user_typed_stats(spark, path)
+        return
+    updates = stream_user_typed_stats(spark, path)
+    final = updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.max("n_types").alias("n_types"),
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    assert final.exceptAll(truth).count() == 0
+    assert truth.exceptAll(final).count() == 0
