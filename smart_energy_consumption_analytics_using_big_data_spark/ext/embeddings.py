@@ -1,0 +1,143 @@
+"""Distributed second-moment statistics + PCA over embedding columns
+(SURVEY.md §7 extension — the pre-training feature-space audit for an
+embedding corpus: covariance structure, principal directions, and a
+2-D projection for downstream visual QA / whitening / coreset work).
+
+Scale design (the classic distributed-PCA split):
+
+* the O(N·d²) part — the Gram/covariance accumulation — runs as ONE
+  Arrow-batched pass over the corpus (`mapInPandas`, numpy ``X.T @ X``
+  per batch) emitting tiny per-batch partial rows; a map-side-combined
+  groupBy reduces them. Nothing driver-sized depends on N.
+* the O(d³) part — the eigendecomposition — is a d×d problem (64×64
+  here, 16 KB); it belongs on the driver, exactly like KMeans
+  centroids or the PQ codebook.
+* scoring/projection embeds the components as LITERAL arrays and runs
+  pure JVM column math (zip_with/aggregate dot products) — no Python
+  at projection time, so the scoring plan broadcasts to any number of
+  executors and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+PARTIAL_SCHEMA = "i int, j int, n long, sx double, sy double, sxy double"
+
+
+def covariance_partials(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-Arrow-batch Gram partials for every upper-triangle (i, j).
+
+    Each input batch of B vectors collapses to d(d+1)/2 rows carrying
+    (batch count, component sums, product sums) — the sufficient
+    statistics for covariance. Batch size amortizes the Python cost:
+    one ``X.T @ X`` per ~10k rows, not per row.
+    """
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            n = len(x)
+            s = x.sum(axis=0)
+            g = x.T @ x
+            d = x.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.full(len(iu), n, dtype="int64"),
+                    "sx": s[iu],
+                    "sy": s[ju],
+                    "sxy": g[iu, ju],
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(gram, PARTIAL_SCHEMA)
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding", round_output: bool = True
+) -> DataFrame:
+    """Sample covariance of the embedding components, long form.
+
+    Output: (i, j, cov) for i <= j — d(d+1)/2 scalar rows. One corpus
+    pass; the shuffle moves only per-batch partials keyed by (i, j),
+    combined map-side. ``round_output=False`` keeps full precision for
+    numeric consumers (PCA); the default 6-decimal form is the
+    cross-engine-comparable query output.
+    """
+    parts = covariance_partials(emb, vec_col)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("N"),
+        F.sum("sx").alias("SX"),
+        F.sum("sy").alias("SY"),
+        F.sum("sxy").alias("SXY"),
+    )
+    cov = (F.col("SXY") - F.col("SX") * F.col("SY") / F.col("N")) / (
+        F.col("N") - 1
+    )
+    if not round_output:
+        return agg.select("i", "j", cov.alias("cov"))
+    # + 0.0 folds IEEE -0.0 (a tiny negative covariance rounded to six
+    # decimals) to +0.0 so both engines canonicalize zero identically.
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+def pca_components(
+    emb: DataFrame, k: int = 2, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal components via the distributed covariance pass.
+
+    Returns (components, explained_variances): k rows of d weights and
+    the matching eigenvalues, descending. The d×d eig runs on the
+    driver (64×64 here — smaller than one Arrow batch header); sign is
+    fixed so each component's largest-magnitude weight is positive,
+    making the decomposition deterministic across BLAS builds.
+    """
+    import numpy as np
+
+    rows = covariance_matrix(emb, vec_col, round_output=False).collect()
+    d = max(r["j"] for r in rows) + 1
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"], r["j"]] = r["cov"]
+        c[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(c)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append([float(w) for w in v])
+    return comps, [float(vals[i]) for i in order]
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each embedding onto the given components — pure JVM
+    column math (components as literal arrays, zip_with/aggregate dot
+    product), no Python at projection time."""
+    out = [F.col(id_col)]
+    for c_idx, comp in enumerate(components):
+        lit = F.array(*[F.lit(float(w)) for w in comp])
+        prods = F.zip_with(
+            F.col(vec_col), lit, lambda x, w: x.cast("double") * w
+        )
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        out.append(F.round(proj, 6).alias(f"pc{c_idx + 1}"))
+    return emb.select(*out)

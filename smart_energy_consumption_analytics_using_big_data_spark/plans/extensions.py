@@ -2668,3 +2668,53 @@ def q_text_vocab_zipf(spark, sf_dir):
             F.round(F.log(F.col("n").cast("double")), 6).alias("log_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding second moments + PCA
+
+
+@q(
+    "q_emb_covariance",
+    """
+    WITH flat AS (
+      SELECT vec_id, u.i - 1 AS i, u.x AS x
+      FROM (
+        SELECT vec_id,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'i': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings
+      )
+    )
+    SELECT a.i AS i, b.i AS j, round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_emb_covariance(spark, sf_dir):
+    """Sample covariance matrix of the embedding components (long
+    form, d(d+1)/2 scalar rows) — the feature-space audit / whitening /
+    PCA input. ONE Arrow-batched corpus pass collapses each batch to
+    sufficient statistics (numpy X'X per ~10k rows); the shuffle moves
+    only per-batch partials keyed by (i, j), combined map-side — the
+    oracle's unnest + self-join shape (N*d rows shuffled, N*d^2 join
+    output) is exactly what this plan avoids at scale."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    return E.covariance_matrix(t(spark, sf_dir, "embeddings"))
+
+
+@q("q_emb_pca_project")  # rows-only: eigendecomposition not in SQL
+def q_emb_pca_project(spark, sf_dir):
+    """Top-2 PCA projection of every embedding: distributed covariance
+    pass -> driver-side 64x64 eigh (sign-fixed, deterministic) ->
+    components embedded as LITERAL arrays so projection is pure JVM
+    zip_with/aggregate column math inside whole-stage codegen — the
+    train-small/score-big split (same shape as KMeans centroids and the
+    PQ codebook). Parity with single-node numpy PCA is pinned in
+    tests/test_embeddings_pca.py."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    emb = t(spark, sf_dir, "embeddings")
+    comps, _ = E.pca_components(emb, k=2)
+    return E.pca_project(emb, comps)

@@ -1,0 +1,75 @@
+"""Distributed covariance + PCA (ext/embeddings.py).
+
+The covariance query is oracle-checked against DuckDB covar_samp; here
+we pin (a) parity of the whole distributed pipeline with single-node
+numpy PCA, (b) the spectral properties a correct projection must have,
+and (c) that the projection plan stays JVM-side (no Python stages).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from smart_energy_consumption_analytics_using_big_data_spark.ext.embeddings import (
+    covariance_matrix,
+    pca_components,
+    pca_project,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _numpy_matrix(spark):
+    rows = _emb(spark).select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    return [r.vec_id for r in rows], x
+
+
+def test_covariance_matches_numpy(spark):
+    ids, x = _numpy_matrix(spark)
+    expect = np.cov(x, rowvar=False, ddof=1)
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(_emb(spark)).collect()}
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), c in got.items():
+        assert abs(c - expect[i, j]) < 1e-5, ((i, j), c, expect[i, j])
+
+
+def test_pca_components_match_numpy_and_are_sign_fixed(spark):
+    ids, x = _numpy_matrix(spark)
+    comps, evs = pca_components(_emb(spark), k=2)
+    vals, vecs = np.linalg.eigh(np.cov(x, rowvar=False, ddof=1))
+    order = np.argsort(vals)[::-1][:2]
+    assert evs[0] >= evs[1] > 0
+    for c_idx, idx in enumerate(order):
+        assert abs(evs[c_idx] - vals[idx]) < 1e-4
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        got = np.asarray(comps[c_idx])
+        assert got[np.argmax(np.abs(got))] > 0, "sign convention"
+        assert np.allclose(got, v, atol=1e-4), c_idx
+
+
+def test_projection_spectral_properties_and_jvm_plan(spark):
+    emb = _emb(spark)
+    comps, evs = pca_components(emb, k=2)
+    proj = pca_project(emb, comps)
+    plan = proj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, f"projection must be JVM-only, found {node}"
+
+    pdf = proj.toPandas()
+    assert len(pdf) == emb.count()
+    # projected variance along pc_k equals the k-th eigenvalue; the two
+    # projections are uncorrelated (components orthogonal).
+    assert abs(pdf["pc1"].var(ddof=1) - evs[0]) < 1e-3
+    assert abs(pdf["pc2"].var(ddof=1) - evs[1]) < 1e-3
+    assert abs(np.cov(pdf["pc1"], pdf["pc2"], ddof=1)[0, 1]) < 1e-3
