@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "q_pack_sequences",
     "q_stream_rollup",
     "q_ml_anomaly_kmeans",
+    # round-4 additions: the heaviest new TPC-H decorrelation shape and
+    # the Arrow-batched second-moment pass.
+    "q_sql_min_cost_supplier",
+    "q_emb_covariance",
 ]
 
 

@@ -38,6 +38,8 @@ REPLICAS_DOCS = 10      # documents: replicas are near-dups of each other by
                         # construction, so LSH pair output grows ~quadratically
                         # in the replica count — 10x keeps the OUTPUT size an
                         # artifact-free measure of the candidate-join stage
+REPLICAS_EMB = 100      # embeddings: covariance output is d^2 regardless of N,
+                        # so the probe measures the partial-pass scaling alone
 # scan/agg/window/join/dedup representatives whose inputs we can blow up
 PROBE = [
     "q_flagship",
@@ -47,6 +49,7 @@ PROBE = [
     "q_dedup_minhash_arrow",
     "q_dedup_winnow_arrow",
     "q_join_asof_nearest",
+    "q_emb_covariance",
 ]
 
 
@@ -87,6 +90,19 @@ def build_derived(spark, out_dir: str) -> None:
     for p in d_parts[1:]:
         big_d = big_d.unionByName(p)
     big_d.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    emb = load_table(spark, SF01, "embeddings")
+    e_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        for i in range(REPLICAS_EMB)
+    ]
+    big_e = e_parts[0]
+    for p in e_parts[1:]:
+        big_e = big_e.unionByName(p)
+    big_e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     # tiny dims referenced via sf_dir by some probes
     for name in ("customer",):
         load_table(spark, SF01, name).write.mode("overwrite").parquet(
@@ -115,7 +131,12 @@ def main() -> None:
         t0 = time.time()
         force(QUERIES[name](spark, out_dir))
         big = time.time() - t0
-        ratio = REPLICAS_DOCS if name.startswith("q_dedup") else REPLICAS
+        if name.startswith("q_dedup"):
+            ratio = REPLICAS_DOCS
+        elif name.startswith("q_emb"):
+            ratio = REPLICAS_EMB
+        else:
+            ratio = REPLICAS
         report[name] = {
             "sf0.1_s": round(base, 2),
             "big_s": round(big, 2),

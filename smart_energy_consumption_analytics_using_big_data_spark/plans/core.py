@@ -1235,3 +1235,34 @@ def q_join_asof_nearest(spark, sf_dir):
         tolerance_s=7200,
     )
     return joined.select("event_id", "user_id", "nearest_purchase_id")
+
+
+@q(
+    "q_scalar_variant",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           'OBJECT<k: BIGINT>' AS variant_schema
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scalar_variant(spark, sf_dir):
+    """Spark 4 VARIANT surface: props parses ONCE into the binary
+    VARIANT encoding (parse_json), then typed paths read it without
+    re-parsing — variant_get for values, schema_of_variant for the
+    shredded type. On a semi-structured lake column this replaces
+    per-access get_json_object string re-parsing (q_scalar_json is the
+    legacy shape); the derived schema is part of the output so the
+    oracle pins Spark's type inference, not just the values."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.try_variant_get("v", "$.k", "long")).alias("sum_k"),
+        F.max(F.try_variant_get("v", "$.k", "long")).alias("max_k"),
+        F.max(F.schema_of_variant("v")).alias("variant_schema"),
+    )

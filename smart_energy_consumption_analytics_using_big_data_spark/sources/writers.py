@@ -13,7 +13,7 @@ for file-count control on final outputs only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 
 
 def target_partitions(row_count: int, rows_per_partition: int = 50_000, floor: int = 20) -> int:
@@ -38,6 +38,38 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_parquet_observed(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, Column],
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    num_files: int | None = None,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Parquet sink with export QC metrics observed IN the write job.
+
+    ``metrics`` maps name -> aggregate Column (count/sum/null-rate...);
+    `DataFrame.observe` attaches them as accumulator-style aggregates
+    evaluated on the rows as they stream through the writer, so the
+    metrics cost ZERO extra passes — on a 100 TB export that replaces
+    the common anti-pattern of re-running count()/agg() over the just-
+    written data (one full extra scan per KPI batch). Returns the
+    observed values after the write commits.
+    """
+    obs = Observation("export_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    write_parquet(
+        observed,
+        path,
+        mode=mode,
+        compression=compression,
+        num_files=num_files,
+        partition_by=partition_by,
+    )
+    return dict(obs.get)
 
 
 def write_csv(

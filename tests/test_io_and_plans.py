@@ -462,3 +462,35 @@ def test_disjunctive_predicate_reaches_scans(spark):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("p_brand" in ln or "In(p_brand" in ln for ln in pushed), pushed
     assert any("l_quantity" in ln for ln in pushed), pushed
+
+
+def test_observed_write_metrics_match_separate_aggregates(spark, tmp_path):
+    """write_parquet_observed returns QC metrics computed inside the
+    write job itself; they must equal separately-aggregated truth and
+    the written data must be intact."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        write_parquet_observed,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "observed_export")
+    got = write_parquet_observed(
+        ev,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.sum(F.col("value").isNull().cast("bigint")),
+            "sum_value": F.round(F.sum("value"), 3),
+        },
+    )
+    truth = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    ).collect()[0]
+    assert got["n_rows"] == truth["n_rows"]
+    assert got["n_null_value"] == truth["n_null_value"]
+    assert abs(got["sum_value"] - truth["sum_value"]) < 1e-6
+    assert spark.read.parquet(out).count() == truth["n_rows"]
