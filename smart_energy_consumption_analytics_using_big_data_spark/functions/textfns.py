@@ -127,3 +127,65 @@ def bpe_pair_counts(docs, text_col: str = "text", top_n: int | None = None):
     if top_n is None:
         return out
     return out.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
+
+
+def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
+    """Learn the first ``n_merges`` BPE merge rules (Sennrich et al.
+    2016) fully declaratively — no driver round-trips.
+
+    State is the word-frequency table (vocab-sized, the standard BPE
+    compaction) with each word as a SPACE-JOINED symbol string
+    ("hello" -> "h e l l o"). Per round: adjacent-pair counts weighted
+    by word frequency -> deterministic top-1 (ties: lexicographic) ->
+    the 1-row winner CROSS-JOINs back broadcast and a literal
+    string replace applies the merge (left-to-right non-overlapping —
+    the greedy BPE application order). The n rounds chain as ONE lazy
+    DAG; each round re-derives the previous round's vocab table, an
+    O(n_merges) recompute over VOCAB-sized (not corpus-sized) data,
+    which is the right trade against materializing per-round state.
+
+    Returns (merge_round, pair, n): the learned merge table — a BPE
+    trainer's actual output artifact.
+    """
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    sym = wf.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
+    )
+
+    def top_pair(state):
+        arr = F.split("sym", " ")
+        pairs = state.select(
+            "n_w",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                    ),
+                )
+            ).alias("pair"),
+        )
+        return (
+            pairs.groupBy("pair")
+            .agg(F.sum("n_w").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+        )
+
+    state, rounds = sym, []
+    for r in range(1, n_merges + 1):
+        win = top_pair(state)
+        rounds.append(win.select(F.lit(r).alias("merge_round"), "pair", "n"))
+        state = state.crossJoin(
+            F.broadcast(win.select(F.col("pair").alias("__p")))
+        ).select(
+            F.expr("replace(sym, __p, replace(__p, ' ', ''))").alias("sym"),
+            "n_w",
+        )
+    out = rounds[0]
+    for r_df in rounds[1:]:
+        out = out.unionByName(r_df)
+    return out

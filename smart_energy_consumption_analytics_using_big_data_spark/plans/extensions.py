@@ -2718,3 +2718,64 @@ def q_emb_pca_project(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     comps, _ = E.pca_components(emb, k=2)
     return E.pca_project(emb, comps)
+
+
+@q(
+    "q_text_bpe_merges",
+    r"""
+    WITH wf AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2 GROUP BY w
+    ),
+    s0 AS (
+      SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n_w FROM wf
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s0),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    ),
+    s1 AS (
+      SELECT replace(sym, (SELECT pair FROM p1),
+                     replace((SELECT pair FROM p1), ' ', '')) AS sym, n_w
+      FROM s0
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s1),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    ),
+    s2 AS (
+      SELECT replace(sym, (SELECT pair FROM p2),
+                     replace((SELECT pair FROM p2), ' ', '')) AS sym, n_w
+      FROM s1
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s2),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    )
+    SELECT 1 AS merge_round, pair, n FROM p1
+    UNION ALL SELECT 2, pair, n FROM p2
+    UNION ALL SELECT 3, pair, n FROM p3
+    """,
+)
+def q_text_bpe_merges(spark, sf_dir):
+    """BPE TRAINING, not just pair counting: the first three merge
+    rules learned iteratively — each round's top pair is applied to the
+    vocab-sized symbol table (broadcast 1-row winner + literal replace,
+    left-to-right greedy) before the next round counts again. Fully
+    declarative: the rounds chain as one lazy DAG with no driver
+    round-trips, so the same shape runs unchanged on a cluster; per-
+    round work stays vocab-sized (the corpus compaction happens once).
+    The oracle replays the identical iteration as nested CTEs with
+    scalar subqueries."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+        bpe_learn_merges,
+    )
+
+    return bpe_learn_merges(t(spark, sf_dir, "documents"), n_merges=3)

@@ -245,6 +245,10 @@ def test_similarity_family_agrees_across_embedding_flavors(emb_flavor_dirs, spar
         pq_encode,
     )
 
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.embeddings import (
+        covariance_matrix,
+    )
+
     out = {}
     for flavor, d in emb_flavor_dirs.items():
         emb = load_table(spark, d, "embeddings")
@@ -254,9 +258,11 @@ def test_similarity_family_agrees_across_embedding_flavors(emb_flavor_dirs, spar
             "cb": _collected(pq_codebook(emb)),
             "enc": _collected(pq_encode(emb)),
             "knn": _collected(knn_join(emb, emb.orderBy("vec_id").limit(2), k=3)),
+            "cov": _collected(covariance_matrix(emb)),
         }
     assert out["emb_f32"] == out["emb_f64"]
     assert out["emb_f32"]["cos"]  # non-empty
+    assert out["emb_f32"]["cov"]
 
 
 def test_agg_family_agrees_across_value_flavors(value_flavor_dirs, spark):
