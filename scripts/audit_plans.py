@@ -54,6 +54,7 @@ ALLOWED_BNLJ = {
     "q_sim_knn_join": "bounded query batch broadcast against one corpus scan (top-k stages are windows)",
     "q_text_bm25": "1-row corpus stats (N, avgdl, per-term df) cross-joined as a broadcast",
     "q_emb_ivfpq_search": "coarse-quantizer assignment + query probe: centroid set and 1-row query broadcast, corpus scanned once per stage",
+    "q_text_bpe_merges": "per merge round, the LIMIT-1 winning pair cross-joins back as a 1-row broadcast",
 }
 
 

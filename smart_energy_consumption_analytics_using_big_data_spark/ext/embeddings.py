@@ -141,3 +141,62 @@ def pca_project(
         proj = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
         out.append(F.round(proj, 6).alias(f"pc{c_idx + 1}"))
     return emb.select(*out)
+
+
+GROUPED_PARTIAL_SCHEMA = (
+    "label int, i int, j int, n long, sx double, sy double, sxy double"
+)
+
+
+def covariance_matrix_grouped(
+    emb: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    round_output: bool = True,
+) -> DataFrame:
+    """Class-conditional covariance: one (i, j, cov) triangle PER KEY —
+    the sufficient-statistics input for LDA / per-class Mahalanobis /
+    per-domain embedding drift. Same single-pass shape as
+    covariance_matrix with the key carried through: each Arrow batch
+    groups by key in numpy and emits per-(key, i, j) partials, so skewed
+    keys cost their row share, never a separate job per class."""
+
+    def gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, grp in pdf.groupby(key_col, sort=False):
+                x = np.asarray(grp[vec_col].to_list(), dtype=np.float64)
+                n = len(x)
+                s = x.sum(axis=0)
+                g = x.T @ x
+                iu, ju = np.triu_indices(x.shape[1])
+                yield pd.DataFrame(
+                    {
+                        "label": np.full(len(iu), key, dtype="int32"),
+                        "i": iu.astype("int32"),
+                        "j": ju.astype("int32"),
+                        "n": np.full(len(iu), n, dtype="int64"),
+                        "sx": s[iu],
+                        "sy": s[ju],
+                        "sxy": g[iu, ju],
+                    }
+                )
+
+    parts = emb.select(key_col, vec_col).mapInPandas(gram, GROUPED_PARTIAL_SCHEMA)
+    agg = parts.groupBy("label", "i", "j").agg(
+        F.sum("n").alias("N"),
+        F.sum("sx").alias("SX"),
+        F.sum("sy").alias("SY"),
+        F.sum("sxy").alias("SXY"),
+    )
+    cov = (F.col("SXY") - F.col("SX") * F.col("SY") / F.col("N")) / (
+        F.col("N") - 1
+    )
+    if not round_output:
+        return agg.select("label", "i", "j", cov.alias("cov"))
+    return agg.select(
+        "label", "i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
+    )

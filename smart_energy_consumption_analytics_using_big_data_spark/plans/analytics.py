@@ -1239,7 +1239,7 @@ def q_agg_weighted(spark, sf_dir):
     )
 
 
-@q("q_approx_topk")  # rows-only: sketch output is a struct array (accuracy pytest-asserted)
+@q("q_approx_topk")  # rows-only: sketch estimates (accuracy pytest-asserted)
 def q_approx_topk(spark, sf_dir):
     """Frequent-items sketch: approx_top_k tracks a bounded item map
     per partition and merges - the heavy-hitters answer in one pass
@@ -1247,10 +1247,18 @@ def q_approx_topk(spark, sf_dir):
     groupBy shuffle. With cardinality below the tracked capacity the
     sketch degenerates to exact counts (asserted in
     test_approx_topk_exact_at_low_cardinality); at 100 TB the capacity
-    bounds memory while top-k stays within the sketch's error bound."""
+    bounds memory while top-k stays within the sketch's error bound.
+    The struct-array sketch output is exploded to scalar (rank, item,
+    est) rows — driver comparators hash scalars only (the r3 codebook
+    lesson; scripts/driver_sim.py enforces it for every query)."""
     ev = t(spark, sf_dir, "events")
-    return ev.select(
-        F.expr("approx_top_k(event_type, 3)").alias("top3")
+    sk = ev.select(F.expr("approx_top_k(event_type, 3)").alias("top3"))
+    return sk.select(
+        F.posexplode("top3").alias("rank0", "e")
+    ).select(
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_count"),
     )
 
 

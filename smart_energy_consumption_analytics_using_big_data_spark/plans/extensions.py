@@ -2779,3 +2779,31 @@ def q_text_bpe_merges(spark, sf_dir):
     )
 
     return bpe_learn_merges(t(spark, sf_dir, "documents"), n_merges=3)
+
+
+@q(
+    "q_emb_covariance_by_label",
+    """
+    WITH flat AS (
+      SELECT vec_id, label, u.i - 1 AS i, u.x AS x
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'i': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+        FROM embeddings
+      )
+    )
+    SELECT a.label AS label, a.i AS i, b.i AS j,
+           round(covar_samp(a.x, b.x), 6) + 0.0 AS cov
+    FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_emb_covariance_by_label(spark, sf_dir):
+    """Class-conditional covariance (one upper triangle per label) —
+    the LDA / per-class Mahalanobis / per-domain drift input. Single
+    corpus pass with the key carried through the Arrow-batch partials;
+    a skewed class costs its row share, never its own job."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    return E.covariance_matrix_grouped(t(spark, sf_dir, "embeddings"))

@@ -67,8 +67,9 @@ def test_approx_topk_exact_at_low_cardinality(spark):
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    top3 = QUERIES["q_approx_topk"](spark, SF_SMOKE).collect()[0]["top3"]
+    rows = QUERIES["q_approx_topk"](spark, SF_SMOKE).collect()
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
-    got = [(item["item"], item["count"]) for item in top3]
+    got = {r["item"]: r["est_count"] for r in rows}
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3]
     # 5 distinct values << 10k tracked: the sketch must be exact
-    assert {g[0]: g[1] for g in got} == dict(want)
+    assert got == dict(want)
