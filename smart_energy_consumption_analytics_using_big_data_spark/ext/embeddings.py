@@ -200,3 +200,72 @@ def covariance_matrix_grouped(
     return agg.select(
         "label", "i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
     )
+
+
+def mahalanobis_scores(
+    emb: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ridge: float = 1e-6,
+) -> DataFrame:
+    """Per-class squared Mahalanobis distance of every embedding to its
+    class distribution — the classic embedding-space outlier/QA score
+    (mislabeled points, contamination, domain drift).
+
+    Train-small / score-big split, third rung of the covariance ladder:
+    the per-class (mean, covariance) come from the ONE distributed
+    grouped pass; each class's Cholesky factor inverts on the driver
+    (k tiny d×d problems, ridge-regularized for rank safety); scoring
+    broadcasts the factors and runs vectorized per Arrow batch —
+    ``solve_triangular``-free: y = (x - mu) @ Linv.T, score = ||y||²,
+    one BLAS call per batch per class, never per row.
+    """
+    import numpy as np
+
+    stats = covariance_matrix_grouped(
+        emb, key_col=key_col, vec_col=vec_col, round_output=False
+    ).collect()
+    means_rows = (
+        emb.select(key_col, F.posexplode(vec_col).alias("p", "x"))
+        .groupBy(key_col, "p")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    d = max(r["j"] for r in stats) + 1
+    labels = sorted({r["label"] for r in stats})
+    mu = {lb: np.zeros(d) for lb in labels}
+    for r in means_rows:
+        mu[r[key_col]][r["p"]] = r["m"]
+    linv = {}
+    for lb in labels:
+        c = np.zeros((d, d))
+        for r in stats:
+            if r["label"] == lb:
+                c[r["i"], r["j"]] = r["cov"]
+                c[r["j"], r["i"]] = r["cov"]
+        lchol = np.linalg.cholesky(c + ridge * np.eye(d))
+        linv[lb] = np.linalg.inv(lchol)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_scores = np.empty(len(pdf))
+            x = np.asarray(pdf[vec_col].to_list(), dtype=np.float64)
+            lab = pdf[key_col].to_numpy()
+            for lb in np.unique(lab):
+                mask = lab == lb
+                y = (x[mask] - mu[lb]) @ linv[lb].T
+                out_scores[mask] = (y * y).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    key_col: lab,
+                    "maha2": np.round(out_scores, 6),
+                }
+            )
+
+    return emb.select(id_col, key_col, vec_col).mapInPandas(
+        score, f"{id_col} long, {key_col} int, maha2 double"
+    )

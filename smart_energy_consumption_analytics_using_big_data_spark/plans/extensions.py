@@ -2807,3 +2807,17 @@ def q_emb_covariance_by_label(spark, sf_dir):
     from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
 
     return E.covariance_matrix_grouped(t(spark, sf_dir, "embeddings"))
+
+
+@q("q_emb_mahalanobis")  # rows-only: Cholesky inverse not in SQL
+def q_emb_mahalanobis(spark, sf_dir):
+    """Per-class squared Mahalanobis outlier score for every embedding
+    — third rung of the covariance ladder (covariance -> PCA ->
+    Mahalanobis QA). Per-class moments come from the one grouped
+    Arrow-batch pass; k tiny Cholesky inverses on the driver; scoring
+    is one broadcast matrix multiply per Arrow batch per class. numpy
+    parity and chi-square-scale sanity pinned in
+    tests/test_embeddings_pca.py."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    return E.mahalanobis_scores(t(spark, sf_dir, "embeddings"))

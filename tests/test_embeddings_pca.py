@@ -73,3 +73,37 @@ def test_projection_spectral_properties_and_jvm_plan(spark):
     assert abs(pdf["pc1"].var(ddof=1) - evs[0]) < 1e-3
     assert abs(pdf["pc2"].var(ddof=1) - evs[1]) < 1e-3
     assert abs(np.cov(pdf["pc1"], pdf["pc2"], ddof=1)[0, 1]) < 1e-3
+
+
+def test_mahalanobis_matches_numpy_and_flags_planted_outlier(spark):
+    import pandas as pd
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.embeddings import (
+        mahalanobis_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    base = rng.normal(size=(200, d))
+    outlier = np.full((1, d), 25.0)
+    x = np.vstack([base, outlier])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(x)),
+            "label": np.zeros(len(x), dtype="int32"),
+            "embedding": [row.astype("float32").tolist() for row in x],
+        }
+    )
+    emb = spark.createDataFrame(pdf)
+    got = {r.vec_id: r.maha2 for r in mahalanobis_scores(emb).collect()}
+
+    xf = np.asarray([np.asarray(v, dtype=np.float32) for v in pdf["embedding"]], dtype=np.float64)
+    mu = xf.mean(axis=0)
+    cov = np.cov(xf, rowvar=False, ddof=1) + 1e-6 * np.eye(d)
+    inv = np.linalg.inv(cov)
+    for i in range(len(xf)):
+        delta = xf[i] - mu
+        expect = float(delta @ inv @ delta)
+        assert abs(got[i] - expect) < 1e-3, (i, got[i], expect)
+    # the planted outlier dominates every inlier score
+    assert got[len(xf) - 1] > max(got[i] for i in range(len(xf) - 1)) * 5
