@@ -107,3 +107,32 @@ def test_mahalanobis_matches_numpy_and_flags_planted_outlier(spark):
         assert abs(got[i] - expect) < 1e-3, (i, got[i], expect)
     # the planted outlier dominates every inlier score
     assert got[len(xf) - 1] > max(got[i] for i in range(len(xf) - 1)) * 5
+
+
+def test_arrow_udf_cosine_matches_jvm_expression(spark):
+    """Spark 4.1 @arrow_udf kernel == the JVM zip_with/aggregate cosine
+    (rounded); nulls absent by schema, zero-norm guarded."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import (
+        cosine,
+        cosine_to_literal_arrow,
+    )
+
+    emb = _emb(spark)
+    qvec = emb.orderBy("vec_id").first()["embedding"]
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    jvm = {
+        r.vec_id: r.c
+        for r in emb.select(
+            "vec_id", F.round(cosine(F.col("embedding"), qlit), 6).alias("c")
+        ).collect()
+    }
+    arrow_fn = cosine_to_literal_arrow([float(v) for v in qvec])
+    arr = {
+        r.vec_id: r.c
+        for r in emb.select("vec_id", arrow_fn("embedding").alias("c")).collect()
+    }
+    assert len(jvm) == len(arr)
+    for k in jvm:
+        assert abs(jvm[k] - arr[k]) <= 1e-6, (k, jvm[k], arr[k])
