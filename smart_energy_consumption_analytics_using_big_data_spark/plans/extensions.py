@@ -2821,3 +2821,41 @@ def q_emb_mahalanobis(spark, sf_dir):
     from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
 
     return E.mahalanobis_scores(t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "q_scalar_map",
+    """
+    SELECT user_id, event_type, n
+    FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    WHERE n >= 20
+    """,
+)
+def q_scalar_map(spark, sf_dir):
+    """MAP-typed column family (F12 beyond arrays/JSON): per-user
+    type->count built as a MAP (map_from_entries over collected
+    structs), thresholded with map_filter, then exploded back to rows.
+    The oracle is the plain GROUP BY + HAVING the map pipeline must be
+    semantically equivalent to — pinning that Spark's map construction,
+    higher-order filtering, and explosion lose nothing. The map lives
+    INSIDE the plan (grouped state, driver never sees it); the output
+    is scalar rows, per the driver-comparator rule."""
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    filtered = mapped.select(
+        "user_id",
+        F.map_filter("type_counts", lambda k, v: v >= F.lit(20)).alias("big"),
+    )
+    return filtered.select(
+        "user_id", F.explode("big").alias("event_type", "n")
+    )
