@@ -157,17 +157,19 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
 
     def top_pair(state):
         arr = F.split("sym", " ")
-        pairs = state.select(
-            "n_w",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(arr) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                    ),
-                )
-            ).alias("pair"),
-        )
+        # single-symbol words contribute no pairs; sequence(1, 0) would
+        # DESCEND ([1, 0]) and element_at would go out of bounds, so
+        # gate on size and explode an empty array instead (drops the row)
+        pair_list = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = state.select("n_w", F.explode(pair_list).alias("pair"))
         return (
             pairs.groupBy("pair")
             .agg(F.sum("n_w").alias("n"))

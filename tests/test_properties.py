@@ -341,3 +341,54 @@ def test_bpe_pair_counts_equal_bruteforce(spark, texts):
                 for i in range(len(w) - 1):
                     want[w[i : i + 2]] += 1
     assert got == dict(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=2, max_size=30),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_merge_rounds_equal_bruteforce(spark, texts):
+    """The declarative 3-round merge DAG == a sequential Python BPE
+    trainer (word-freq compaction, greedy left-to-right merge apply,
+    ties broken lexicographically)."""
+    from collections import Counter
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["merge_round"]: (r["pair"], r["n"])
+        for r in bpe_learn_merges(docs, n_merges=3).collect()
+    }
+
+    # reference: same vocab-compacted greedy trainer in plain Python
+    wf = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
+    state = {(" ".join(w)): n for w, n in wf.items()}
+    # identical words collapse to one symbol string; counts merge
+    merged_state: Counter = Counter()
+    for sym, n in state.items():
+        merged_state[sym] += n
+    want = {}
+    for rnd in range(1, 4):
+        pc: Counter = Counter()
+        for sym, n in merged_state.items():
+            parts = sym.split(" ")
+            for i in range(len(parts) - 1):
+                pc[parts[i] + " " + parts[i + 1]] += n
+        if not pc:
+            break
+        top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[rnd] = top
+        nxt: Counter = Counter()
+        for sym, n in merged_state.items():
+            nxt[sym.replace(top[0], top[0].replace(" ", ""))] += n
+        merged_state = nxt
+    assert got == want
