@@ -244,6 +244,51 @@ def cmd_corpus(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_embaudit(args) -> None:
+    """Embedding-space audit: distributed covariance -> PCA scree ->
+    per-class Mahalanobis outliers, one JSON summary + optional
+    projection/score parquet. The covariance ladder as a user-facing
+    stage (all heavy passes Arrow-batched; eig on the driver)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import write_parquet
+
+    spark = _spark(args)
+    emb = load_table(spark, args.embeddings, "embeddings")
+    comps, evs = E.pca_components(emb, k=args.k)
+    total_var = sum(
+        r["cov"]
+        for r in E.covariance_matrix(emb, round_output=False).collect()
+        if r["i"] == r["j"]
+    )
+    scores = E.mahalanobis_scores(emb)
+    from pyspark.sql import functions as F
+
+    stats = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("maha2"), 3).alias("mean_maha2"),
+        F.round(F.percentile("maha2", 0.99), 3).alias("p99_maha2"),
+        F.sum((F.col("maha2") > args.outlier_threshold).cast("bigint")).alias(
+            "n_outliers"
+        ),
+    ).collect()[0]
+    if args.out:
+        write_parquet(E.pca_project(emb, comps), f"{args.out}/pca_projection.parquet")
+        write_parquet(scores, f"{args.out}/mahalanobis.parquet")
+    print(
+        json.dumps(
+            {
+                "n_vectors": stats["n"],
+                "explained_variance": [round(v, 6) for v in evs],
+                "explained_ratio": [round(v / total_var, 6) for v in evs],
+                "mean_maha2": stats["mean_maha2"],
+                "p99_maha2": stats["p99_maha2"],
+                "n_outliers": stats["n_outliers"],
+            }
+        )
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="smart-energy-engine")
     parser.add_argument("--master", default=None, help="Spark master (default: local[*])")
@@ -258,6 +303,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
     p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
+    p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
     p = sub.add_parser("all")
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
     p.add_argument("--out", required=True)

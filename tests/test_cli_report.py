@@ -125,3 +125,32 @@ def test_cli_corpus_builds_shards_and_summary(spark, tmp_path):
     # determinism: rebuilding yields the identical summary
     again = build_corpus(spark, SF_SMOKE, str(tmp_path / "corpus2"), n_shards=4)
     assert again == summary
+
+
+def test_emb_audit_summary_and_artifacts(spark, tmp_path, capsys):
+    """emb-audit: JSON summary internally consistent and the optional
+    parquet artifacts written and readable."""
+    out = str(tmp_path / "emb_audit")
+    capsys.readouterr()
+    cli.main(
+        [
+            "emb-audit",
+            "--embeddings",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    lines = [
+        ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")
+    ]
+    summary = json.loads(lines[-1])
+    assert summary["n_vectors"] == 500
+    assert summary["explained_variance"][0] >= summary["explained_variance"][1] > 0
+    assert 0 < summary["explained_ratio"][0] < 1
+    assert summary["mean_maha2"] > 0
+    proj = spark.read.parquet(f"{out}/pca_projection.parquet")
+    scores = spark.read.parquet(f"{out}/mahalanobis.parquet")
+    assert proj.count() == 500 and scores.count() == 500
+    assert set(proj.columns) == {"vec_id", "pc1", "pc2"}
+    assert set(scores.columns) == {"vec_id", "label", "maha2"}
