@@ -202,3 +202,31 @@ def write_json(
     if num_files is not None:
         df = df.coalesce(num_files)
     df.write.mode(mode).json(path)
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    compression: str = "snappy",
+) -> None:
+    """Backfill: overwrite ONLY the hive partitions present in ``df``,
+    leaving every other partition of the table untouched — the
+    recompute-one-day production pattern. Spark's default (static)
+    overwrite would TRUNCATE the whole table first; dynamic mode diffs
+    the incoming partition values and swaps just those directories.
+    The conf is runtime-scoped and restored, so a shared session's
+    other writes keep static semantics.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

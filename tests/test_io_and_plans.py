@@ -494,3 +494,48 @@ def test_observed_write_metrics_match_separate_aggregates(spark, tmp_path):
     assert got["n_null_value"] == truth["n_null_value"]
     assert abs(got["sum_value"] - truth["sum_value"]) < 1e-6
     assert spark.read.parquet(out).count() == truth["n_rows"]
+
+
+def test_backfill_overwrites_only_present_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: recomputing one day must replace
+    exactly that day's partition and leave the rest byte-identical."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        backfill_partitions,
+        write_parquet,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("day", F.to_date(F.col("ts").cast("timestamp")))
+    )
+    path = str(tmp_path / "events_by_day")
+    write_parquet(ev, path, partition_by=["day"])
+    days = [r.day for r in ev.select("day").distinct().orderBy("day").collect()]
+    target = days[1]
+
+    before = {
+        r.day: r.n
+        for r in spark.read.parquet(path).groupBy("day").count().withColumnRenamed("count", "n").collect()
+    }
+    # recompute one day: halve its values, drop half its rows
+    one_day = (
+        ev.filter(F.col("day") == F.lit(target))
+        .filter(F.col("event_id") % 2 == 0)
+        .withColumn("value", F.col("value") / 2)
+    )
+    n_target_new = one_day.count()
+    backfill_partitions(one_day, path, ["day"])
+
+    after_df = spark.read.parquet(path)
+    after = {
+        r.day: r.n
+        for r in after_df.groupBy("day").count().withColumnRenamed("count", "n").collect()
+    }
+    assert after[target] == n_target_new != before[target]
+    for d in days:
+        if d != target:
+            assert after[d] == before[d], d
+    # static overwrite of the same frame would have truncated the table
+    assert set(after) == set(days)
