@@ -1103,3 +1103,56 @@ def q_sql_excess_suppliers(spark, sf_dir):
         ORDER BY s_name
         """
     )
+
+
+@q(
+    "q_sql_parameterized",
+    """
+    SELECT event_type, count(*) AS n, {v} AS total_value
+    FROM events
+    WHERE value >= 250.0 AND event_type <> 'view'
+    GROUP BY event_type
+    """.format(v=DSUM("value")),
+)
+def q_sql_parameterized(spark, sf_dir):
+    """Parameterized SQL (spark.sql named-parameter binding): the
+    template carries :min_value / :skip_type placeholders and the
+    VALUES bind server-side — no string interpolation, so a hostile
+    value cannot alter the query shape (the SQL-injection-safe form of
+    the reference's f-string filters) and the parse/plan cache can be
+    reused across bindings. The oracle inlines the same literals."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE value >= :min_value AND event_type <> :skip_type
+        GROUP BY event_type
+        """,
+        args={"min_value": 250.0, "skip_type": "view"},
+    )
+
+
+@q(
+    "q_sql_group_by_all",
+    """
+    SELECT event_type, CAST(year(ts) AS INTEGER) AS yr,
+           count(*) AS n, {v} AS total_value
+    FROM events GROUP BY ALL
+    """.format(v=DSUM("value")),
+)
+def q_sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 4 syntax sugar, same in DuckDB): every
+    non-aggregate select item becomes a grouping key — the analyst
+    shorthand; resolves to the identical hash aggregate as the
+    explicit list."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, CAST(year(ts) AS INTEGER) AS yr,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY ALL
+        """
+    )
