@@ -255,12 +255,9 @@ def cmd_embaudit(args) -> None:
 
     spark = _spark(args)
     emb = load_table(spark, args.embeddings, "embeddings")
-    comps, evs = E.pca_components(emb, k=args.k)
-    total_var = sum(
-        r["cov"]
-        for r in E.covariance_matrix(emb, round_output=False).collect()
-        if r["i"] == r["j"]
-    )
+    cov_rows = E.covariance_matrix(emb, round_output=False).collect()
+    comps, evs = E.pca_components(emb, k=args.k, cov_rows=cov_rows)
+    total_var = sum(r["cov"] for r in cov_rows if r["i"] == r["j"])
     scores = E.mahalanobis_scores(emb)
     from pyspark.sql import functions as F
 

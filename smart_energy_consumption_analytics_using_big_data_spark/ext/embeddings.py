@@ -94,7 +94,10 @@ def covariance_matrix(
 
 
 def pca_components(
-    emb: DataFrame, k: int = 2, vec_col: str = "embedding"
+    emb: DataFrame,
+    k: int = 2,
+    vec_col: str = "embedding",
+    cov_rows: list | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Top-k principal components via the distributed covariance pass.
 
@@ -103,10 +106,16 @@ def pca_components(
     driver (64×64 here — smaller than one Arrow batch header); sign is
     fixed so each component's largest-magnitude weight is positive,
     making the decomposition deterministic across BLAS builds.
+    ``cov_rows``: pass a pre-collected covariance_matrix(...) result to
+    reuse one corpus pass across consumers (components + trace).
     """
     import numpy as np
 
-    rows = covariance_matrix(emb, vec_col, round_output=False).collect()
+    rows = (
+        cov_rows
+        if cov_rows is not None
+        else covariance_matrix(emb, vec_col, round_output=False).collect()
+    )
     d = max(r["j"] for r in rows) + 1
     c = np.zeros((d, d))
     for r in rows:

@@ -2859,3 +2859,24 @@ def q_scalar_map(spark, sf_dir):
     return filtered.select(
         "user_id", F.explode("big").alias("event_type", "n")
     )
+
+
+@q("q_emb_pca_scree")  # rows-only: eigendecomposition not in SQL
+def q_emb_pca_scree(spark, sf_dir):
+    """PCA scree (component, eigenvalue, explained ratio) — the
+    how-many-dimensions-matter audit. Eigenvalues from the one-pass
+    distributed covariance + driver-side eigh; total variance is the
+    covariance trace, so the ratio needs no second corpus pass."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    emb = t(spark, sf_dir, "embeddings")
+    k = 8
+    cov_rows = E.covariance_matrix(emb, round_output=False).collect()
+    comps, evs = E.pca_components(emb, k=k, cov_rows=cov_rows)
+    trace = sum(r["cov"] for r in cov_rows if r["i"] == r["j"])
+    rows = [
+        (i + 1, round(ev, 6), round(ev / trace, 6)) for i, ev in enumerate(evs)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double"
+    )
