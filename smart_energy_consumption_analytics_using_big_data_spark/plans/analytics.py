@@ -1385,3 +1385,72 @@ def q_event_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+@q(
+    "q_approx_quantile_merge",
+    """
+    WITH binned AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             least(greatest(CAST(floor(value / 5.0) AS INTEGER), 0), 99) AS bin,
+             count(*) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    hist AS (
+      SELECT event_type, bin, CAST(sum(c) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    )
+    SELECT event_type,
+           round(min_by(bin * 5.0 + 5.0 * (0.5 * n - (cum - cnt)) / cnt,
+                        CASE WHEN cum >= 0.5 * n THEN bin END), 6) AS p50_est,
+           round(min_by(bin * 5.0 + 5.0 * (0.95 * n - (cum - cnt)) / cnt,
+                        CASE WHEN cum >= 0.95 * n THEN bin END), 6) AS p95_est
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_approx_quantile_merge(spark, sf_dir):
+    """MERGEABLE quantile estimation: per-(type, day) fixed 100-bin
+    histograms (constant state per shard) merge by bin-count addition
+    into per-type histograms, and quantiles interpolate inside the
+    selected bin — the daily-sketches-roll-into-monthly-quantiles
+    pattern, built from pure relational algebra so (unlike
+    approx_percentile's opaque GK state) the merge IS a groupBy sum
+    and the whole pipeline is oracle-checked exactly. Accuracy vs
+    exact percentiles is bounded by the bin width (asserted in
+    test_sketches.py); the ordered window runs over <= 100 bin rows
+    per type, never over the fact table."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    binned = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 5.0).cast("int"), F.lit(0)),
+            F.lit(99),
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    hist = binned.groupBy("event_type", "bin").agg(F.sum("c").alias("cnt"))
+    w_cum = _W.partitionBy("event_type").orderBy("bin")
+    w_all = _W.partitionBy("event_type")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def est(q: float):
+        raw = (
+            F.col("bin") * 5.0
+            + 5.0 * (F.lit(q) * F.col("n") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        key = F.when(F.col("cum") >= F.lit(q) * F.col("n"), F.col("bin"))
+        return F.round(F.min_by(raw, key), 6)
+
+    return cum.groupBy("event_type").agg(
+        est(0.5).alias("p50_est"), est(0.95).alias("p95_est")
+    )

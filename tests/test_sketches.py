@@ -73,3 +73,34 @@ def test_approx_topk_exact_at_low_cardinality(spark):
     assert sorted(r["rank"] for r in rows) == [1, 2, 3]
     # 5 distinct values << 10k tracked: the sketch must be exact
     assert got == dict(want)
+
+
+def test_histogram_quantile_merge_within_bin_width(spark):
+    """The mergeable-histogram quantile estimate must land within two
+    bin widths (10.0) of the exact interpolated percentile: the
+    estimate is confined to its selected bin, but the exact value can
+    interpolate between order statistics that straddle a bin edge."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    est = {
+        r.event_type: (r.p50_est, r.p95_est)
+        for r in QUERIES["q_approx_quantile_merge"](spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        r.event_type: (r.p50, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et in exact:
+        assert abs(est[et][0] - exact[et][0]) <= 10.0, (et, "p50")
+        assert abs(est[et][1] - exact[et][1]) <= 10.0, (et, "p95")
