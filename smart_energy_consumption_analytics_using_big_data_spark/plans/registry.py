@@ -107,14 +107,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _driver_history() -> tuple[set[str], tuple[str, ...]]:
-    """(seen, failed_latest) from the CORRECTNESS_r*.json driver records.
+def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
+    """(seen, failed_latest, latest_seen) from CORRECTNESS_r*.json.
 
     ``seen``: names with a driver-side row in any round (the driver
     records at most the first N registry entries per round).
     ``failed_latest``: names whose row in the MOST RECENT round was a
     mismatch or error — these need driver re-verification even though
     they are "seen", so rotation must put them back in the window.
+    ``latest_seen``: names with a row in the most recent round — used
+    to retire stale-evidence redos once the driver has re-confirmed
+    them, freeing window slots for newer unseen queries.
     """
     import glob
     import json
@@ -123,6 +126,7 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     seen: set[str] = set()
     failed: tuple[str, ...] = ()
+    latest_seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -130,6 +134,7 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
         except (OSError, ValueError):
             continue
         seen.update(rows.keys())
+        latest_seen = set(rows.keys())
         failed = tuple(
             k
             for k, v in rows.items()
@@ -137,7 +142,7 @@ def _driver_history() -> tuple[set[str], tuple[str, ...]]:
             or v.get("rows_match") is False
             or v.get("hash_match") is False
         )
-    return seen, failed
+    return seen, failed, latest_seen
 
 
 # Queries added in rounds 2-3 with no driver row yet (VERDICT r2,
@@ -267,7 +272,7 @@ def _rotate_registry() -> None:
     families flagship -> sqltext -> streamq -> ml -> extensions ->
     core -> analytics so each window spans as many families as possible.
     """
-    seen, failed = _driver_history()
+    seen, failed, latest_seen = _driver_history()
     family_order = (
         ("q_flagship",)
         + _K_SQL
@@ -292,7 +297,11 @@ def _rotate_registry() -> None:
         for k in family_order + tail
         if k not in seen and k in QUERIES and k not in set(_NEVER_RUN_PRIORITY)
     ]
-    stale = [k for k in _STALE_PRIORITY if k in QUERIES]
+    # a stale redo retires once the most recent driver round re-verified
+    # it (its row would land in failed above if that run went red)
+    stale = [
+        k for k in _STALE_PRIORITY if k in QUERIES and k not in latest_seen
+    ]
     # de-dup while preserving order (priority list overlaps family order)
     head = list(dict.fromkeys(redo + unseen_priority + stale + unseen_new))
     rest = [k for k in QUERIES if k not in set(head)]
