@@ -2880,3 +2880,42 @@ def q_emb_pca_scree(spark, sf_dir):
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double"
     )
+
+
+@q(
+    "q_sample_weighted",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS INT) + 1.0) / 65537.0) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, round(es_key, 6) AS es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 100
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """REPRODUCIBLE weighted sampling without replacement
+    (Efraimidis-Spirakis): each doc draws u in (0,1] from an md5 hash
+    of its id (not an RNG), gets key ln(u)/w with w = n_chars, and the
+    top-k keys ARE a weighted sample without replacement. Deterministic
+    across runs/engines/partitionings — so unlike rand()-based
+    sampling the selection is oracle-checked exactly — and the plan is
+    a narrow projection + TakeOrdered: no shuffle before the top-k at
+    any corpus size. The training-data use: length-weighted document
+    selection that an auditor can re-derive."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / 65537.0
+    es_key = F.log(u) / F.col("n_chars")
+    keyed = docs.select("doc_id", "lang", "n_chars", es_key.alias("es_key_raw"))
+    return (
+        keyed.orderBy(F.desc("es_key_raw"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "n_chars", F.round("es_key_raw", 6).alias("es_key"))
+    )

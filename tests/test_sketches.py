@@ -104,3 +104,24 @@ def test_histogram_quantile_merge_within_bin_width(spark):
     for et in exact:
         assert abs(est[et][0] - exact[et][0]) <= 10.0, (et, "p50")
         assert abs(est[et][1] - exact[et][1]) <= 10.0, (et, "p95")
+
+
+def test_weighted_sample_overrepresents_long_docs_and_is_stable(spark):
+    """ES weighted sampling: deterministic across invocations, and the
+    length-weighted sample's mean n_chars exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    s1 = QUERIES["q_sample_weighted"](spark, SF_SMOKE).collect()
+    s2 = QUERIES["q_sample_weighted"](spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    corpus_mean = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
