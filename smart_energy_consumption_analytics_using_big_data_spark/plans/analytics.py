@@ -1454,3 +1454,48 @@ def q_approx_quantile_merge(spark, sf_dir):
     return cum.groupBy("event_type").agg(
         est(0.5).alias("p50_est"), est(0.95).alias("p95_est")
     )
+
+
+@q(
+    "q_ts_seasonal_naive",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, total,
+             lag(total, 168) OVER (PARTITION BY event_type ORDER BY hr) AS pred
+      FROM hourly
+    )
+    SELECT event_type, count(*) AS n_scored,
+           round(avg(abs(total - pred)), 6) AS mae,
+           round(sqrt(avg((total - pred) * (total - pred))), 6) AS rmse
+    FROM scored WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_ts_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast baseline + error metrics in ONE plan:
+    predict each hour by the same hour one week earlier (lag 168 over
+    the hourly rollup) and score MAE/RMSE per series. This is the
+    sanity floor every learned forecaster (q_ml_forecast_*) must beat;
+    being pure window algebra it is oracle-checked exactly, unlike the
+    ML models' rows-only metric floors. One shuffle for the rollup,
+    the lag shares its partitioning, and the hourly table (not the
+    fact table) feeds the window."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(sum_exact("value").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    scored = hourly.withColumn("pred", F.lag("total", 168).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("total") - F.col("pred")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+    )
