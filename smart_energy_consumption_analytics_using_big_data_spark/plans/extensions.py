@@ -15,6 +15,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.operators import jo
 from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
 from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
 from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
+from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
 
 # ---------------------------------------------------------------------------
@@ -2918,4 +2919,41 @@ def q_sample_weighted(spark, sf_dir):
         keyed.orderBy(F.desc("es_key_raw"), F.asc("doc_id"))
         .limit(100)
         .select("doc_id", "lang", "n_chars", F.round("es_key_raw", 6).alias("es_key"))
+    )
+
+
+@q(
+    "q_feature_hashing",
+    """
+    WITH f AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(concat('type=', event_type)), 1, 4)) AS INT)
+               % 32 AS idx,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('type=', event_type)), 5, 1))
+                       AS INT) % 2 = 0 THEN value ELSE -value END AS sv
+      FROM events
+    )
+    SELECT user_id, idx, {v} AS feature_value, count(*) AS n
+    FROM f GROUP BY user_id, idx
+    """.format(v=DSUM("sv")),
+)
+def q_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurizer (Weinberger et al. 2009): categorical
+    features map to a FIXED 32-dim index space via md5 (no vocabulary
+    pass, no fit/transform state to ship) with a second hash bit
+    providing the variance-cancelling sign. Deterministic across
+    engines, so the featurization is oracle-checked exactly; the plan
+    is one narrow projection + one grouped sum — at 100 TB there is no
+    dictionary to broadcast and no OOV problem, which is why hashing
+    beats StringIndexer for high-cardinality features."""
+    ev = t(spark, sf_dir, "events")
+    feat = F.concat(F.lit("type="), F.col("event_type"))
+    h = F.md5(feat)
+    idx = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % 32
+    sign_even = F.conv(F.substring(h, 5, 1), 16, 10).cast("int") % 2 == 0
+    sv = F.when(sign_even, F.col("value")).otherwise(-F.col("value"))
+    return (
+        ev.select("user_id", idx.alias("idx"), sv.alias("sv"))
+        .groupBy("user_id", "idx")
+        .agg(sum_exact("sv").alias("feature_value"), F.count(F.lit(1)).alias("n"))
     )
