@@ -278,3 +278,52 @@ def mahalanobis_scores(
     return emb.select(id_col, key_col, vec_col).mapInPandas(
         score, f"{id_col} long, {key_col} int, maha2 double"
     )
+
+
+def covariance_state(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The d(d+1)/2-row sufficient-statistics table (i, j, N, SX, SY,
+    SXY) — the persistable state behind covariance_matrix. Store this
+    after each ingest; it is constant-size in the corpus."""
+    return (
+        covariance_partials(emb, vec_col)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("N"),
+            F.sum("sx").alias("SX"),
+            F.sum("sy").alias("SY"),
+            F.sum("sxy").alias("SXY"),
+        )
+    )
+
+
+def covariance_update(
+    state: DataFrame, new_emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Incremental covariance maintenance: fold a NEW batch into a
+    stored sufficient-statistics table without rescanning history —
+    the nightly-embedding-ingest shape (same pattern as the
+    incremental rollup and the incremental LSH index: history is a
+    constant-size state table, only the delta touches the corpus
+    reader). Returns the merged state; covariance_from_state turns any
+    state into the (i, j, cov) triangle."""
+    delta = covariance_state(new_emb, vec_col)
+    return (
+        state.unionByName(delta)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("N").alias("N"),
+            F.sum("SX").alias("SX"),
+            F.sum("SY").alias("SY"),
+            F.sum("SXY").alias("SXY"),
+        )
+    )
+
+
+def covariance_from_state(state: DataFrame, round_output: bool = True) -> DataFrame:
+    """(i, j, cov) from a sufficient-statistics table."""
+    cov = (F.col("SXY") - F.col("SX") * F.col("SY") / F.col("N")) / (
+        F.col("N") - 1
+    )
+    if not round_output:
+        return state.select("i", "j", cov.alias("cov"))
+    return state.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

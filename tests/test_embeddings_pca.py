@@ -136,3 +136,27 @@ def test_arrow_udf_cosine_matches_jvm_expression(spark):
     assert len(jvm) == len(arr)
     for k in jvm:
         assert abs(jvm[k] - arr[k]) <= 1e-6, (k, jvm[k], arr[k])
+
+
+def test_incremental_covariance_equals_full_recompute(spark):
+    """Folding a new batch into stored sufficient statistics must give
+    exactly the full-corpus covariance (associative decimal-free sums
+    of identical doubles — both orders add the same per-batch
+    partials)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.embeddings import (
+        covariance_from_state,
+        covariance_matrix,
+        covariance_state,
+        covariance_update,
+    )
+
+    emb = _emb(spark)
+    old = emb.filter("vec_id < 300")
+    new = emb.filter("vec_id >= 300")
+    state = covariance_state(old).localCheckpoint()  # "persisted" history
+    merged = covariance_update(state, new)
+    inc = {(r.i, r.j): r.cov for r in covariance_from_state(merged).collect()}
+    full = {(r.i, r.j): r.cov for r in covariance_matrix(emb).collect()}
+    assert set(inc) == set(full)
+    for k in full:
+        assert abs(inc[k] - full[k]) <= 1e-6, k
