@@ -40,6 +40,37 @@ def read_csv(
     return reader.csv(list(paths))
 
 
+def read_csv_audited(
+    spark: SparkSession,
+    paths: str | Iterable[str],
+    schema: T.StructType,
+    null_value: str | None = "Null",
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan that CAPTURES malformed rows instead of nulling them
+    silently (the default PERMISSIVE mode's failure shape) or killing
+    the job (FAILFAST): the returned frame carries a ``_corrupt_record``
+    column holding the raw text of every row that failed the typed
+    parse. Production ingest splits on it — clean rows continue, the
+    corrupt slice lands in a dead-letter sink with full fidelity for
+    replay after a fix. Same one-scan cost as read_csv.
+    """
+    audited = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    reader = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(audited)
+    )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    if isinstance(paths, str):
+        return reader.csv(paths)
+    return reader.csv(list(paths))
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan (stage boundary format, `data_preprocessing.py:97`)."""
     return spark.read.parquet(path)

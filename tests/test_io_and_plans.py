@@ -539,3 +539,41 @@ def test_backfill_overwrites_only_present_partitions(spark, tmp_path):
             assert after[d] == before[d], d
     # static overwrite of the same frame would have truncated the table
     assert set(after) == set(days)
+
+
+def test_audited_csv_captures_corrupt_rows_and_schema_merge(spark, tmp_path):
+    """Ingest robustness: (a) malformed CSV rows surface in
+    _corrupt_record with their raw text while clean rows parse; (b)
+    parquet mergeSchema unions evolved file schemas."""
+    from pyspark.sql import types as T
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.readers import (
+        read_csv_audited,
+    )
+
+    csv = tmp_path / "rows.csv"
+    csv.write_text("id,val\n1,10.5\n2,notanumber\n3,30.0\nbroken,\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df = read_csv_audited(spark, str(csv), schema).cache()
+    clean = df.filter("_corrupt_record IS NULL")
+    dead = df.filter("_corrupt_record IS NOT NULL")
+    assert {r.id for r in clean.collect()} == {1, 3}
+    dead_rows = {r._corrupt_record for r in dead.collect()}
+    assert "2,notanumber" in dead_rows and "broken," in dead_rows
+
+    # schema evolution: second file adds a column; mergeSchema unions
+    spark.range(3).selectExpr("id", "id * 1.0 AS a").write.parquet(
+        str(tmp_path / "evo"), mode="overwrite"
+    )
+    spark.range(3, 6).selectExpr("id", "id * 1.0 AS a", "'x' AS b").write.parquet(
+        str(tmp_path / "evo"), mode="append"
+    )
+    evo = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "evo"))
+    assert set(evo.columns) == {"id", "a", "b"}
+    assert evo.count() == 6
+    assert evo.filter("b IS NULL").count() == 3
