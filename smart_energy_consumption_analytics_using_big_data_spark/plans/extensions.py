@@ -2957,3 +2957,51 @@ def q_feature_hashing(spark, sf_dir):
         .groupBy("user_id", "idx")
         .agg(sum_exact("sv").alias("feature_value"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "q_emb_quality_audit",
+    """
+    WITH checked AS (
+      SELECT vec_id, len(embedding) AS dim,
+             CASE WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                  THEN 1 ELSE 0 END AS has_nan,
+             CASE WHEN sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) < 1e-12
+                  THEN 1 ELSE 0 END AS zero_norm
+      FROM embeddings
+    )
+    SELECT count(*) AS n_vectors,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+           CAST(min(dim) AS INTEGER) AS min_dim, CAST(max(dim) AS INTEGER) AS max_dim,
+           CAST(sum(has_nan) AS BIGINT) AS n_with_nan,
+           CAST(sum(zero_norm) AS BIGINT) AS n_zero_norm
+    FROM checked
+    """,
+)
+def q_emb_quality_audit(spark, sf_dir):
+    """Embedding-integrity audit in one declarative pass: dimension
+    consistency (a ragged corpus breaks every downstream kernel), NaN
+    scan, and zero-norm detection (cosine is undefined there) — the
+    pre-flight check before any similarity/covariance job, as array
+    higher-order expressions with a single scalar-row rollup. The
+    structural audit the reference runs as separate count() jobs."""
+    emb = t(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    has_nan = (
+        F.size(F.filter(xd, lambda x: F.isnan(x))) > 0
+    ).cast("int")
+    norm = F.sqrt(F.aggregate(xd, F.lit(0.0), lambda a, x: a + x * x))
+    checked = emb.select(
+        F.size("embedding").alias("dim"),
+        has_nan.alias("has_nan"),
+        (norm < 1e-12).cast("int").alias("zero_norm"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").alias("n_distinct_dims"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.sum("has_nan").cast("bigint").alias("n_with_nan"),
+        F.sum("zero_norm").cast("bigint").alias("n_zero_norm"),
+    )
