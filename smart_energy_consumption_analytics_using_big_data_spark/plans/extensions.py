@@ -3005,3 +3005,68 @@ def q_emb_quality_audit(spark, sf_dir):
         F.sum("has_nan").cast("bigint").alias("n_with_nan"),
         F.sum("zero_norm").cast("bigint").alias("n_zero_norm"),
     )
+
+
+@q(
+    "q_approx_distinct_kmv",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type, CAST(max(n_exact) AS BIGINT) AS n_exact,
+           round(CASE WHEN max(n_exact) < 64 THEN CAST(max(n_exact) AS DOUBLE)
+                      ELSE 63.0 / (max(CASE WHEN rk = 64 THEN h END) / 4294967296.0)
+                 END, 6) AS kmv_estimate
+    FROM ranked WHERE rk <= 64
+    GROUP BY event_type
+    """,
+)
+def q_approx_distinct_kmv(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct sketch, built from
+    relational algebra: keep the k=64 smallest md5 hash values per
+    group; the k-th smallest u estimates distinct count as (k-1)/u.
+    Unlike HLL registers the state is MERGEABLE by plain
+    union + re-bottom-k AND deterministic (hash, not RNG), so — unique
+    among the sketch family here — the estimate itself is
+    oracle-checked EXACTLY across engines. Bottom-k also doubles as a
+    mergeable uniform sample of the distinct keys. The window runs
+    over the DISTINCT (group, key) pairs, not the fact table."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    w_rk = _W.partitionBy("event_type").orderBy("h", "user_id")
+    w_all = _W.partitionBy("event_type")
+    ranked = hashed.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "n_exact", F.count(F.lit(1)).over(w_all)
+    )
+    kth_u = F.max(F.when(F.col("rk") == 64, F.col("h"))) / 4294967296.0
+    est = F.when(
+        F.max("n_exact") < 64, F.max("n_exact").cast("double")
+    ).otherwise(63.0 / kth_u)
+    return (
+        ranked.filter(F.col("rk") <= 64)
+        .groupBy("event_type")
+        .agg(
+            F.max("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 6).alias("kmv_estimate"),
+        )
+    )

@@ -125,3 +125,46 @@ def test_weighted_sample_overrepresents_long_docs_and_is_stable(spark):
         .collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_kmv_estimate_accuracy_and_mergeability(spark):
+    """KMV: estimate within the ~2/sqrt(k) relative-error envelope of
+    exact distinct, and the sketch MERGES: union of two halves'
+    bottom-64 re-bottom-64'd equals the whole-corpus bottom-64."""
+    from pyspark.sql import Window, functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q_approx_distinct_kmv"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact >= 64:
+            assert abs(r.kmv_estimate - r.n_exact) / r.n_exact < 0.5, r
+        else:
+            assert r.kmv_estimate == float(r.n_exact), r
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+
+    def bottomk(df):
+        w = Window.partitionBy("event_type").orderBy("h", "user_id")
+        return df.withColumn("rk", F.row_number().over(w)).filter("rk <= 64").drop("rk")
+
+    whole = bottomk(hashed)
+    halves = bottomk(hashed.filter("user_id % 2 = 0")).unionByName(
+        bottomk(hashed.filter("user_id % 2 = 1"))
+    )
+    merged = bottomk(halves)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
