@@ -3070,3 +3070,113 @@ def q_approx_distinct_kmv(spark, sf_dir):
             F.round(est, 6).alias("kmv_estimate"),
         )
     )
+
+
+@q(
+    "q_approx_overlap_kmv",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b ON a.event_type < b.event_type
+    ),
+    members AS (
+      SELECT p.ta, p.tb, h.user_id, max(h.h) AS h,
+             max(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN hashed h ON h.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, h.user_id
+    ),
+    ranked AS (
+      SELECT ta, tb, h, in_a, in_b,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY h, user_id) AS rk,
+             count(*) OVER (PARTITION BY ta, tb) AS n_union
+      FROM members
+    )
+    SELECT ta, tb,
+           CAST(max(n_union) AS BIGINT) AS union_exact,
+           round(CASE WHEN max(n_union) < 64 THEN CAST(max(n_union) AS DOUBLE)
+                      ELSE 63.0 / (max(CASE WHEN rk = 64 THEN h END) / 4294967296.0)
+                 END, 6) AS union_est,
+           round(CAST(sum(in_a * in_b) AS DOUBLE) / least(max(n_union), 64), 6)
+             AS jaccard_est
+    FROM ranked WHERE rk <= 64
+    GROUP BY ta, tb
+    """,
+)
+def q_approx_overlap_kmv(spark, sf_dir):
+    """KMV set algebra (theta-sketch style): audience overlap between
+    every pair of event types from ONE bottom-k pass per pair over the
+    UNION of their distinct keys — the shared fraction inside the
+    union's bottom-64 estimates Jaccard; times the union estimate it
+    estimates the intersection. Exact |A|,|B| never materialize, the
+    window runs over distinct (pair, user) rows, and the md5
+    determinism keeps even the estimates oracle-checked exactly. The
+    production question this answers at 100 TB: which segments share
+    users, without a quadratic exact-distinct join."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    members = (
+        F.broadcast(pairs)
+        .join(
+            hashed.alias("h"),
+            (F.col("h.event_type") == F.col("ta"))
+            | (F.col("h.event_type") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(
+            F.max("h").alias("h"),
+            F.max((F.col("event_type") == F.col("ta")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("tb")).cast("int")).alias("in_b"),
+        )
+    )
+    w_rk = _W.partitionBy("ta", "tb").orderBy("h", "user_id")
+    w_all = _W.partitionBy("ta", "tb")
+    ranked = members.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "n_union", F.count(F.lit(1)).over(w_all)
+    )
+    kth_u = F.max(F.when(F.col("rk") == 64, F.col("h"))) / 4294967296.0
+    union_est = F.when(
+        F.max("n_union") < 64, F.max("n_union").cast("double")
+    ).otherwise(63.0 / kth_u)
+    return (
+        ranked.filter(F.col("rk") <= 64)
+        .groupBy("ta", "tb")
+        .agg(
+            F.max("n_union").cast("bigint").alias("union_exact"),
+            F.round(union_est, 6).alias("union_est"),
+            F.round(
+                F.sum(F.col("in_a") * F.col("in_b"))
+                / F.least(F.max("n_union"), F.lit(64)),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )

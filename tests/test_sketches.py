@@ -168,3 +168,32 @@ def test_kmv_estimate_accuracy_and_mergeability(spark):
     merged = bottomk(halves)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """KMV pairwise overlap: jaccard_est within the bottom-k error
+    envelope of the exact user-set Jaccard for every type pair."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    from tests.conftest import SF_SMOKE
+
+    est = {
+        (r.ta, r.tb): (r.union_exact, r.union_est, r.jaccard_est)
+        for r in QUERIES["q_approx_overlap_kmv"](spark, SF_SMOKE).collect()
+    }
+    assert len(est) == 10  # C(5,2) type pairs
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    users = {
+        r.event_type: {u.user_id for u in ev.filter(F.col("event_type") == r.event_type)
+                       .select("user_id").distinct().collect()}
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for (ta, tb), (u_exact, u_est, j_est) in est.items():
+        a, b = users[ta], users[tb]
+        assert u_exact == len(a | b)
+        exact_j = len(a & b) / len(a | b)
+        # k=64 bottom-k: generous envelope, but must track direction
+        assert abs(j_est - exact_j) < 0.35, ((ta, tb), j_est, exact_j)
+        assert abs(u_est - u_exact) / u_exact < 0.5, ((ta, tb), u_est, u_exact)
