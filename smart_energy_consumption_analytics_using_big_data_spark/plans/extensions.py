@@ -3180,3 +3180,80 @@ def q_approx_overlap_kmv(spark, sf_dir):
             ).alias("jaccard_est"),
         )
     )
+
+
+@q(
+    "q_graph_triangles",
+    """
+    WITH edges0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM edges0 UNION ALL SELECT v FROM edges0
+      ) t(u) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM edges0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT 1
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting on the co-purchase graph (parts sharing an
+    order) with the DEGREE-ORIENTATION trick: every edge points from
+    its lower-(degree, id) endpoint to the higher one, so each
+    triangle is counted exactly once AND the wedge join fans out from
+    low-degree vertices only — the bound that keeps hub nodes from
+    exploding the join at scale (arboricity bound, the standard
+    distributed formulation). Edges build from one self-join per
+    order; everything downstream touches the edge list, not the
+    fact table."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
