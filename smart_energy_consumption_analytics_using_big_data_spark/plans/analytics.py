@@ -1499,3 +1499,59 @@ def q_ts_seasonal_naive(spark, sf_dir):
         F.round(F.avg(F.abs(err)), 6).alias("mae"),
         F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
     )
+
+
+@q(
+    "q_ts_cusum",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, hr, total,
+             avg(total) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(total) OVER (PARTITION BY event_type) AS sigma
+      FROM hourly
+    ),
+    cusum AS (
+      SELECT event_type, hr, total,
+             round(sum((total - mu) / nullif(sigma, 0)) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS s
+      FROM stats
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+           round(total, 6) AS total, s AS cusum
+    FROM cusum WHERE abs(s) > 10
+    """,
+)
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM changepoint screen: the running sum of standardized
+    deviations drifts away from zero when the series' level shifts —
+    |CUSUM| above threshold flags the post-change region, which a mean
+    threshold on raw values misses entirely for small sustained
+    shifts. Two windows (moment stats + running sum) share one
+    partitioning over the HOURLY rollup; the fact table feeds nothing
+    but the rollup."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(sum_exact("value").alias("total"))
+    w_all = Window.partitionBy("event_type")
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z = (F.col("total") - F.avg("total").over(w_all)) / F.nullif(
+        F.stddev("total").over(w_all), F.lit(0.0)
+    )
+    scored = hourly.withColumn("s", F.round(F.sum(z).over(w_run), 6))
+    return scored.filter(F.abs("s") > 10).select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        F.round("total", 6).alias("total"),
+        F.col("s").alias("cusum"),
+    )
