@@ -3257,3 +3257,53 @@ def q_graph_triangles(spark, sf_dir):
         )
     )
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+@q(
+    "q_text_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1
+    )
+    SELECT cc.doc_id,
+           CAST(max(tot.n) AS BIGINT) AS n_chars_counted,
+           round(-sum((c / tot.n) * log2(c / tot.n)), 6) AS char_entropy
+    FROM cc JOIN tot ON cc.doc_id = tot.doc_id
+    GROUP BY cc.doc_id
+    ORDER BY char_entropy ASC, cc.doc_id LIMIT 100
+    """,
+)
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy quality screen: Shannon entropy of each doc's
+    character distribution — keyboard mash, repeated-token padding and
+    single-char floods score far below natural text (English prose
+    ~4.0-4.5 bits), so ranking ascending surfaces the most
+    suspicious slice first (a fixed floor would be corpus-dependent;
+    the bottom-k screen is what a curator reviews), a garbage class the
+    stopword/punctuation heuristics (q_text_quality) miss. One explode
+    compacted immediately to per-(doc, char) counts; the entropy sum
+    runs over that vocab-sized table."""
+    docs = t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = F.round(-F.sum(p * F.log2(p)), 6)
+    return (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars_counted"),
+            ent.alias("char_entropy"),
+        )
+        .orderBy(F.asc("char_entropy"), F.asc("doc_id"))
+        .limit(100)
+    )
