@@ -3307,3 +3307,65 @@ def q_text_entropy(spark, sf_dir):
         .orderBy(F.asc("char_entropy"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@q(
+    "q_agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT event_type, value,
+             CASE event_type WHEN 'purchase' THEN 3.0 WHEN 'signup' THEN 2.0
+                  ELSE 1.0 END * (1 + (user_id % 3)) AS wt
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, value, wt,
+             sum(wt) OVER (PARTITION BY event_type ORDER BY value, wt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wt) OVER (PARTITION BY event_type) AS total
+      FROM w
+    )
+    SELECT event_type,
+           round(min(CASE WHEN cw >= 0.5 * total THEN value END), 6)
+             AS weighted_median,
+           round(min(CASE WHEN cw >= 0.9 * total THEN value END), 6)
+             AS weighted_p90
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_agg_weighted_median(spark, sf_dir):
+    """Weighted median / weighted p90 per group: sort by value, take
+    the first row whose CUMULATIVE weight crosses the target mass —
+    the importance-weighted quantile neither engine ships natively,
+    expressed as one ordered window + conditional min so both engines
+    compute it identically (exact, not sketched). Weights derive
+    deterministically from type and user bucket. The companion to
+    q_agg_weighted's weighted mean; robust where the mean is not."""
+    ev = t(spark, sf_dir, "events")
+    wt = (
+        F.when(F.col("event_type") == "purchase", 3.0)
+        .when(F.col("event_type") == "signup", 2.0)
+        .otherwise(1.0)
+    ) * (1 + F.col("user_id") % 3)
+    from pyspark.sql import Window as _W
+
+    w_cum = (
+        _W.partitionBy("event_type")
+        .orderBy("value", "wt")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_all = _W.partitionBy("event_type")
+    cum = ev.select("event_type", "value", wt.alias("wt")).select(
+        "event_type",
+        "value",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("total"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.5 * F.col("total"), F.col("value"))), 6
+        ).alias("weighted_median"),
+        F.round(
+            F.min(F.when(F.col("cw") >= 0.9 * F.col("total"), F.col("value"))), 6
+        ).alias("weighted_p90"),
+    )
