@@ -3340,7 +3340,12 @@ def q_agg_weighted_median(spark, sf_dir):
     expressed as one ordered window + conditional min so both engines
     compute it identically (exact, not sketched). Weights derive
     deterministically from type and user bucket. The companion to
-    q_agg_weighted's weighted mean; robust where the mean is not."""
+    q_agg_weighted's weighted mean; robust where the mean is not.
+    Scale note: exact weighted quantiles need the per-group sort (one
+    window partition per group) — kept exact here for the oracle, like
+    q_agg_percentile; at 100 TB pre-bucket values and run the same
+    cumulative-weight crossing over the vocab-sized histogram instead
+    (q_approx_quantile_merge's shape with weights)."""
     ev = t(spark, sf_dir, "events")
     wt = (
         F.when(F.col("event_type") == "purchase", 3.0)
