@@ -3374,3 +3374,114 @@ def q_agg_weighted_median(spark, sf_dir):
             F.min(F.when(F.col("cw") >= 0.9 * F.col("total"), F.col("value"))), 6
         ).alias("weighted_p90"),
     )
+
+
+@q(
+    "q_graph_clustering",
+    """
+    WITH edges0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM edges0 UNION ALL SELECT v FROM edges0
+      ) t(u) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM edges0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tris AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    per_node AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT a FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+      ) t(node) GROUP BY 1
+    )
+    SELECT deg.node AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(per_node.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(per_node.n_tri, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering_coef
+    FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+    WHERE deg.d >= 2
+    ORDER BY clustering_coef DESC, degree DESC, node LIMIT 50
+    """,
+)
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient: per-node triangle membership over
+    the degree-oriented wedge join (each triangle credits all three
+    vertices), normalized by the node's open-wedge count d(d-1)/2 —
+    the community-density metric. Reuses q_graph_triangles' oriented
+    edge machinery; the per-node rollup and the degree join both run
+    on edge/triangle tables, never the fact table."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("ta"), F.col("e1.hi").alias("tb"), F.col("e2.hi").alias("tc")
+        )
+    )
+    per_node = (
+        tris.select(F.col("ta").alias("node"))
+        .unionAll(tris.select(F.col("tb").alias("node")))
+        .unionAll(tris.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0)) / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+    return out.orderBy(
+        F.desc("clustering_coef"), F.desc("degree"), F.asc("node")
+    ).limit(50)
