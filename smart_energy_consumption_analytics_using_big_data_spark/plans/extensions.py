@@ -3485,3 +3485,53 @@ def q_graph_clustering(spark, sf_dir):
     return out.orderBy(
         F.desc("clustering_coef"), F.desc("degree"), F.asc("node")
     ).limit(50)
+
+
+@q(
+    "q_text_zipf_slope",
+    """
+    WITH freq AS (
+      SELECT tok, count(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+      FROM freq
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+    FROM ranked WHERE rank <= 1000
+    """,
+)
+def q_text_zipf_slope(spark, sf_dir):
+    """Zipf-law fit via the SQL regression-aggregate family
+    (regr_slope / regr_intercept / regr_r2): natural language gives a
+    log-log slope near -1, so a corpus whose slope drifts far from it
+    is synthetic/templated/spammy — the one-number version of
+    q_text_vocab_zipf's table. The regression runs as ONE aggregate
+    over the vocab-sized rank table (no driver-side fitting); also the
+    registry's coverage of the regr_* function family."""
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(_W.orderBy(F.desc("n"), F.asc("tok")))
+    ).filter(F.col("rank") <= 1000)
+    ln_n, ln_r = F.log(F.col("n").cast("double")), F.log(
+        F.col("rank").cast("double")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )
