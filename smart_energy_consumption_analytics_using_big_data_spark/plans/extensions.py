@@ -3535,3 +3535,35 @@ def q_text_zipf_slope(spark, sf_dir):
         F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+@q(
+    "q_agg_bool_bit",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (value > 400) AS BIGINT) AS n_high,
+           bool_or(value > 490) AS any_extreme,
+           bool_and(value >= 0) AS all_nonneg,
+           CAST(bit_or(CAST(user_id % 16 AS INTEGER)) AS INTEGER) AS bucket_bits_or,
+           CAST(bit_and(CAST(user_id % 16 + 16 AS INTEGER)) AS INTEGER) AS bucket_bits_and,
+           CAST(bit_xor(CAST(user_id % 16 AS INTEGER)) AS INTEGER) AS bucket_bits_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bool_bit(spark, sf_dir):
+    """Boolean + bitwise aggregate families in one rollup: count_if /
+    bool_or (any) / bool_and (every) answer predicate questions without
+    CASE scaffolding, and bit_or/bit_and/bit_xor fold bucket masks —
+    the presence-bitmap building block (bit_or of per-row masks = the
+    set of buckets a group touched; xor supports parity/toggle
+    checks). All map-side-combinable single-pass aggregates."""
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 16).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 400).alias("n_high"),
+        F.bool_or(F.col("value") > 490).alias("any_extreme"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bit_or(bucket).cast("int").alias("bucket_bits_or"),
+        F.bit_and((F.col("user_id") % 16 + 16).cast("int")).cast("int").alias("bucket_bits_and"),
+        F.bit_xor(bucket).cast("int").alias("bucket_bits_xor"),
+    )
