@@ -3567,3 +3567,53 @@ def q_agg_bool_bit(spark, sf_dir):
         F.bit_and((F.col("user_id") % 16 + 16).cast("int")).cast("int").alias("bucket_bits_and"),
         F.bit_xor(bucket).cast("int").alias("bucket_bits_xor"),
     )
+
+
+@q(
+    "q_agg_listagg",
+    """
+    WITH top_users AS (
+      SELECT event_type, user_id, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, user_id) AS rk
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rk) AS top5_users,
+           CAST(sum(n) AS BIGINT) AS their_events
+    FROM top_users WHERE rk <= 5
+    GROUP BY event_type
+    """,
+)
+def q_agg_listagg(spark, sf_dir):
+    """Ordered string aggregation (listagg / string_agg): the top-5
+    users per type concatenated IN RANK ORDER — deterministic because
+    the ordering is explicit (an unordered listagg is a
+    partitioning-dependent answer, the same trap as first()); built on
+    a grouped top-k so the aggregate runs over 5 rows per group, and
+    the denormalized-id-list export shape (one row per group for a
+    report/API) stays oracle-checkable."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ranked = per_user.withColumn(
+        "rk",
+        F.row_number().over(
+            _W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+        ),
+    ).filter(F.col("rk") <= 5)
+    return ranked.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", F.col("user_id").cast("string").alias("user_id")))
+                ),
+                lambda s: s["user_id"],
+            ),
+            ",",
+        ).alias("top5_users"),
+        F.sum("n").cast("bigint").alias("their_events"),
+    )
