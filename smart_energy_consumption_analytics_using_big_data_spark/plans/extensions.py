@@ -3617,3 +3617,43 @@ def q_agg_listagg(spark, sf_dir):
         ).alias("top5_users"),
         F.sum("n").cast("bigint").alias("their_events"),
     )
+
+
+@q(
+    "q_histogram_equidepth",
+    """
+    WITH deciled AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, decile, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM deciled GROUP BY event_type, decile
+    """,
+)
+def q_histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram: ntile(10) splits each group into
+    equal-count deciles whose [lo, hi] edges are the data-adaptive bin
+    boundaries — the optimizer-statistics histogram form (equal-width
+    bins starve where data clusters; equal-depth edges land where the
+    mass is). The unique (value, event_id) tiebreak makes decile
+    assignment deterministic. Scale note: ntile needs the per-group
+    sort, same trade as every exact quantile here — the sketch path
+    approximates edges from q_approx_quantile_merge's histogram."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    deciled = ev.select(
+        "event_type",
+        "value",
+        F.ntile(10)
+        .over(_W.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("decile"),
+    )
+    return deciled.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
