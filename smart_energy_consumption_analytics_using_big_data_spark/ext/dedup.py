@@ -150,6 +150,89 @@ def jaccard_pairs(shingles: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
 
 
+def prefix_filtered_pairs(
+    shingles: DataFrame, t_num: int = 3, t_den: int = 5
+) -> DataFrame:
+    """Exact Jaccard-threshold pair join via PREFIX FILTERING
+    (AllPairs/PPJoin, Bayardo et al. WWW'07): same answer as
+    ``jaccard_pairs(..., min_jaccard=t)`` but only prefix-collided
+    pairs are ever generated or verified.
+
+    The threshold is the exact rational ``t_num/t_den`` (default 3/5 =
+    0.6) so the minimum-overlap bound ``alpha = ceil(t*n)`` is computed
+    in INTEGER arithmetic (``(t_num*n + t_den - 1) DIV t_den``): a
+    float ``ceil(0.6*5)`` evaluates to 4 (0.6*5 == 3.0000000000000004),
+    silently shortening the prefix below the lossless length and
+    dropping true pairs at the boundary.
+
+    Plan shape (all shuffles on content-derived keys, no all-pairs):
+
+    1. global document frequency per shingle (one shuffle) defines the
+       canonical rarest-first order - prefixes carry the most selective
+       shingles, so hot shingles never enter the candidate join;
+    2. per-doc prefix = first ``n - alpha + 1`` shingles in that order
+       (row_number window over doc_id);
+    3. candidates = self-join of the PREFIX table only, with the
+       pair-size filter ``min(n_a, n_b)*t_den >= t_num*max(n_a, n_b)``
+       applied before dedup (J >= t forces |B| >= t*|A|);
+    4. verification joins candidates back to the FULL shingle sets
+       (linear in candidate-pairs x doc-size) and keeps
+       ``common*t_den >= t_num*(n_a + n_b - common)`` - again integer
+       math, so the boundary J == t is kept exactly.
+
+    Losslessness: J(A,B) >= t implies overlap >= ceil(t*max(|A|,|B|))
+    >= each doc's own alpha, and the prefix lemma (any two sets with
+    overlap >= alpha share an element in their first len-alpha+1
+    canonical elements) applies per side with the weaker per-doc bound,
+    so the kept prefixes are supersets of the required ones.
+    """
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        shingles.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .withColumn("rk", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # alpha = ceil(t*n) exactly; prefix keeps rk <= n - alpha + 1
+    alpha = (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)).cast("long") / F.lit(t_den)
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.floor(alpha) + F.lit(1)
+    ).select("doc_id", "shingle", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n").alias("n_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("n_a", "n_b") * F.lit(t_den) >= F.lit(t_num) * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.filter(
+            F.col("common") * F.lit(t_den)
+            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("common"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 6) -> DataFrame:
     """MinHash signature per document.
 

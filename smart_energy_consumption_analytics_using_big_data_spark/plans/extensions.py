@@ -986,6 +986,36 @@ def q_dedup_containment(spark, sf_dir):
 
 
 @q(
+    "q_dedup_ppjoin",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jaccard
+    FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    WHERE common * 5 >= 3 * (sa.n + sb.n - common)
+    """,
+)
+def q_dedup_ppjoin(spark, sf_dir):
+    """Jaccard>=0.6 pair join via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07): only each doc's n-ceil(t*n)+1 globally
+    rarest shingles enter the candidate self-join, with an integer-
+    exact size filter before verification. Same answer as the exact
+    all-pairs oracle, but candidate generation is bounded by prefix
+    co-occurrence instead of full shingle co-occurrence - the lossless
+    EXACT counterpart to the probabilistic MinHash/LSH rung on the
+    dedup ladder. Threshold carried as the rational 3/5 end-to-end:
+    float ceil(0.6*5) = 4 would silently shorten prefixes and drop
+    boundary pairs."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    return D.prefix_filtered_pairs(sh, t_num=3, t_den=5)
+
+
+@q(
     "q_dedup_minhash_estimate",
     f"""
     WITH {_SHINGLES_CTE},

@@ -1,0 +1,54 @@
+"""Prefix-filtered set-similarity join (AllPairs/PPJoin).
+
+The operator claims EXACT equality with the all-pairs threshold join,
+so the tests are differential: same pairs, same jaccard values, on
+(a) a crafted corpus containing a boundary pair with J == 0.6 exactly
+(the case a float ceil(0.6*5)=4 prefix bound silently drops) and
+(b) the sf0.001 documents corpus with and without df pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+    jaccard_pairs,
+    prefix_filtered_pairs,
+    shingle_table,
+)
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+
+def test_boundary_pair_at_exact_threshold_is_kept(spark):
+    # doc 1: 5 distinct 3-gram shingles; doc 2: its first 3 tokens'
+    # worth (3 shingles), all shared -> o=3, union=5, J=3/5=0.6 exactly.
+    t1 = "a b c d e f g"  # shingles: abc bcd cde def efg (n=5)
+    t2 = "a b c d e"  # shingles: abc bcd cde (n=3)
+    docs = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    sh = shingle_table(docs, max_df=None)
+    got = _pairs(prefix_filtered_pairs(sh, t_num=3, t_den=5))
+    assert got == {(1, 2): 0.6}, got
+
+
+def test_below_threshold_pair_is_dropped(spark):
+    t1 = "a b c d e f g h"  # 6 shingles
+    t2 = "a b c x y z"  # 4 shingles, 1 shared (abc) -> J = 1/9
+    docs = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+    got = _pairs(prefix_filtered_pairs(shingle_table(docs, max_df=None)))
+    assert got == {}, got
+
+
+def test_matches_all_pairs_join_on_corpus(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    for max_df in (None, 100):
+        sh = shingle_table(docs, max_df=max_df)
+        got = _pairs(prefix_filtered_pairs(sh, t_num=3, t_den=5))
+        want = _pairs(jaccard_pairs(sh).filter(F.col("jaccard") >= 0.6))
+        assert got == want, (max_df, len(got), len(want))
+        assert got, "corpus has >=0.6 near-dups by construction"
