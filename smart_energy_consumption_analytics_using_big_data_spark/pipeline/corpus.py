@@ -62,6 +62,30 @@ def keep_best_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def shuffle_order(docs: DataFrame, seed: int = 42, shards: int = 8) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: (doc_id, shard,
+    pos) where the permutation is a pure function of (doc_id, seed).
+
+    A different ``seed`` per epoch re-permutes the corpus without any
+    state; re-running at any partition layout yields the same order,
+    unlike ``orderBy(rand())``. Scale shape: NO global sort - the shard
+    is an md5 bucket (embarrassingly parallel projection) and the
+    position is a row_number within each shard, so the only shuffle is
+    the shard-partitioned window, one reducer per shard regardless of
+    corpus size. md5 keys keep the permutation oracle-portable.
+    """
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{seed}")))
+    shard = F.pmod(
+        F.conv(F.substring(k, 1, 8), 16, 10).cast("long"), F.lit(shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        docs.select("doc_id", k.alias("k"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def pack_assignments(docs: DataFrame, context: int = 512, shards: int = 8) -> DataFrame:
     """Concat-and-chunk packing metadata per doc (shard, pack_id) -
     hash-sharded so the running-sum window parallelizes."""

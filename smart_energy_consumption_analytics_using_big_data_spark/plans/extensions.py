@@ -15,6 +15,7 @@ from smart_energy_consumption_analytics_using_big_data_spark.operators import jo
 from smart_energy_consumption_analytics_using_big_data_spark.ext import multimodal as MM
 from smart_energy_consumption_analytics_using_big_data_spark.ext import similarity as S
 from smart_energy_consumption_analytics_using_big_data_spark.functions import textfns as TX
+from smart_energy_consumption_analytics_using_big_data_spark.pipeline import corpus as C
 from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import sum_exact
 from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import DSUM, q, t
 
@@ -2434,6 +2435,31 @@ def q_split_assign(spark, sf_dir):
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+@q(
+    "q_corpus_shuffle",
+    """
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+    FROM (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':42') AS k,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents
+    )
+    """,
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """Per-epoch deterministic corpus shuffle (`pipeline/corpus.
+    shuffle_order`): every doc gets a (shard, pos) training slot as a
+    pure function of (doc_id, seed=42). Changing the seed re-permutes
+    the whole corpus statelessly; same order at any partition layout,
+    unlike orderBy(rand()). NO global sort - md5-bucketed shards plus
+    a per-shard row_number window, so order assignment parallelizes
+    across shards at any corpus size."""
+    return C.shuffle_order(t(spark, sf_dir, "documents"), seed=42, shards=8)
 
 
 @q(
