@@ -75,6 +75,7 @@ def shingle_table(
     n: int = 3,
     max_df: int | None = 100,
     prune_strategy: str = "window",
+    keep_df: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams, df-pruned.
 
@@ -101,6 +102,15 @@ def shingle_table(
     sh = tok.select(
         "doc_id", F.explode(word_shingles(F.col("__toks"), n)).alias("shingle")
     )
+    if keep_df:
+        # `keep_df=True` exposes the document frequency the window
+        # strategy computes anyway (as `df`), so consumers that need a
+        # canonical rarity order (prefix filtering) don't re-shuffle on
+        # shingle to recount it.
+        out = sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        if max_df is not None:
+            out = out.filter(F.col("df") <= max_df)
+        return out
     if max_df is None:
         return sh
     if prune_strategy == "anti":
@@ -111,8 +121,6 @@ def shingle_table(
             .select("shingle")
         )
         return sh.join(F.broadcast(hot), "shingle", "left_anti")
-    from pyspark.sql import Window
-
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("__df", F.count(F.lit(1)).over(w))
@@ -187,10 +195,15 @@ def prefix_filtered_pairs(
     so the kept prefixes are supersets of the required ones.
     """
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        shingles.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .withColumn("rk", F.row_number().over(w_doc))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    with_df = (
+        shingles
+        if "df" in shingles.columns  # shingle_table(keep_df=True): reuse
+        else shingles.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+    )
+    ranked = with_df.withColumn("rk", F.row_number().over(w_doc)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     # alpha = ceil(t*n) exactly; prefix keeps rk <= n - alpha + 1
     alpha = (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)).cast("long") / F.lit(t_den)

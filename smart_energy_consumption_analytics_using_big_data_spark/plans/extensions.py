@@ -1011,8 +1011,9 @@ def q_dedup_ppjoin(spark, sf_dir):
     EXACT counterpart to the probabilistic MinHash/LSH rung on the
     dedup ladder. Threshold carried as the rational 3/5 end-to-end:
     float ceil(0.6*5) = 4 would silently shorten prefixes and drop
-    boundary pairs."""
-    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    boundary pairs. keep_df=True reuses the df the pruning window
+    already computed, saving a second shingle-keyed shuffle."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100, keep_df=True)
     return D.prefix_filtered_pairs(sh, t_num=3, t_den=5)
 
 
