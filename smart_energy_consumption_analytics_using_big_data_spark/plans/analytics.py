@@ -257,6 +257,61 @@ def q_window_range_7d(spark, sf_dir):
     )
 
 
+@q(
+    "q_ts_time_weighted_avg",
+    """
+    WITH x AS (
+      SELECT user_id, CAST(ts AS DATE) AS date,
+             epoch_us(ts) AS e,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY epoch_us(ts), event_id) AS e2
+      FROM events
+    )
+    SELECT user_id, date,
+           round(sum(cents * (e2 - e)) / (100.0 * sum(e2 - e)), 6) AS twa,
+           count(*) AS n_intervals
+    FROM x WHERE e2 IS NOT NULL
+    GROUP BY 1, 2 HAVING sum(e2 - e) > 0
+    """,
+)
+def q_ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user-day: each reading holds until the
+    next one, so its weight is the hold DURATION, not 1 - the correct
+    mean for irregularly-sampled meter series (a row-average over-
+    weights bursts of readings). Weights are integer microseconds and
+    values integer cents, so the weighted sum is exact integer math on
+    both engines - no float summation-order sensitivity. One shuffle
+    (user,date serves both the lead window and the rollup)."""
+    ev = t(spark, sf_dir, "events")
+    e = epoch_us("ts")
+    x = ev.select(
+        "user_id",
+        F.to_date("ts").alias("date"),
+        e.alias("e"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lead(e)
+        .over(Window.partitionBy("user_id", F.to_date("ts")).orderBy(e, "event_id"))
+        .alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    w_us = F.col("e2") - F.col("e")
+    return (
+        x.groupBy("user_id", "date")
+        .agg(
+            F.sum(F.col("cents") * w_us).alias("__num"),
+            F.sum(w_us).alias("__den"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .filter(F.col("__den") > 0)
+        .select(
+            "user_id",
+            "date",
+            F.round(F.col("__num") / (F.lit(100.0) * F.col("__den")), 6).alias("twa"),
+            "n_intervals",
+        )
+    )
+
+
 @q("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
 def q_approx_distinct(spark, sf_dir):
     """Sketch-based distinct counting, the 100 TB substitute for

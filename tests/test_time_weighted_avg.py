@@ -1,0 +1,45 @@
+"""Time-weighted average (q_ts_time_weighted_avg) semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans.analytics import (
+    q_ts_time_weighted_avg,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_hold_duration_weighting_beats_row_average(spark, tmp_path):
+    # value 10 held for 90 minutes, then three quick readings of 0 held
+    # 10 minutes each: row-average = 2.5, TWA = (10*5400)/(5400+1800) = 7.5
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, 7, "view", 10.0),
+        (2, base + dt.timedelta(minutes=90), 7, "view", 0.0),
+        (3, base + dt.timedelta(minutes=100), 7, "view", 0.0),
+        (4, base + dt.timedelta(minutes=110), 7, "view", 0.0),
+        (5, base + dt.timedelta(minutes=120), 7, "view", 99.0),  # last: no interval
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_ts_time_weighted_avg(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.user_id, r.n_intervals) == (7, 4)
+    assert r.twa == 7.5
+
+
+def test_single_reading_days_and_zero_span_are_excluded(spark, tmp_path):
+    base = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        (1, base, 1, "view", 5.0),  # lone reading: no interval
+        (2, base, 2, "view", 1.0),  # two readings, same timestamp: span 0
+        (3, base, 2, "view", 2.0),
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    assert q_ts_time_weighted_avg(spark, str(tmp_path)).count() == 0
