@@ -312,6 +312,57 @@ def q_ts_time_weighted_avg(spark, sf_dir):
     )
 
 
+@q(
+    "q_ts_counter_delta",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS date,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    )
+    SELECT user_id, date,
+           round(sum(CASE WHEN prev IS NULL THEN 0
+                          WHEN cents >= prev THEN cents - prev
+                          ELSE cents END) / 100.0, 6) AS consumed,
+           count(CASE WHEN prev IS NOT NULL AND cents < prev THEN 1 END) AS n_resets
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q_ts_counter_delta(spark, sf_dir):
+    """Cumulative-counter to consumption: per-user ordered deltas with
+    RESET detection (a drop means the meter restarted, so the post-
+    reset absolute reading IS the consumption since reset - Prometheus
+    `increase` semantics). The lag window spans the user's whole stream
+    (a counter doesn't reset at midnight) while the rollup groups by
+    day; integer-cents math keeps sums exact on both engines. One
+    shuffle: the user-partitioned window feeds the (user, date) rollup
+    without repartitioning at scale thanks to partial aggregation."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), "event_id")
+    d = ev.select(
+        "user_id",
+        F.to_date("ts").alias("date"),
+        cents.alias("cents"),
+        F.lag(cents).over(w).alias("prev"),
+    )
+    delta = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("cents") >= F.col("prev"), F.col("cents") - F.col("prev"))
+        .otherwise(F.col("cents"))
+    )
+    is_reset = (F.col("prev").isNotNull() & (F.col("cents") < F.col("prev"))).cast("int")
+    return (
+        d.groupBy("user_id", "date")
+        .agg(
+            F.round(F.sum(delta) / 100.0, 6).alias("consumed"),
+            F.sum(is_reset).alias("n_resets"),
+        )
+    )
+
+
 @q("q_approx_distinct")  # rows-only: HLL estimates are engine-specific
 def q_approx_distinct(spark, sf_dir):
     """Sketch-based distinct counting, the 100 TB substitute for

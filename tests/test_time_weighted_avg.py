@@ -43,3 +43,23 @@ def test_single_reading_days_and_zero_span_are_excluded(spark, tmp_path):
     ]
     _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
     assert q_ts_time_weighted_avg(spark, str(tmp_path)).count() == 0
+
+
+def test_counter_delta_reset_semantics(spark, tmp_path):
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.analytics import (
+        q_ts_counter_delta,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [  # cumulative meter: 10 -> 25 -> RESET to 3 -> 8
+        (1, base, 5, "meter", 10.0),
+        (2, base + dt.timedelta(hours=1), 5, "meter", 25.0),
+        (3, base + dt.timedelta(hours=2), 5, "meter", 3.0),
+        (4, base + dt.timedelta(hours=3), 5, "meter", 8.0),
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = q_ts_counter_delta(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 15 (10->25) + 3 (post-reset absolute) + 5 (3->8); first row contributes 0
+    assert (r.consumed, r.n_resets) == (23.0, 1)
