@@ -1168,6 +1168,47 @@ def q_ts_stl_decompose(spark, sf_dir):
 
 
 @q(
+    "q_dq_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INT) AS digit
+      FROM events WHERE value > 0
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford first-significant-digit screen - the standard audit for
+    fabricated or clipped meter readings (organic measurements follow
+    log10(1+1/d); flat or spiked digit shares flag tampering or sensor
+    saturation). The digit comes from the STRING head of the exact
+    integer-cents value, not floor(v/10^floor(log10 v)) - float log10
+    at decade boundaries differs across engines, string heads don't.
+    One partial-agg shuffle of 9 groups; the share denominator is a
+    window over the 9-row aggregate, not a second scan."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    agg = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+            "benford_expected"
+        ),
+    )
+
+
+@q(
     "q_dq_checks",
     """
     WITH m AS (
