@@ -1168,6 +1168,57 @@ def q_ts_stl_decompose(spark, sf_dir):
 
 
 @q(
+    "q_ts_acf",
+    """
+    WITH h AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr, {dsum} AS v
+      FROM events GROUP BY 1
+    ),
+    l AS (
+      SELECT v,
+             lag(v, 1) OVER (ORDER BY hr) AS v1,
+             lag(v, 2) OVER (ORDER BY hr) AS v2,
+             lag(v, 3) OVER (ORDER BY hr) AS v3,
+             lag(v, 24) OVER (ORDER BY hr) AS v24
+      FROM h
+    )
+    SELECT round(corr(v, v1), 6) AS acf_1, round(corr(v, v2), 6) AS acf_2,
+           round(corr(v, v3), 6) AS acf_3, round(corr(v, v24), 6) AS acf_24
+    FROM l
+    """.format(dsum=DSUM("value")),
+)
+def q_ts_acf(spark, sf_dir):
+    """Autocorrelation of the hourly load series at lags 1/2/3/24 - the
+    order-selection diagnostic before fitting any seasonal forecast
+    (a strong acf_24 is what justifies the seasonal-naive baseline).
+    The global-ORDER window runs on the HOURLY ROLLUP (8.8k rows/year
+    regardless of event count), so the single-partition sort is over a
+    bounded aggregate, never the fact table - the corpus-sized work is
+    the partial-aggregated rollup shuffle."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(epoch_us("ts").alias("__e"), "value")
+        .withColumn("hr", F.expr("__e DIV 3600000000"))  # exact integer div
+        .groupBy("hr")
+        .agg(sum_exact("value").alias("v"))
+    )
+    w = Window.orderBy("hr")
+    lagged = hourly.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+        F.lag("v", 24).over(w).alias("v24"),
+    )
+    return lagged.agg(
+        F.round(F.corr("v", "v1"), 6).alias("acf_1"),
+        F.round(F.corr("v", "v2"), 6).alias("acf_2"),
+        F.round(F.corr("v", "v3"), 6).alias("acf_3"),
+        F.round(F.corr("v", "v24"), 6).alias("acf_24"),
+    )
+
+
+@q(
     "q_dq_benford",
     """
     WITH d AS (
