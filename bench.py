@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     # the Arrow-batched second-moment pass.
     "q_sql_min_cost_supplier",
     "q_emb_covariance",
+    # round-4 continuation: exact-threshold similarity join + the
+    # hold-duration time-weighted rollup.
+    "q_dedup_ppjoin",
+    "q_ts_time_weighted_avg",
 ]
 
 

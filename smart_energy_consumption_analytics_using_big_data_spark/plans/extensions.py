@@ -3714,3 +3714,94 @@ def q_histogram_equidepth(spark, sf_dir):
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@q(
+    "q_agg_mode",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic per-group mode: each user's most frequent event
+    type, ties broken by lexical order (Spark's F.mode() picks an
+    arbitrary tie winner, which can't be oracled - count + row_number
+    is the portable exact form). Two partial-agg shuffles on shrinking
+    keys: (user, type) counts, then a user-partitioned window over the
+    already type-cardinality-bounded aggregate."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@q(
+    "q_agg_gini",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS i,
+             count(*) OVER () AS n, sum(cents) OVER () AS total
+      FROM u
+    )
+    SELECT round(CAST(2 * sum(i * cents) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * max(total))
+                 - (CAST(max(n) AS DOUBLE) + 1) / max(n), 6) AS gini,
+           max(n) AS n_users
+    FROM r
+    """,
+)
+def q_agg_gini(spark, sf_dir):
+    """Gini coefficient of per-user total consumption - the load-
+    inequality index grid operators track (how concentrated demand is
+    across households). Exact rank formula G = 2*sum(i*x_i)/(n*sum x)
+    - (n+1)/n over ascending-sorted totals; integer-cents totals and
+    an (value, user_id) rank tiebreak make the sort and the sum exact
+    and engine-portable. The global rank runs over the USER-level
+    aggregate (one row per user, not per event), so the single-
+    partition window is bounded by user cardinality. sum(i*cents)
+    accumulates in exact BIGINT on both engines (cast to DOUBLE only
+    at the final ratio); at extreme scale (1e8 users x 1e6-cent
+    totals approaches 2^63) switch the accumulator to DECIMAL(38,0)
+    before widening user counts."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w_ord = Window.orderBy("cents", "user_id")
+    w_all = Window.partitionBy()
+    r = u.select(
+        "cents",
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return r.agg(
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
+            / (F.max("n").cast("double") * F.max("total"))
+            - (F.max("n").cast("double") + 1) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n_users"),
+    )
