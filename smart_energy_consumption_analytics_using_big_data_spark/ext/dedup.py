@@ -183,10 +183,15 @@ def prefix_filtered_pairs(
     3. candidates = self-join of the PREFIX table only, with the
        pair-size filter ``min(n_a, n_b)*t_den >= t_num*max(n_a, n_b)``
        applied before dedup (J >= t forces |B| >= t*|A|);
-    4. verification joins candidates back to the FULL shingle sets
-       (linear in candidate-pairs x doc-size) and keeps
-       ``common*t_den >= t_num*(n_a + n_b - common)`` - again integer
-       math, so the boundary J == t is kept exactly.
+    4. verification joins each candidate pair to the two docs' shingle
+       ARRAYS (collect_list once per doc) and counts the overlap with
+       native ``array_intersect`` - one join row per candidate instead
+       of one per (candidate x shingle). Measured at 10x sf0.1 docs
+       (50k docs, 44M co-occurring pairs, 7.7M candidates): 9.5 s vs
+       31.8 s for the exploded re-join verification and 10.7 s for the
+       all-pairs baseline, identical pair sets (PERFORMANCE.md).
+       The threshold keep ``common*t_den >= t_num*(n_a+n_b-common)``
+       stays integer math, so the boundary J == t is kept exactly.
 
     Losslessness: J(A,B) >= t implies overlap >= ceil(t*max(|A|,|B|))
     >= each doc's own alpha, and the prefix lemma (any two sets with
@@ -225,24 +230,26 @@ def prefix_filtered_pairs(
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()
     )
-    sh_a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sets = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("shs"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
     common = (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("shs_a", "shs_b")))
     )
     return (
         common.filter(
             F.col("common") * F.lit(t_den)
             >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("common"))
         )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
         )
-        .select("doc_a", "doc_b", "jaccard")
     )
 
 
