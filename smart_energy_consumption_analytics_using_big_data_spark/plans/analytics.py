@@ -1586,6 +1586,118 @@ def q_event_transitions(spark, sf_dir):
 
 
 @q(
+    "q_event_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_event_paths(spark, sf_dir):
+    """Top-20 three-step event sequences (path 3-grams) per user
+    stream - the sequence-mining big brother of the first-order
+    transition matrix (q_event_transitions): which concrete journeys
+    actually happen, not just pairwise hops. Same single user-key
+    shuffle serves both lead() offsets; the rollup is bounded by
+    |types|^3 and the top-20 is a TakeOrdered, no global sort."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@q(
+    "q_rfm_segment",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CAST(ts AS DATE)) AS last_day,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    rec AS (
+      SELECT user_id,
+             CAST(max(last_day) OVER () - last_day AS INT) AS recency_days,
+             n_events, cents
+      FROM u
+    ),
+    s AS (
+      SELECT user_id, recency_days, n_events, cents,
+             ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r,
+             ntile(4) OVER (ORDER BY n_events DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY cents DESC, user_id) AS m
+      FROM rec
+    )
+    SELECT user_id, recency_days, n_events,
+           round(cents / 100.0, 6) AS monetary,
+           r, f, m, CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment
+    FROM s
+    """,
+)
+def q_rfm_segment(spark, sf_dir):
+    """RFM segmentation: every user scored 1-4 on Recency (days since
+    last event, vs the dataset's last day), Frequency, and Monetary
+    (integer-cents total), quartiles via ntile with a user_id tiebreak
+    so the cut is deterministic on both engines. The three global
+    ntile windows run over the USER-level aggregate (one row per
+    user), not the fact table; at extreme user counts swap ntile for
+    the mergeable-histogram quantile cut (q_approx_quantile_merge's
+    shape) to avoid the single-partition sort."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w_all = Window.partitionBy()
+    recency = F.datediff(F.max("last_day").over(w_all), F.col("last_day"))
+    s = u.select(
+        "user_id",
+        recency.cast("int").alias("recency_days"),
+        "n_events",
+        "cents",
+    ).select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "cents",
+        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("n_events"), F.asc("user_id"))).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m"),
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        F.round(F.col("cents") / 100.0, 6).alias("monetary"),
+        "r",
+        "f",
+        "m",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")).alias(
+            "segment"
+        ),
+    )
+
+
+@q(
     "q_approx_quantile_merge",
     """
     WITH binned AS (
