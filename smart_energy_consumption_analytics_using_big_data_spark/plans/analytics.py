@@ -1260,6 +1260,54 @@ def q_dq_benford(spark, sf_dir):
 
 
 @q(
+    "q_dq_orphans",
+    """
+    SELECT 'orders.o_custkey' AS fk, count(*) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem.l_orderkey', count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'customer.c_nationkey', count(*)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    """,
+)
+def q_dq_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts for the three FK
+    edges of the warehouse star (orders->customer, lineitem->orders,
+    customer->nation) in one pass. Each probe is a LEFT ANTI join
+    reduced to a count - broadcast for the dimension edges, shuffle
+    hash for the fact-fact edge - so the audit costs one scan per
+    table and moves only keys. The standard pre-load gate before
+    trusting any join-based metric downstream."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    lineitem = t(spark, sf_dir, "lineitem")
+    nation = t(spark, sf_dir, "nation")
+
+    def probe(label, fact, dim, fk, pk, bcast):
+        d = F.broadcast(dim) if bcast else dim
+        return (
+            fact.join(d, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        probe("orders.o_custkey", orders, customer, "o_custkey", "c_custkey", True)
+        .unionByName(
+            probe("lineitem.l_orderkey", lineitem, orders, "l_orderkey", "o_orderkey", False)
+        )
+        .unionByName(
+            probe("customer.c_nationkey", customer, nation, "c_nationkey", "n_nationkey", True)
+        )
+    )
+
+
+@q(
     "q_dq_checks",
     """
     WITH m AS (
