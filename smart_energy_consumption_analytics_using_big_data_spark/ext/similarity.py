@@ -563,3 +563,57 @@ def ivfpq_search(
         .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
     )
     return adc.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k_top)
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985): pick the
+    max-norm vector, then repeatedly the vector FARTHEST from every
+    center chosen so far - a 2-approximation of the optimal k-center
+    cover and the standard diversity-sampling pass for training-data
+    curation (coresets cover the embedding space instead of its dense
+    clusters, which uniform sampling oversamples).
+
+    Distributed shape: each of the k rounds is ONE corpus scan - the
+    chosen centers are literal arrays in the plan (k scalar-sized
+    collect()s, the same convergence-probe pattern as
+    connected_components), the running min-distance column is updated
+    with `least(...)`, and the argmax is a TakeOrdered(1), never a
+    global sort. Total work k scans x O(k) dot products per row;
+    k is a constant (coreset size), so the pass stays linear in the
+    corpus at any scale. Determinism: squared distances in double with
+    a vec_id tiebreak on every argmax.
+
+    Returns the k selected rows as (sel_rank, vec_id, radius) where
+    radius is the min squared distance to the previously selected
+    centers at selection time (the coverage radius sequence; rank 1
+    has radius 0 by convention).
+    """
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import dot
+
+    base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def d2(center_vals):
+        c = lit_vec(center_vals)
+        return dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), c) + dot(c, c)
+
+    first = base.orderBy(
+        F.desc(dot(F.col("v"), F.col("v"))), F.asc("vec_id")
+    ).limit(1).collect()[0]
+    selected = [(1, int(first["vec_id"]), 0.0)]
+    cur = base.withColumn("md", d2(first["v"]))
+    for rank in range(2, k + 1):
+        nxt = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((rank, int(nxt["vec_id"]), round(float(nxt["md"]), 6)))
+        if rank < k:
+            cur = cur.withColumn("md", F.least(F.col("md"), d2(nxt["v"])))
+    return embeddings.sparkSession.createDataFrame(
+        selected, "sel_rank int, vec_id bigint, radius double"
+    )

@@ -3805,3 +3805,52 @@ def q_agg_gini(spark, sf_dir):
         ).alias("gini"),
         F.max("n").alias("n_users"),
     )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Chained-CTE transcription of the greedy k-center loop: c{r} =
+    argmax of the running min-distance m{r-1}, m{r} = least-update.
+    Generated, not hand-written, so the oracle's round count always
+    matches the operator's k."""
+
+    def dot(a: str, b: str) -> str:
+        return _DOT.format(a=a, b=b)
+
+    def d2(e: str, c: str) -> str:
+        return (
+            f"({dot(e + '.embedding', e + '.embedding')}"
+            f" - 2*{dot(e + '.embedding', c + '.embedding')}"
+            f" + {dot(c + '.embedding', c + '.embedding')})"
+        )
+
+    ctes = [
+        "c1 AS (SELECT vec_id, embedding FROM embeddings e "
+        f"ORDER BY {dot('e.embedding', 'e.embedding')} DESC, vec_id LIMIT 1)",
+        f"m1 AS (SELECT e.vec_id, e.embedding, {d2('e', 'c')} AS md "
+        "FROM embeddings e CROSS JOIN c1 c)",
+    ]
+    sels = ["SELECT 1 AS sel_rank, vec_id, 0.0 AS radius FROM c1"]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT vec_id, embedding, md FROM m{r - 1} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        sels.append(f"SELECT {r} AS sel_rank, vec_id, round(md, 6) AS radius FROM c{r}")
+        if r < k:
+            ctes.append(
+                f"m{r} AS (SELECT m.vec_id, m.embedding, least(m.md, {d2('m', 'c')}) AS md "
+                f"FROM m{r - 1} m CROSS JOIN c{r} c)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+@q("q_sample_kcenter", _kcenter_oracle(6))
+def q_sample_kcenter(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985) over the
+    embedding corpus: 6 maximally-spread vectors plus the coverage-
+    radius sequence - diversity sampling for training-data curation
+    (uniform sampling oversamples dense clusters; the coreset covers
+    the space, 2-approximation guarantee). k corpus scans, centers as
+    broadcast literals, argmax via TakeOrdered(1) - see
+    ext/similarity.kcenter_select for the scale analysis."""
+    return S.kcenter_select(t(spark, sf_dir, "embeddings"), k=6)

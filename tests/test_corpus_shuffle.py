@@ -27,3 +27,22 @@ def test_slots_are_dense_per_shard(spark):
     assert set(by_shard) <= set(range(4))
     for shard, positions in by_shard.items():
         assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_kcenter_radius_sequence_and_determinism(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sorted(
+        ((r.sel_rank, r.vec_id, r.radius) for r in kcenter_select(emb, k=5).collect())
+    )
+    assert [r for r, _, _ in out] == [1, 2, 3, 4, 5]
+    assert len({v for _, v, _ in out}) == 5, "centers must be distinct"
+    radii = [rad for _, _, rad in out][1:]  # rank-1 radius is 0 by convention
+    assert all(a >= b for a, b in zip(radii, radii[1:])), (
+        "greedy coverage radius must be non-increasing: " + str(radii)
+    )
+    out2 = sorted(
+        ((r.sel_rank, r.vec_id, r.radius) for r in kcenter_select(emb, k=5).collect())
+    )
+    assert out == out2
