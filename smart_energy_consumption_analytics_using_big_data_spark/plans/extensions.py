@@ -3854,3 +3854,79 @@ def q_sample_kcenter(spark, sf_dir):
     broadcast literals, argmax via TakeOrdered(1) - see
     ext/similarity.kcenter_select for the scale analysis."""
     return S.kcenter_select(t(spark, sf_dir, "embeddings"), k=6)
+
+
+@q(
+    "q_ts_theilsen",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             cents FROM d
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.cents - a.cents) / (100.0 * (b.i - a.i)) AS s
+      FROM x a JOIN x b ON a.event_type = b.event_type AND b.i > a.i
+    ),
+    cum AS (
+      SELECT event_type, s,
+             row_number() OVER (PARTITION BY event_type ORDER BY s) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           round(avg(CASE WHEN rk IN ((n + 1) // 2, (n + 2) // 2) THEN s END), 6)
+             AS theilsen_slope,
+           max(n) AS n_pairs
+    FROM cum GROUP BY event_type
+    """,
+)
+def q_ts_theilsen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-to-day slopes - breakdown point 29%, unmoved by the
+    outlier days that drag OLS regr_slope (the robust companion to
+    q_zipf_slope's regr_* family). The pairwise join runs on the DAILY
+    ROLLUP (days^2/2 pairs per type, bounded by the calendar, never
+    events^2), integer-cents daily totals keep every slope exactly
+    (b-a)/(100*di), and the median is the explicit rank-crossing form
+    (avg of the two middle order statistics) because engine-native
+    median() interpolation is not bit-identical across engines."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    x = d.withColumn(
+        "i", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    ).select("event_type", "i", "cents")
+    a, b = x.alias("a"), x.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("b.i") > F.col("a.i")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            / (F.lit(100.0) * (F.col("b.i") - F.col("a.i")))
+        ).alias("s"),
+    )
+    cum = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("s")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    is_mid = (F.col("rk") == F.expr("(n + 1) DIV 2")) | (
+        F.col("rk") == F.expr("(n + 2) DIV 2")
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.when(is_mid, F.col("s"))), 6).alias("theilsen_slope"),
+            F.max("n").alias("n_pairs"),
+        )
+    )
