@@ -3930,3 +3930,53 @@ def q_ts_theilsen(spark, sf_dir):
             F.max("n").alias("n_pairs"),
         )
     )
+
+
+@q(
+    "q_dp_counts",
+    """
+    WITH c AS (
+      SELECT event_type, count(*) AS true_n FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, true_n,
+             (CAST(CAST(concat('0x', substr(md5(event_type || ':dp2024'), 1, 8))
+                   AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 - 0.5 AS uni
+      FROM c
+    )
+    SELECT event_type,
+           round(true_n + (-2.0) * sign(uni) * ln(1.0 - 2.0 * abs(uni)), 6)
+             AS dp_count,
+           round((-2.0) * sign(uni) * ln(1.0 - 2.0 * abs(uni)), 6) AS noise
+    FROM u
+    """,
+)
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1, epsilon = 0.5 -> scale b = 2): noise drawn by
+    INVERSE-CDF from a seeded md5 uniform, so the release is exactly
+    reproducible - the property a privacy audit trail needs (re-running
+    the release must not spend fresh privacy budget or change published
+    numbers). u in (-1/2, 1/2) from the hash's 32-bit head (+0.5
+    half-open shift keeps ln's argument strictly positive), noise =
+    -b*sign(u)*ln(1-2|u|). All double math is IEEE-identical across
+    engines; the rollup is a 5-row aggregate, the mechanism a pure
+    projection over it."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("true_n"))
+    uni = (
+        (
+            F.conv(F.substring(F.md5(F.concat("event_type", F.lit(":dp2024"))), 1, 8), 16, 10)
+            .cast("long")
+            .cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    noise = F.lit(-2.0) * F.signum(uni) * F.log(F.lit(1.0) - 2.0 * F.abs(uni))
+    return c.select(
+        "event_type",
+        F.round(F.col("true_n") + noise, 6).alias("dp_count"),
+        F.round(noise, 6).alias("noise"),
+    )
