@@ -52,3 +52,26 @@ def test_matches_all_pairs_join_on_corpus(spark):
         want = _pairs(jaccard_pairs(sh).filter(F.col("jaccard") >= 0.6))
         assert got == want, (max_df, len(got), len(want))
         assert got, "corpus has >=0.6 near-dups by construction"
+
+
+def test_prefix_filter_equals_all_pairs_on_random_corpora(spark):
+    """Property check: on randomized small corpora from a tiny token
+    alphabet (forcing heavy shingle collisions and boundary jaccards),
+    the prefix-filtered join equals the all-pairs threshold join."""
+    from hypothesis import given, settings, strategies as st
+
+    tokens = "a b c d e".split()
+    doc = st.lists(st.sampled_from(tokens), min_size=3, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=8))
+    def run(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        sh = shingle_table(docs, max_df=None)
+        got = _pairs(prefix_filtered_pairs(sh, t_num=3, t_den=5))
+        want = _pairs(jaccard_pairs(sh).filter(F.col("jaccard") >= 0.6))
+        assert got == want, (texts, got, want)
+
+    run()
