@@ -296,3 +296,36 @@ def q_stream_score_counts(spark, sf_dir):
 
     scored = stream_model_scoring(spark, f"{sf_dir}/events.parquet")
     return scored.select("event_type", "n")
+
+
+@q(
+    "q_stream_counter_delta",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(CASE WHEN prev IS NULL THEN 0
+                          WHEN cents >= prev THEN cents - prev
+                          ELSE cents END) / 100.0, 6) AS consumed,
+           count(CASE WHEN prev IS NOT NULL AND cents < prev THEN 1 END) AS n_resets
+    FROM d GROUP BY user_id
+    """,
+)
+def q_stream_counter_delta(spark, sf_dir):
+    """Streaming counter-to-consumption (q_ts_counter_delta's stateful
+    streaming sibling): per-user meter state (last reading, running
+    consumption, reset count) maintained in the state store across
+    micro-batches via applyInPandasWithState - keyed state, no driver
+    involvement, the shape built-in windows can't express. Fully
+    SQL-oracled because the whole-stream fold equals the batch lag
+    rollup when replay order is monotone (the test corpus replays as
+    one landing file)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful import (
+        stream_counter_delta,
+    )
+
+    return stream_counter_delta(spark, f"{sf_dir}/events.parquet")

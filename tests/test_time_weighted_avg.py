@@ -63,3 +63,25 @@ def test_counter_delta_reset_semantics(spark, tmp_path):
     r = out[0]
     # 15 (10->25) + 3 (post-reset absolute) + 5 (3->8); first row contributes 0
     assert (r.consumed, r.n_resets) == (23.0, 1)
+
+
+def test_stream_counter_delta_matches_batch_fold(spark, tmp_path):
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful import (
+        stream_counter_delta,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, base, 5, "meter", 10.0),
+        (2, base + dt.timedelta(hours=1), 5, "meter", 25.0),
+        (3, base + dt.timedelta(hours=2), 5, "meter", 3.0),
+        (4, base + dt.timedelta(hours=3), 5, "meter", 8.0),
+        (5, base, 9, "meter", 4.0),
+        (6, base + dt.timedelta(hours=1), 9, "meter", 6.5),
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.user_id: (r.consumed, r.n_resets)
+        for r in stream_counter_delta(spark, str(tmp_path / "events.parquet")).collect()
+    }
+    assert out == {5: (23.0, 1), 9: (2.5, 0)}
