@@ -50,6 +50,10 @@ PROBE = [
     "q_dedup_winnow_arrow",
     "q_join_asof_nearest",
     "q_emb_covariance",
+    # round-4 continuation additions
+    "q_ts_time_weighted_avg",
+    "q_rfm_segment",
+    "q_dedup_ppjoin",
 ]
 
 

@@ -3980,3 +3980,43 @@ def q_dp_counts(spark, sf_dir):
         F.round(F.col("true_n") + noise, 6).alias("dp_count"),
         F.round(noise, 6).alias("noise"),
     )
+
+
+@q(
+    "q_dq_kanonymity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+             CAST(floor(value / 10.0) AS INT) AS vband, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_groups,
+           min(n) AS k_anonymity,
+           count(CASE WHEN n < 5 THEN 1 END) AS n_risky_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows
+    FROM g
+    """,
+)
+def q_dq_kanonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier tuple (event type,
+    hour-of-day, value band): the dataset's k is the SMALLEST
+    equivalence-class size - any release is only as anonymous as its
+    rarest combination - plus how many classes (and rows) fall under
+    the k=5 re-identification threshold. Two shrinking partial-agg
+    passes (fact -> QI classes -> one summary row); the QI rollup is
+    bounded by |types| x 24 x |bands|, so the audit costs one scan at
+    any event count. Pairs with q_text_piiscrub: scrub handles direct
+    identifiers, this measures indirect linkability."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") / 10.0).cast("int").alias("vband"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < 5, F.col("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("k_anonymity"),
+        F.count(risky).alias("n_risky_groups"),
+        F.coalesce(F.sum(risky), F.lit(0)).cast("bigint").alias("n_risky_rows"),
+    )
