@@ -4020,3 +4020,112 @@ def q_dq_kanonymity(spark, sf_dir):
         F.count(risky).alias("n_risky_groups"),
         F.coalesce(F.sum(risky), F.lit(0)).cast("bigint").alias("n_risky_rows"),
     )
+
+
+@q(
+    "q_text_search",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join') GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('hash', 'join') GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    hits AS (
+      SELECT tf.doc_id,
+             sum(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) AS score,
+             count(*) AS n_terms
+      FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM hits WHERE n_terms = 2
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_text_search(spark, sf_dir):
+    """Boolean keyword retrieval (hash AND join) ranked by summed
+    TF-IDF - the inverted-index search primitive. The query-term
+    IN-filter prunes the exploded token stream BEFORE any aggregation
+    (the per-query work is proportional to the postings of the queried
+    terms, not the corpus vocabulary - exactly how an inverted index
+    scales), the AND is a HAVING on matched-term count, and the top-10
+    is TakeOrdered. df for the two terms is a 2-row broadcast."""
+    docs = t(spark, sf_dir, "documents")
+    terms = ("hash", "join")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).alias(
+                "score"
+            ),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return (
+        hits.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "q_text_phrase_search",
+    """
+    WITH tok AS (
+      SELECT doc_id, u.pos AS p, u.val AS term
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks)),
+                      i -> {'pos': i, 'val': toks[i]})) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    seq AS (
+      SELECT doc_id, term,
+             lead(term) OVER (PARTITION BY doc_id ORDER BY p) AS nxt
+      FROM tok
+    )
+    SELECT doc_id, count(*) AS n_occurrences
+    FROM seq WHERE term = 'hash' AND nxt = 'join'
+    GROUP BY doc_id ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_phrase_search(spark, sf_dir):
+    """Positional phrase search ("hash join" as ADJACENT tokens - what
+    boolean AND cannot express): posexplode keeps token positions, a
+    doc-partitioned lead() checks adjacency, and the per-doc occurrence
+    count ranks. One shuffle on doc_id (window + rollup share it);
+    window partitions are doc-sized, so the pass is embarrassingly
+    parallel across documents at any corpus size. The full positional
+    path is the honest exact baseline; a production index would
+    pre-materialize (term, doc, positions) once and prune to the
+    phrase terms' postings before the adjacency check."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens_ws(F.col("text"))).alias("p", "term")
+    )
+    seq = tok.select(
+        "doc_id",
+        "term",
+        F.lead("term").over(Window.partitionBy("doc_id").orderBy("p")).alias("nxt"),
+    )
+    return (
+        seq.filter((F.col("term") == "hash") & (F.col("nxt") == "join"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+        .limit(20)
+    )
