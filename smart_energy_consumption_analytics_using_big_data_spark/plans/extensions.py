@@ -4129,3 +4129,133 @@ def q_text_phrase_search(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@q(
+    "q_text_bm25",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(len) AS avglen FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join') GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok
+      WHERE term IN ('hash', 'join') GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / stats.avglen))) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 for the query {hash, join} (k1=1.2, b=0.75) -
+    the saturating, length-normalized upgrade over raw TF-IDF and the
+    standard lexical-retrieval baseline. Postings-pruned like
+    q_text_search (the IN-filter cuts the token stream to the queried
+    terms before aggregation); doc lengths come from one token-count
+    rollup shared across all queries of the session in a real index;
+    df and the corpus stats are broadcast scalars. ln/division in
+    doubles is IEEE-identical across engines; round(,6) output."""
+    docs = t(spark, sf_dir, "documents")
+    terms = ("hash", "join")
+    tok = docs.select("doc_id", F.explode(TX.tokens_ws(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("len").alias("avglen"))
+    qtok = tok.filter(F.col("term").isin(*terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_sat = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("len") / F.col("avglen"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_sat).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "q_ts_coincidence",
+    """
+    WITH hourly AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    sys AS (
+      SELECT max(total) AS system_peak FROM (
+        SELECT hr, sum(cents) AS total FROM hourly GROUP BY hr
+      )
+    ),
+    per_user AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_user_peaks
+      FROM (SELECT user_id, max(cents) AS mx FROM hourly GROUP BY user_id)
+    )
+    SELECT round(system_peak / 100.0, 6) AS system_peak,
+           round(sum_user_peaks / 100.0, 6) AS sum_user_peaks,
+           round(CAST(system_peak AS DOUBLE) / sum_user_peaks, 6)
+             AS coincidence_factor
+    FROM sys CROSS JOIN per_user
+    """,
+)
+def q_ts_coincidence(spark, sf_dir):
+    """Coincidence factor - the grid-planning ratio of the SYSTEM's
+    peak hour to the sum of every user's INDIVIDUAL peak (diversity of
+    demand: 1.0 means all households peak together, low values mean
+    staggered load the feeder can absorb). One hourly (user, hr)
+    rollup feeds both reductions - the system series re-aggregates it
+    by hour, the per-user peaks by user - then two scalar broadcasts
+    meet in a 1-row cross join. Integer-cents sums keep both peaks
+    exact at any event count."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            epoch_us("ts").alias("__e"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("user_id", "hr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    sys_peak = (
+        hourly.groupBy("hr")
+        .agg(F.sum("cents").alias("total"))
+        .agg(F.max("total").alias("system_peak"))
+    )
+    user_peaks = (
+        hourly.groupBy("user_id")
+        .agg(F.max("cents").alias("mx"))
+        .agg(F.sum("mx").alias("sum_user_peaks"))
+    )
+    return (
+        sys_peak.crossJoin(F.broadcast(user_peaks)).select(
+            F.round(F.col("system_peak") / 100.0, 6).alias("system_peak"),
+            F.round(F.col("sum_user_peaks") / 100.0, 6).alias("sum_user_peaks"),
+            F.round(
+                F.col("system_peak").cast("double") / F.col("sum_user_peaks"), 6
+            ).alias("coincidence_factor"),
+        )
+    )
