@@ -4259,3 +4259,190 @@ def q_ts_coincidence(spark, sf_dir):
             ).alias("coincidence_factor"),
         )
     )
+
+
+@q(
+    "q_text_pmi",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ),
+    uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+    tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_uni FROM uc),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT gram, count(*) AS n_g FROM bi GROUP BY gram),
+    btot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_bi FROM bc)
+    SELECT gram, n_g,
+           round(ln((CAST(n_g AS DOUBLE) / n_bi) /
+                    ((CAST(a.n_w AS DOUBLE) / n_uni) *
+                     (CAST(b.n_w AS DOUBLE) / n_uni))), 6) AS pmi
+    FROM bc
+    JOIN uc a ON a.w = string_split(gram, ' ')[1]
+    JOIN uc b ON b.w = string_split(gram, ' ')[2]
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE n_g >= 25
+    ORDER BY pmi DESC, gram LIMIT 20
+    """,
+)
+def q_text_pmi(spark, sf_dir):
+    """Collocation mining (Church & Hanks): top-20 adjacent bigrams by
+    pointwise mutual information ln(p(xy)/(p(x)p(y))) with a min-count
+    floor (PMI without one surfaces hapax noise). Unigram and bigram
+    counts come from the same tokenized scan; the per-bigram component
+    probabilities join against the unigram table (vocabulary-sized,
+    shuffle on the word key); totals are 1-row broadcasts; TakeOrdered
+    top-20. The statistical phrase-detection pass corpus pipelines run
+    before vocabulary building."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(TX.tokens_ws(F.col("text")).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = uc.agg(F.sum("n_w").cast("bigint").alias("n_uni"))
+    bi = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + F.lit(1))
+                ),
+            )
+        ).alias("gram")
+    )
+    bc = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("n_g")).filter(F.col("n_g") >= 25)
+    btot = bi.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    w1 = F.split(F.col("gram"), " ").getItem(0)
+    w2 = F.split(F.col("gram"), " ").getItem(1)
+    a = uc.select(F.col("w").alias("__w1"), F.col("n_w").alias("n_w1"))
+    b = uc.select(F.col("w").alias("__w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bc.withColumn("__w1", w1)
+        .withColumn("__w2", w2)
+        .join(a, "__w1")
+        .join(b, "__w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "gram",
+            "n_g",
+            F.round(
+                F.log(
+                    (F.col("n_g").cast("double") / F.col("n_bi"))
+                    / (
+                        (F.col("n_w1").cast("double") / F.col("n_uni"))
+                        * (F.col("n_w2").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("gram")).limit(20)
+
+
+@q(
+    "q_ts_kaplan_meier",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, e,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    ),
+    gmax AS (SELECT max(e) AS last_e FROM sid),
+    sess AS (
+      SELECT user_id, session_id,
+             CAST((max(e) - min(e)) // 60000000 AS INT) AS t,
+             CASE WHEN max(e) > (SELECT last_e FROM gmax) - 3600000000
+                  THEN 0 ELSE 1 END AS completed
+      FROM sid GROUP BY 1, 2
+    ),
+    ev_t AS (SELECT t, CAST(sum(completed) AS BIGINT) AS d, count(*) AS c
+             FROM sess GROUP BY t),
+    r AS (
+      SELECT t, d, sum(c) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS n
+      FROM ev_t
+    ),
+    km AS (
+      SELECT t, d, n,
+             exp(sum(CASE WHEN d < n THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                          ELSE 0.0 END)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                       CURRENT ROW)) AS s
+      FROM r
+    )
+    SELECT t AS duration_min, d AS n_completed, n AS n_at_risk,
+           round(s, 6) AS survival
+    FROM km WHERE d > 0 AND d < n
+    """,
+)
+def q_ts_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival curve of SESSION duration (minutes),
+    right-censored for sessions still open in the stream's final hour:
+    S(t) = prod over event times <= t of (1 - d_t/n_t), the product
+    folded as exp of a running ln-sum so both engines accumulate in
+    the same order. Sessionization reuses the 30-min-gap idiom
+    (q_sessionize); the risk set n_t is a descending-t cumulative
+    count. Every KM window runs over the DURATION histogram (bounded
+    by distinct minute values), never the fact - the fact-sized work
+    is the one user-keyed session rollup. The standard churn/engagement
+    survival analysis, fully declarative and censoring-aware."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("e"),
+        F.when(
+            epoch_us("ts") - F.lag(epoch_us("ts")).over(w) > 1_800_000_000, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    run = Window.partitionBy("user_id").orderBy("e", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = g.select("user_id", "e", F.sum("new_session").over(run).alias("session_id"))
+    gmax = sid.agg(F.max("e").alias("last_e"))
+    sess = (
+        sid.groupBy("user_id", "session_id")
+        .agg(F.max("e").alias("mx"), F.min("e").alias("mn"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(mx - mn) DIV 60000000").cast("int").alias("t"),
+            F.when(F.col("mx") > F.col("last_e") - 3_600_000_000, 0)
+            .otherwise(1)
+            .alias("completed"),
+        )
+    )
+    ev_t = sess.groupBy("t").agg(
+        F.sum("completed").cast("bigint").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    r = ev_t.select("t", "d", F.sum("c").over(w_desc).alias("n"))
+    w_asc = Window.orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    ln_term = F.when(
+        F.col("d") < F.col("n"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n")),
+    ).otherwise(F.lit(0.0))
+    km = r.select("t", "d", "n", F.exp(F.sum(ln_term).over(w_asc)).alias("s"))
+    return km.filter((F.col("d") > 0) & (F.col("d") < F.col("n"))).select(
+        F.col("t").alias("duration_min"),
+        F.col("d").alias("n_completed"),
+        F.col("n").alias("n_at_risk"),
+        F.round("s", 6).alias("survival"),
+    )
