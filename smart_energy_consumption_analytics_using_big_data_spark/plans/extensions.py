@@ -4530,3 +4530,149 @@ def q_drift_wasserstein(spark, sf_dir):
             ).alias("w1_distance")
         )
     )
+
+
+@q(
+    "q_rollup_share",
+    """
+    WITH rev AS (
+      SELECT n.n_regionkey AS rk, c.c_nationkey AS nk,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT rk AS region_key, nk AS nation_key, round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (PARTITION BY rk), 6) AS share_of_region,
+           round(sum(rev) OVER (PARTITION BY rk) / sum(rev) OVER (), 6)
+             AS region_share_of_total
+    FROM rev
+    """,
+)
+def q_rollup_share(spark, sf_dir):
+    """Share-of-parent hierarchy rollup (nation within region, region
+    within total) - the ratio-to-parent OLAP read every drill-down
+    report needs, as two window sums over the already-aggregated
+    (region, nation) table (bounded by the geography, never the fact).
+    Revenue accumulates in DECIMAL so the fact-side sum is exact; the
+    shares divide after aggregation. Dimensions broadcast into the
+    fact join; one fact shuffle total."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_regionkey").alias("rk"), F.col("c_nationkey").alias("nk")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w_region = Window.partitionBy("rk")
+    w_all = Window.partitionBy()
+    return rev.select(
+        F.col("rk").alias("region_key"),
+        F.col("nk").alias("nation_key"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w_region), 6).alias("share_of_region"),
+        F.round(F.sum("rev").over(w_region) / F.sum("rev").over(w_all), 6).alias(
+            "region_share_of_total"
+        ),
+    )
+
+
+@q(
+    "q_ab_test",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR) || ':ab1'), 1, 8))
+                  AS BIGINT) % 2 AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT a.arm, a.user_id,
+             max(CASE WHEN e.event_type = 'purchase' AND e.value >= 150 THEN 1 ELSE 0 END) AS converted
+      FROM assign a JOIN events e ON e.user_id = a.user_id
+      GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS x,
+             sum(converted) / CAST(count(*) AS DOUBLE) AS p
+      FROM conv GROUP BY arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN x END) AS x0,
+             max(CASE WHEN arm = 0 THEN p END) AS p0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN x END) AS x1,
+             max(CASE WHEN arm = 1 THEN p END) AS p1
+      FROM arms
+    )
+    SELECT n0, x0, round(p0, 6) AS p0, n1, x1, round(p1, 6) AS p1,
+           round((p1 - p0) /
+                 sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) *
+                      (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) *
+                      (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """Two-proportion z-test on a DETERMINISTIC hash-assigned A/B
+    split (md5(user_id, salt) % 2 - reproducible arms, the same idiom
+    as q_split_assign): per-arm conversion (a purchase of
+    >= 150 - the threshold keeps the rate off the 0/1 saturation a
+    pooled SE cannot divide through), pooled standard error, z statistic. The inference runs over a 2-row arm
+    table pivoted to one row; the fact-sized work is one user-grain
+    conversion rollup. The analysis half of an experimentation
+    platform, declarative end-to-end."""
+    ev = t(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab1"))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    conv = (
+        ev.select(
+            "user_id",
+            ((F.col("event_type") == "purchase") & (F.col("value") >= 150))
+            .cast("int")
+            .alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("c").alias("converted"))
+        .select(arm.alias("arm"), "converted")
+    )
+    arms = conv.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("x"),
+        (F.sum("converted") / F.count(F.lit(1)).cast("double")).alias("p"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 0, F.col("p"))).alias("p0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("arm") == 1, F.col("p"))).alias("p1"),
+    )
+    pooled = (F.col("x0") + F.col("x1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0",
+        "x0",
+        F.round("p0", 6).alias("p0"),
+        "n1",
+        "x1",
+        F.round("p1", 6).alias("p1"),
+        F.round((F.col("p1") - F.col("p0")) / se, 6).alias("z_stat"),
+    )
