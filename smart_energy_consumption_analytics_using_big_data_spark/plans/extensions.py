@@ -4676,3 +4676,86 @@ def q_ab_test(spark, sf_dir):
         F.round("p1", 6).alias("p1"),
         F.round((F.col("p1") - F.col("p0")) / se, 6).alias("z_stat"),
     )
+
+
+@q(
+    "q_ts_periodogram",
+    """
+    WITH h AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT cents, row_number() OVER (ORDER BY hr) - 1 AS t,
+             avg(cents) OVER () AS mu, count(*) OVER () AS n
+      FROM h
+    ),
+    p AS (SELECT unnest([6, 12, 24, 168]) AS period),
+    terms AS (
+      SELECT p.period,
+             (idx.cents - idx.mu) *
+               cos(2 * pi() * (idx.t % p.period) / p.period) AS re_t,
+             (idx.cents - idx.mu) *
+               sin(2 * pi() * (idx.t % p.period) / p.period) AS im_t,
+             idx.n
+      FROM idx CROSS JOIN p
+    )
+    SELECT period,
+           round(sqrt(sum(re_t) * sum(re_t) + sum(im_t) * sum(im_t))
+                 / (100.0 * max(n)), 6) AS amplitude
+    FROM terms GROUP BY period
+    """,
+)
+def q_ts_periodogram(spark, sf_dir):
+    """Periodicity scan of the hourly load series: projection of the
+    mean-centered series onto sinusoids of candidate periods (6h, 12h,
+    24h, weekly) - amplitude peaks reveal which seasonality the
+    forecast models should encode (the quantitative justification for
+    q_ts_seasonal_naive's daily lag). Engine-portable trig: the phase
+    is 2*pi*((t mod p)/p) with INTEGER mod, so cos/sin arguments stay
+    in [0, 2*pi) and both engines' libm agree at 6 dp - naive 2*pi*k*t
+    arguments in the hundreds of radians would hit argument-reduction
+    divergence. Everything runs over the bounded hourly rollup; the
+    4-period fan-out is a literal cross join."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    h = (
+        ev.select(epoch_us("ts").alias("__e"), "value")
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("hr")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w_all = Window.partitionBy()
+    idx = h.select(
+        "cents",
+        (F.row_number().over(Window.orderBy("hr")) - 1).alias("t"),
+        F.avg("cents").over(w_all).alias("mu"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    periods = spark.range(1).select(
+        F.explode(F.array(F.lit(6), F.lit(12), F.lit(24), F.lit(168))).alias("period")
+    )
+    angle = (
+        F.lit(2.0)
+        * F.lit(3.141592653589793)
+        * (F.col("t") % F.col("period"))
+        / F.col("period")
+    )
+    centered = F.col("cents") - F.col("mu")
+    terms = idx.crossJoin(F.broadcast(periods)).select(
+        "period",
+        (centered * F.cos(angle)).alias("re_t"),
+        (centered * F.sin(angle)).alias("im_t"),
+        "n",
+    )
+    return terms.groupBy("period").agg(
+        F.round(
+            F.sqrt(
+                F.sum("re_t") * F.sum("re_t") + F.sum("im_t") * F.sum("im_t")
+            )
+            / (F.lit(100.0) * F.max("n")),
+            6,
+        ).alias("amplitude")
+    )
