@@ -56,6 +56,12 @@ ALLOWED_BNLJ = {
     "q_emb_ivfpq_search": "coarse-quantizer assignment + query probe: centroid set and 1-row query broadcast, corpus scanned once per stage",
     "q_text_bpe_merges": "per merge round, the LIMIT-1 winning pair cross-joins back as a 1-row broadcast",
     "q_approx_overlap_kmv": "C(n_types,2)-row pair table broadcast; the OR-of-equalities membership join is bounded by the dimension-sized pair side",
+    "q_text_search": "1-row corpus doc count cross-joined as a broadcast (postings join is an equi-join)",
+    "q_text_pmi": "1-row unigram/bigram totals cross-joined as broadcasts (component joins are word-key equi-joins)",
+    "q_ts_coincidence": "two 1-row scalar reductions (system peak, summed user peaks) meet in a 1-row cross join",
+    "q_ts_kaplan_meier": "1-row global max timestamp broadcast for censoring; all other joins keyed",
+    "q_drift_wasserstein": "1-row epoch bounds + 1-row totals cross-joined as broadcasts over the support-bounded step table",
+    "q_ts_periodogram": "4-row literal period table broadcast against the bounded hourly rollup",
 }
 
 
