@@ -1156,3 +1156,61 @@ def q_sql_group_by_all(spark, sf_dir):
         FROM events GROUP BY ALL
         """
     )
+
+
+@q(
+    "q_sql_udf",
+    """
+    SELECT event_type,
+           round(avg(CASE WHEN value <= 0 THEN 0.0
+                          WHEN value >= 100 THEN 100.0 ELSE value END), 6)
+             AS avg_clamped,
+           round(avg(ln(1.0 + greatest(value, 0.0))), 6) AS avg_log1p
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """Declarative SQL UDFs (Spark 4 CREATE TEMPORARY FUNCTION ...
+    RETURN expr): `clamp100` and `log1p_pos` are defined IN SQL, so
+    Catalyst inlines their bodies into the calling plan - whole-stage
+    codegen, predicate pushdown and constant folding all still apply,
+    unlike Python UDFs which are execution black boxes. The oracle
+    inlines the same expressions (DuckDB macros can't ride along in a
+    single-statement oracle); semantically identical by construction."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clamp100(x DOUBLE) RETURNS DOUBLE "
+        "RETURN CASE WHEN x <= 0 THEN 0.0 WHEN x >= 100 THEN 100.0 ELSE x END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION log1p_pos(x DOUBLE) RETURNS DOUBLE "
+        "RETURN ln(1.0 + greatest(x, 0.0))"
+    )
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(avg(clamp100(value)), 6) AS avg_clamped,
+               round(avg(log1p_pos(value)), 6) AS avg_log1p
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+@q(
+    "q_sql_identifier",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def q_sql_identifier(spark, sf_dir):
+    """IDENTIFIER clause (Spark 4): the table and column names bind as
+    PARAMETERS (`IDENTIFIER(:tbl)`), closing the SQL-injection hole
+    that string-interpolated object names open in templated pipelines
+    - names stay names, they can never smuggle expressions. The plan
+    is identical to the literal form once bound."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT IDENTIFIER(:col), count(*) AS n FROM IDENTIFIER(:tbl) "
+        "GROUP BY IDENTIFIER(:col)",
+        args={"tbl": "events", "col": "event_type"},
+    )
