@@ -286,6 +286,24 @@ def cmd_embaudit(args) -> None:
     )
 
 
+def cmd_curate(args) -> None:
+    """Embedding-corpus curation: integrity filter -> semantic dedup ->
+    k-center coreset -> deterministic shard/order export + summary."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.curate import curate_embeddings
+
+    spark = _spark(args)
+    summary = curate_embeddings(
+        spark,
+        args.embeddings,
+        args.out,
+        dedup_threshold=args.threshold,
+        coreset_k=args.k,
+        shards=args.shards,
+        seed=args.seed,
+    )
+    print(json.dumps(summary))
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="smart-energy-engine")
     parser.add_argument("--master", default=None, help="Spark master (default: local[*])")
@@ -301,6 +319,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
+    p = sub.add_parser("curate"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--threshold", type=float, default=0.4); p.add_argument("--k", type=int, default=6); p.add_argument("--shards", type=int, default=8); p.add_argument("--seed", type=int, default=42); p.set_defaults(fn=cmd_curate)
     p = sub.add_parser("all")
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
     p.add_argument("--out", required=True)

@@ -46,3 +46,32 @@ def test_kcenter_radius_sequence_and_determinism(spark):
         ((r.sel_rank, r.vec_id, r.radius) for r in kcenter_select(emb, k=5).collect())
     )
     assert out == out2
+
+
+def test_curate_cli_chain(spark, tmp_path):
+    """End-to-end curation chain on sf0.001 embeddings: monotone stage
+    counts, complete artifacts, dense training slots, determinism."""
+    import json
+
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.curate import (
+        curate_embeddings,
+    )
+
+    out = tmp_path / "curated"
+    s = curate_embeddings(
+        spark, "/root/testdata/sf0.001", str(out), coreset_k=4, shards=4
+    )
+    assert s["n_raw"] >= s["n_after_integrity"] >= s["n_after_semantic_dedup"] > 0
+    curated = spark.read.parquet(str(out / "curated.parquet"))
+    assert curated.count() == s["n_after_semantic_dedup"]
+    assert {"vec_id", "embedding", "shard", "pos"} <= set(curated.columns)
+    coreset = spark.read.parquet(str(out / "coreset.parquet"))
+    assert coreset.count() == 4
+    # coreset representatives must come from the curated survivors
+    kept_ids = {r.vec_id for r in curated.select("vec_id").collect()}
+    assert {r.vec_id for r in coreset.collect()} <= kept_ids
+    assert json.loads((out / "summary.json").read_text()) == s
+    s2 = curate_embeddings(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "c2"), coreset_k=4, shards=4
+    )
+    assert s2 == s
