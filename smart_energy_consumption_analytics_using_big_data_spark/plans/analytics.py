@@ -1913,3 +1913,62 @@ def q_ts_cusum(spark, sf_dir):
         F.round("total", 6).alias("total"),
         F.col("s").alias("cusum"),
     )
+
+
+@q(
+    "q_tariff_recommend",
+    """
+    WITH cost AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS flat_cents,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) *
+                      CASE WHEN hour(ts) BETWEEN 16 AND 19 THEN 20
+                           WHEN hour(ts) <= 6 THEN 5 ELSE 10 END) AS BIGINT)
+               AS tou_decicents
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           round(flat_cents / 100.0, 6) AS flat_cost,
+           round(tou_decicents / 1000.0, 6) AS tou_cost,
+           CASE WHEN tou_decicents * 100 < flat_cents * 1000 THEN 'dToU'
+                ELSE 'Std' END AS recommended,
+           round(flat_cents / 100.0 - tou_decicents / 1000.0, 6) AS savings
+    FROM cost
+    """,
+)
+def q_tariff_recommend(spark, sf_dir):
+    """Per-household tariff recommendation - the business question the
+    reference's dataset (a dynamic time-of-use trial) exists to
+    answer: cost under the flat Std rate (1.0) vs the dToU schedule
+    (High 2.0 for 16-19h, Low 0.5 through 6h, Normal 1.0 otherwise -
+    the fixtures/tariffs.xlsx schedule, plans/core.py
+    _tariff_fixture_rows), switch recommendation, and savings. Rates
+    carried as INTEGER deci-rates against integer cents so both
+    engines' sums are exact (10x scale: 20/5/10 per unit = 2.0/0.5/
+    1.0); one user rollup, conditional aggregation instead of a
+    calendar join - the dimension folded into the CASE the same way
+    Catalyst would after broadcasting the 48-row schedule."""
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    deci_rate = (
+        F.when(F.hour("ts").between(16, 19), 20)
+        .when(F.hour("ts") <= 6, 5)
+        .otherwise(10)
+    )
+    cost = ev.groupBy("user_id").agg(
+        F.sum(cents).cast("bigint").alias("flat_cents"),
+        F.sum(cents * deci_rate).cast("bigint").alias("tou_decicents"),
+    )
+    return cost.select(
+        "user_id",
+        F.round(F.col("flat_cents") / 100.0, 6).alias("flat_cost"),
+        F.round(F.col("tou_decicents") / 1000.0, 6).alias("tou_cost"),
+        F.when(
+            F.col("tou_decicents") * 100 < F.col("flat_cents") * 1000, "dToU"
+        )
+        .otherwise("Std")
+        .alias("recommended"),
+        F.round(
+            F.col("flat_cents") / 100.0 - F.col("tou_decicents") / 1000.0, 6
+        ).alias("savings"),
+    )
