@@ -1972,3 +1972,95 @@ def q_tariff_recommend(spark, sf_dir):
             F.col("flat_cents") / 100.0 - F.col("tou_decicents") / 1000.0, 6
         ).alias("savings"),
     )
+
+
+@q(
+    "q_ts_load_factor",
+    """
+    WITH hourly AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           round(avg(cents) / 100.0, 6) AS avg_hourly,
+           round(max(cents) / 100.0, 6) AS peak_hourly,
+           round(avg(cents) / CAST(max(cents) AS DOUBLE), 6) AS load_factor
+    FROM hourly GROUP BY user_id
+    """,
+)
+def q_ts_load_factor(spark, sf_dir):
+    """Load factor per household (average hourly load / peak hourly
+    load): the utilization ratio capacity planning keys on - a low
+    factor means infrastructure sized for a peak that almost never
+    happens. Companion to q_ts_coincidence (system-level diversity);
+    this is the per-entity view. One shared hourly rollup, integer
+    cents, two shrinking partial aggregations."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            epoch_us("ts").alias("__e"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("user_id", "hr")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    return hourly.groupBy("user_id").agg(
+        F.round(F.avg("cents") / 100.0, 6).alias("avg_hourly"),
+        F.round(F.max("cents") / 100.0, 6).alias("peak_hourly"),
+        F.round(F.avg("cents") / F.max("cents").cast("double"), 6).alias("load_factor"),
+    )
+
+
+@q(
+    "q_ts_ramp_rate",
+    """
+    WITH hourly AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ramps AS (
+      SELECT hr, cents,
+             cents - lag(cents) OVER (ORDER BY hr) AS ramp,
+             CAST(hr // 24 AS BIGINT) AS day
+      FROM hourly
+    )
+    SELECT day,
+           round(max(ramp) / 100.0, 6) AS max_up_ramp,
+           round(min(ramp) / 100.0, 6) AS max_down_ramp,
+           round(avg(abs(ramp)) / 100.0, 6) AS mean_abs_ramp
+    FROM ramps WHERE ramp IS NOT NULL GROUP BY day
+    """,
+)
+def q_ts_ramp_rate(spark, sf_dir):
+    """System ramp-rate profile per day: the steepest hour-over-hour
+    load increase/decrease plus the mean absolute ramp - what dispatch
+    planning reads to size spinning reserve (a system can carry a high
+    peak yet fail on a fast ramp). The lag runs on the HOURLY system
+    series (bounded by the calendar), integer cents end-to-end; one
+    fact-sized rollup, then window + daily regroup on the tiny series."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(epoch_us("ts").alias("__e"), "value")
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("hr")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    ramps = hourly.select(
+        "hr",
+        "cents",
+        (F.col("cents") - F.lag("cents").over(Window.orderBy("hr"))).alias("ramp"),
+        F.expr("hr DIV 24").alias("day"),
+    ).filter(F.col("ramp").isNotNull())
+    return ramps.groupBy("day").agg(
+        F.round(F.max("ramp") / 100.0, 6).alias("max_up_ramp"),
+        F.round(F.min("ramp") / 100.0, 6).alias("max_down_ramp"),
+        F.round(F.avg(F.abs("ramp")) / 100.0, 6).alias("mean_abs_ramp"),
+    )
