@@ -4759,3 +4759,53 @@ def q_ts_periodogram(spark, sf_dir):
             6,
         ).alias("amplitude")
     )
+
+
+@q(
+    "q_dedup_ppjoin_groups",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE.strip().lstrip()}
+    ,
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE common * 5 >= 3 * (sa.n + sb.n - common)
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach(id, lbl) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT s.a, r.lbl FROM sym s JOIN reach r ON r.id = s.b
+    )
+    SELECT id AS doc_id, min(lbl) AS component,
+           CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_ppjoin_groups(spark, sf_dir):
+    """EXACT near-dedup groups: PPJoin threshold edges (lossless
+    Jaccard >= 0.6, q_dedup_ppjoin) fed to pointer-doubling connected
+    components - the deterministic production composition where recall
+    matters more than the probabilistic MinHash path (contract or
+    compliance dedup: every qualifying pair is in the graph BY PROOF,
+    not with LSH probability). Component id = min member = the doc to
+    keep; `keep` flags canonicals. Oracle: recursive CTE over the
+    all-pairs threshold edges (identical edge set by the prefix
+    lemma)."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100, keep_df=True)
+    edges = D.prefix_filtered_pairs(sh, t_num=3, t_den=5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = D.connected_components(edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).cast("int").alias("keep"),
+    )
