@@ -4809,3 +4809,34 @@ def q_dedup_ppjoin_groups(spark, sf_dir):
         "component",
         (F.col("id") == F.col("component")).cast("int").alias("keep"),
     )
+
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans._registry import (  # noqa: E402
+    ORACLE as _ORACLE_REG,
+)
+
+@q(
+    "q_sim_ann_recall",
+    f"""
+    WITH ivf AS (SELECT vec_id FROM ({_ORACLE_REG['q_sim_ann_ivf']})),
+    ex AS (SELECT vec_id FROM ({_ORACLE_REG['q_sim_cosine_topk']}))
+    SELECT round(count(*) / 10.0, 6) AS recall_at_10
+    FROM ivf JOIN ex USING (vec_id)
+    """,
+)
+def q_sim_ann_recall(spark, sf_dir):
+    """ANN quality as a FIRST-CLASS measured output: recall@10 of the
+    IVF nprobe=2 search against exact brute-force cosine, both
+    deterministic, so the metric itself is hash-oracled (the oracle
+    composes the two queries' own oracle SQL - one source of truth).
+    This is the accept/reject dial for any approximate index: probe
+    fewer cells -> faster -> this number says what it cost. The
+    pytest floor (test_ivf_ann_recall) guards regressions; this query
+    reports the exact value."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    ivf = S.ann_topk_ivf(emb, query, k=10, nprobe=2).select("vec_id")
+    ex = S.cosine_topk(emb, query, k=10).select("vec_id")
+    return ivf.join(ex, "vec_id").agg(
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10")
+    )
