@@ -2064,3 +2064,64 @@ def q_ts_ramp_rate(spark, sf_dir):
         F.round(F.min("ramp") / 100.0, 6).alias("max_down_ramp"),
         F.round(F.avg(F.abs("ramp")) / 100.0, 6).alias("mean_abs_ramp"),
     )
+
+
+@q(
+    "q_ts_backtest",
+    """
+    WITH hourly AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, hr, total,
+             lag(total, 24) OVER (PARTITION BY event_type ORDER BY hr) AS pred_daily,
+             lag(total, 168) OVER (PARTITION BY event_type ORDER BY hr) AS pred_weekly
+      FROM hourly
+    )
+    SELECT event_type, CAST(hr // 168 AS BIGINT) AS week,
+           count(*) AS n_scored,
+           round(avg(abs(total - pred_daily)), 6) AS mae_daily,
+           round(avg(abs(total - pred_weekly)), 6) AS mae_weekly,
+           CASE WHEN avg(abs(total - pred_weekly)) <= avg(abs(total - pred_daily))
+                THEN 'weekly' ELSE 'daily' END AS better_baseline
+    FROM scored WHERE pred_daily IS NOT NULL AND pred_weekly IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_ts_backtest(spark, sf_dir):
+    """Rolling-origin backtest of the two naive baselines (same hour
+    yesterday vs same hour last week): per-series, per-WEEK MAE plus
+    the per-window winner - the temporal-stability view a single
+    overall MAE (q_ts_seasonal_naive) hides. A model that wins on
+    average but loses half the weeks is a worse production choice;
+    this is the evaluation protocol that shows it. Both lags share one
+    (event_type)-keyed window pass over the bounded hourly rollup; the
+    weekly regroup shrinks it further."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", epoch_us("ts").alias("__e"), "value")
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("event_type", "hr")
+        .agg(sum_exact("value").alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    scored = (
+        hourly.withColumn("pred_daily", F.lag("total", 24).over(w))
+        .withColumn("pred_weekly", F.lag("total", 168).over(w))
+        .filter(F.col("pred_daily").isNotNull() & F.col("pred_weekly").isNotNull())
+    )
+    mae_d = F.avg(F.abs(F.col("total") - F.col("pred_daily")))
+    mae_w = F.avg(F.abs(F.col("total") - F.col("pred_weekly")))
+    return (
+        scored.groupBy("event_type", F.expr("hr DIV 168").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(mae_d, 6).alias("mae_daily"),
+            F.round(mae_w, 6).alias("mae_weekly"),
+            F.when(mae_w <= mae_d, "weekly").otherwise("daily").alias("better_baseline"),
+        )
+    )
