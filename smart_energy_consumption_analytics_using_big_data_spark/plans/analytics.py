@@ -2125,3 +2125,83 @@ def q_ts_backtest(spark, sf_dir):
             F.when(mae_w <= mae_d, "weekly").otherwise("daily").alias("better_baseline"),
         )
     )
+
+
+@q(
+    "q_sessions_concurrency",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS e,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sid AS (
+      SELECT user_id, e,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_id, min(e) AS s, max(e) AS f
+      FROM sid GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT s AS e, 1 AS d FROM sess
+      UNION ALL
+      SELECT f + 1, -1 FROM sess
+    ),
+    sweep AS (
+      SELECT e, sum(d) OVER (ORDER BY e, d DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active
+      FROM deltas
+    )
+    SELECT CAST(e // 86400000000 AS BIGINT) AS day,
+           CAST(max(active) AS BIGINT) AS peak_concurrent_sessions
+    FROM sweep GROUP BY 1
+    """,
+)
+def q_sessions_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day by SWEEP-LINE: every session
+    contributes a +1 at its start and a -1 just after its end, and the
+    running sum over the merged event ordering IS the live-session
+    count - interval-overlap counting with zero joins (the naive
+    interval self-join is quadratic in overlap). +1-before--1 ordering
+    at equal timestamps (d DESC) counts a session ending exactly when
+    another starts as momentarily concurrent on both engines. The
+    sweep window is global but runs over session BOUNDARIES (two rows
+    per session, not per event); at extreme scale, partition the sweep
+    by day and carry inter-day offsets like q_rollup_incremental."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("e"),
+        F.when(
+            epoch_us("ts") - F.lag(epoch_us("ts")).over(w) > 1_800_000_000, 1
+        ).otherwise(0).alias("new_session"),
+    )
+    run = Window.partitionBy("user_id").orderBy("e", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = (
+        g.select("user_id", "e", F.sum("new_session").over(run).alias("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("e").alias("s"), F.max("e").alias("f"))
+    )
+    deltas = sess.select(F.col("s").alias("e"), F.lit(1).alias("d")).unionByName(
+        sess.select((F.col("f") + 1).alias("e"), F.lit(-1).alias("d"))
+    )
+    sweep_w = Window.orderBy(F.asc("e"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = deltas.select("e", F.sum("d").over(sweep_w).alias("active"))
+    return (
+        sweep.groupBy(F.expr("e DIV 86400000000").alias("day"))
+        .agg(F.max("active").cast("bigint").alias("peak_concurrent_sessions"))
+    )
