@@ -2205,3 +2205,48 @@ def q_sessions_concurrency(spark, sf_dir):
         sweep.groupBy(F.expr("e DIV 86400000000").alias("day"))
         .agg(F.max("active").cast("bigint").alias("peak_concurrent_sessions"))
     )
+
+
+@q(
+    "q_skyline_2d",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    sweep AS (
+      SELECT user_id, n_events, cents,
+             max(cents) OVER (ORDER BY n_events DESC, cents DESC, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cents_so_far
+      FROM u
+    )
+    SELECT user_id, n_events, round(cents / 100.0, 6) AS monetary
+    FROM sweep
+    WHERE best_cents_so_far IS NULL OR cents > best_cents_so_far
+    """,
+)
+def q_skyline_2d(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of users maximizing (event count,
+    total value): a user is on the frontier iff no other user beats
+    them on both. The naive formulation is a quadratic dominance
+    self-join; the sort-sweep identity - descend on dimension 1, keep
+    a row iff its dimension 2 beats the running max of everything
+    already seen - gets the exact frontier in one window pass over the
+    user-level aggregate. Ties on n_events order by cents DESC so an
+    equal-x, lower-y row sees the better y first and is correctly
+    dominated. The multi-objective top-k primitive (price vs quality,
+    cost vs freshness) as pure window algebra."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = Window.orderBy(
+        F.desc("n_events"), F.desc("cents"), F.asc("user_id")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    sweep = u.withColumn("best", F.max("cents").over(w))
+    return sweep.filter(
+        F.col("best").isNull() | (F.col("cents") > F.col("best"))
+    ).select("user_id", "n_events", F.round(F.col("cents") / 100.0, 6).alias("monetary"))

@@ -83,3 +83,31 @@ def test_acf_lag24_on_daily_cycle(spark, tmp_path):
     r = q_ts_acf(spark, str(tmp_path)).collect()[0]
     assert r.acf_24 > 0.99
     assert r.acf_24 > r.acf_3
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.analytics import (
+        q_skyline_2d,
+    )
+
+    got = {r.user_id for r in q_skyline_2d(spark, "/root/testdata/sf0.001").collect()}
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import pyspark.sql.functions as F
+
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    )
+    pts = [(r.user_id, r.n, r.c) for r in u]
+    brute = {
+        uid
+        for uid, n, c in pts
+        if not any(
+            (n2 >= n and c2 >= c and (n2 > n or c2 > c)) for _, n2, c2 in pts
+        )
+    }
+    assert got == brute
