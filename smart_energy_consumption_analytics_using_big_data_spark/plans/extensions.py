@@ -4840,3 +4840,63 @@ def q_sim_ann_recall(spark, sf_dir):
     return ivf.join(ex, "vec_id").agg(
         F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10")
     )
+
+
+@q(
+    "q_rec_item_sim",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sz AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_co,
+           round(n_co / sqrt(CAST(sa.n AS DOUBLE) * sb.n), 6) AS cosine_sim
+    FROM co JOIN sz sa ON sa.l_partkey = part_a JOIN sz sb ON sb.l_partkey = part_b
+    WHERE n_co >= 2
+    ORDER BY cosine_sim DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_rec_item_sim(spark, sf_dir):
+    """Item-item collaborative filtering: top part pairs by co-purchase
+    cosine n_co / sqrt(n_a * n_b) with a min-support floor - the
+    similarity table behind "customers also bought". Same inverted-
+    index shape as the text dedup family (basket = posting list keyed
+    by order): the pair join fans out per order, so basket-size
+    capping is the hot-key guard at scale exactly like shingle df
+    pruning (synthetic orders are small; the cap is a no-op here and
+    the min-support floor keeps the output dense pairs only).
+    TakeOrdered top-20."""
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    sz = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    sa = sz.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(sa, "part_a")
+        .join(sb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(
+                F.col("n_co") / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
