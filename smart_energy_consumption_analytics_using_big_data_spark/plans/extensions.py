@@ -4900,3 +4900,69 @@ def q_rec_item_sim(spark, sf_dir):
         .orderBy(F.desc("cosine_sim"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@q(
+    "q_rec_assoc_rules",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket),
+    sz AS (SELECT l_partkey, count(*) AS n FROM basket GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS lhs, b.l_partkey AS rhs, count(*) AS n_co
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT lhs, rhs, n_co,
+           round(n_co / CAST(sa.n AS DOUBLE), 6) AS confidence,
+           round((n_co * CAST(nb.n_orders AS DOUBLE)) / (sa.n * CAST(sb.n AS DOUBLE)), 6)
+             AS lift
+    FROM co JOIN sz sa ON sa.l_partkey = lhs JOIN sz sb ON sb.l_partkey = rhs
+    CROSS JOIN nb
+    WHERE n_co >= 3
+    ORDER BY lift DESC, lhs, rhs LIMIT 20
+    """,
+)
+def q_rec_assoc_rules(spark, sf_dir):
+    """Association rules lhs=>rhs over order baskets: support (co-count
+    floor), CONFIDENCE n_co/n_lhs (directed - the two directions of a
+    pair differ, hence <> not <), and LIFT vs independence - the
+    market-basket triple that separates 'popular together' from
+    'predictive of each other'. Same basket inverted-index shape as
+    q_rec_item_sim; the order-count denominator is a 1-row broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    nb = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sz = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("lhs"))
+    b = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("rhs"))
+    co = (
+        a.join(b, "o")
+        .filter(F.col("lhs") != F.col("rhs"))
+        .groupBy("lhs", "rhs")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    sa = sz.select(F.col("l_partkey").alias("lhs"), F.col("n").alias("n_lhs"))
+    sb = sz.select(F.col("l_partkey").alias("rhs"), F.col("n").alias("n_rhs"))
+    return (
+        co.join(sa, "lhs")
+        .join(sb, "rhs")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "lhs",
+            "rhs",
+            "n_co",
+            F.round(F.col("n_co") / F.col("n_lhs").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_co") * F.col("n_orders").cast("double"))
+                / (F.col("n_lhs") * F.col("n_rhs").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("lhs"), F.asc("rhs"))
+        .limit(20)
+    )
