@@ -62,6 +62,8 @@ ALLOWED_BNLJ = {
     "q_ts_kaplan_meier": "1-row global max timestamp broadcast for censoring; all other joins keyed",
     "q_drift_wasserstein": "1-row epoch bounds + 1-row totals cross-joined as broadcasts over the support-bounded step table",
     "q_ts_periodogram": "4-row literal period table broadcast against the bounded hourly rollup",
+    "q_sim_ann_recall": "inherits q_sim_ann_ivf/q_sim_cosine_topk's 1-row query-vector broadcasts; the recall join itself is a 10-row equi-join",
+    "q_rec_assoc_rules": "1-row distinct-order count cross-joined as a broadcast (basket and size joins are equi-joins)",
 }
 
 
