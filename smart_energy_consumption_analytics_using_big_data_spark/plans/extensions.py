@@ -4966,3 +4966,53 @@ def q_rec_assoc_rules(spark, sf_dir):
         .orderBy(F.desc("lift"), F.asc("lhs"), F.asc("rhs"))
         .limit(20)
     )
+
+
+@q(
+    "q_text_trending",
+    """
+    WITH halves AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT token,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_then,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_now
+      FROM halves GROUP BY token
+    )
+    SELECT token, n_then, n_now,
+           round(ln((n_now + 1.0) / (n_then + 1.0)), 6) AS log_ratio
+    FROM c WHERE n_then + n_now >= 50
+    ORDER BY log_ratio DESC, token LIMIT 15
+    """,
+)
+def q_text_trending(spark, sf_dir):
+    """Trending-term detection: add-one-smoothed log frequency ratio
+    between two corpus slices (here the even/odd doc halves as the
+    deterministic stand-in for last-week/this-week), support-floored
+    so rare tokens don't fake trends - the burst-detection pass behind
+    'rising topics' dashboards. One token explode, conditional counts
+    per slice, vocabulary-bounded everything after."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(TX.tokens_ws(F.col("text"))).alias("token"),
+    )
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n_then"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n_now"),
+    )
+    return (
+        c.filter(F.col("n_then") + F.col("n_now") >= 50)
+        .select(
+            "token",
+            "n_then",
+            "n_now",
+            F.round(
+                F.log((F.col("n_now") + 1.0) / (F.col("n_then") + 1.0)), 6
+            ).alias("log_ratio"),
+        )
+        .orderBy(F.desc("log_ratio"), F.asc("token"))
+        .limit(15)
+    )
