@@ -93,6 +93,11 @@ def shingle_table(
       shingle table persisted: no full sort of a fact-sized table, and
       the blacklist broadcast composes with AQE. Persist `docs` (or the
       returned table) to avoid re-exploding for the blacklist pass.
+
+    ``keep_df=True`` adds the per-shingle document frequency as a `df`
+    column (consumers needing a rarity order - prefix filtering - skip
+    a second shingle-keyed shuffle); it implies the window strategy,
+    since the anti path never materializes per-row counts.
     """
     # Project tokens ONCE before shingling: Catalyst does not CSE a
     # split() nested inside a higher-order-function lambda, so passing
