@@ -2250,3 +2250,100 @@ def q_skyline_2d(spark, sf_dir):
     return sweep.filter(
         F.col("best").isNull() | (F.col("cents") > F.col("best"))
     ).select("user_id", "n_events", F.round(F.col("cents") / 100.0, 6).alias("monetary"))
+
+
+@q(
+    "q_tou_peak_shift",
+    """
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    hourly AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) * 2 < (SELECT lo + hi FROM bounds)
+                  THEN 0 ELSE 1 END AS half,
+             CAST(hour(ts) AS INT) AS hod,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    peak AS (
+      SELECT user_id, half, hod AS peak_hod FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, half
+                                     ORDER BY cents DESC, hod) AS rn
+        FROM hourly
+      ) WHERE rn = 1
+    ),
+    wide AS (
+      SELECT user_id,
+             max(CASE WHEN half = 0 THEN peak_hod END) AS peak_before,
+             max(CASE WHEN half = 1 THEN peak_hod END) AS peak_after
+      FROM peak GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN peak_before BETWEEN 16 AND 19 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peak_in_window_before,
+           CAST(sum(CASE WHEN peak_after BETWEEN 16 AND 19 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peak_in_window_after,
+           CAST(sum(CASE WHEN peak_before BETWEEN 16 AND 19
+                          AND peak_after NOT BETWEEN 16 AND 19
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_shifted_out,
+           CAST(sum(CASE WHEN peak_before <> peak_after THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peak_moved
+    FROM wide WHERE peak_before IS NOT NULL AND peak_after IS NOT NULL
+    """,
+)
+def q_tou_peak_shift(spark, sf_dir):
+    """Time-of-use peak-shifting evaluation - the question the
+    reference's dToU trial dataset exists to answer: per household,
+    the peak HOUR-OF-DAY in the first vs second half of the
+    observation window, how many peaks sat inside the 16-19h High
+    band before vs after, and how many households moved their peak
+    out of it. Deterministic per-user argmax (row_number with hod
+    tiebreak) over the (user, half, hour-of-day) rollup; the whole
+    comparison runs on 48 rows per user regardless of reading count."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(epoch_us("ts")).alias("lo"), F.max(epoch_us("ts")).alias("hi")
+    )
+    hourly = (
+        ev.select(
+            "user_id",
+            epoch_us("ts").alias("__e"),
+            F.hour("ts").cast("int").alias("hod"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "half", F.when(F.col("__e") * 2 < F.col("lo") + F.col("hi"), 0).otherwise(1)
+        )
+        .groupBy("user_id", "half", "hod")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("user_id", "half").orderBy(F.desc("cents"), F.asc("hod"))
+    peak = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "half", F.col("hod").alias("peak_hod"))
+    )
+    wide = peak.groupBy("user_id").agg(
+        F.max(F.when(F.col("half") == 0, F.col("peak_hod"))).alias("peak_before"),
+        F.max(F.when(F.col("half") == 1, F.col("peak_hod"))).alias("peak_after"),
+    ).filter(F.col("peak_before").isNotNull() & F.col("peak_after").isNotNull())
+    in_win = lambda c: F.col(c).between(16, 19)  # noqa: E731
+    return wide.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(in_win("peak_before").cast("int")).cast("bigint").alias(
+            "n_peak_in_window_before"
+        ),
+        F.sum(in_win("peak_after").cast("int")).cast("bigint").alias(
+            "n_peak_in_window_after"
+        ),
+        F.sum((in_win("peak_before") & ~in_win("peak_after")).cast("int"))
+        .cast("bigint")
+        .alias("n_shifted_out"),
+        F.sum((F.col("peak_before") != F.col("peak_after")).cast("int"))
+        .cast("bigint")
+        .alias("n_peak_moved"),
+    )
