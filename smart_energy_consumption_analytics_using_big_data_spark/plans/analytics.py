@@ -2347,3 +2347,60 @@ def q_tou_peak_shift(spark, sf_dir):
         .cast("bigint")
         .alias("n_peak_moved"),
     )
+
+
+@q(
+    "q_seq_patterns",
+    """
+    WITH spans AS (
+      SELECT user_id, event_type,
+             min(epoch_us(ts)) AS first_e, max(epoch_us(ts)) AS last_e
+      FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+    SELECT a.event_type AS step_1, b.event_type AS step_2,
+           count(*) AS n_users,
+           round(count(*) / CAST(nu.n_total AS DOUBLE), 6) AS support
+    FROM spans a JOIN spans b
+      ON a.user_id = b.user_id AND a.event_type <> b.event_type
+    CROSS JOIN nu
+    WHERE a.first_e < b.last_e
+    GROUP BY a.event_type, b.event_type, nu.n_total
+    ORDER BY support DESC, step_1, step_2
+    """,
+)
+def q_seq_patterns(spark, sf_dir):
+    """Length-2 sequential-pattern support (PrefixSpan's first level):
+    a user supports `a -> b` iff SOME a-event precedes SOME b-event -
+    gaps allowed, which is what the adjacent-only transition matrix
+    (q_event_transitions) cannot see. The existence test collapses to
+    span algebra: min-time(a) < max-time(b), so the per-user cost is
+    the |types|-row span table, never the event pairs; the pattern
+    join is |types|^2 per user on an already-aggregated input. Support
+    normalizes by the 1-row broadcast user count."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id", "event_type").agg(
+        F.min(epoch_us("ts")).alias("first_e"), F.max(epoch_us("ts")).alias("last_e")
+    )
+    nu = ev.agg(F.countDistinct("user_id").alias("n_total"))
+    a = spans.select("user_id", F.col("event_type").alias("step_1"), "first_e")
+    b = spans.select("user_id", F.col("event_type").alias("step_2"), "last_e")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("step_1") != F.col("step_2"))
+        .filter(F.col("first_e") < F.col("last_e"))
+        .groupBy("step_1", "step_2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "step_1",
+            "step_2",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_total").cast("double"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("support"), F.asc("step_1"), F.asc("step_2"))
+    )
