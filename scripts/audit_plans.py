@@ -64,6 +64,8 @@ ALLOWED_BNLJ = {
     "q_ts_periodogram": "4-row literal period table broadcast against the bounded hourly rollup",
     "q_sim_ann_recall": "inherits q_sim_ann_ivf/q_sim_cosine_topk's 1-row query-vector broadcasts; the recall join itself is a 10-row equi-join",
     "q_rec_assoc_rules": "1-row distinct-order count cross-joined as a broadcast (basket and size joins are equi-joins)",
+    "q_tou_peak_shift": "1-row epoch bounds cross-joined as a broadcast for the half split; everything else keyed",
+    "q_seq_patterns": "1-row distinct-user count cross-joined as a broadcast (pattern join is a user-keyed equi-join)",
 }
 
 
