@@ -2404,3 +2404,71 @@ def q_seq_patterns(spark, sf_dir):
         )
         .orderBy(F.desc("support"), F.asc("step_1"), F.asc("step_2"))
     )
+
+
+@q(
+    "q_join_pit",
+    """
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN row_number() OVER w = 1
+                    OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS valid_from,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes WHERE is_change = 1
+    ),
+    probes AS (
+      SELECT event_id, user_id, epoch_us(ts) + 1800000000 AS probe_e
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id, d.state AS state_at_probe
+    FROM probes p JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.probe_e
+     AND (d.valid_to IS NULL OR p.probe_e < d.valid_to)
+    """,
+)
+def q_join_pit(spark, sf_dir):
+    """POINT-IN-TIME join - the temporal-correctness read every SCD2
+    dimension exists for: probe each signup event's user state 30
+    minutes later against the [valid_from, valid_to) version history
+    (training-data correctness depends on this shape: joining today's
+    dim onto historical facts leaks the future). The dim builds from
+    the shared scd2_from_changelog operator; the PIT predicate is an
+    EQUI-join on the user key with a residual interval filter - per-key
+    version lists are small, so no nested loop (at extreme version
+    counts, the as-of union+last trick in operators/joins.asof_join is
+    the same answer with one shuffle). Exactly one version matches any
+    probe instant by the SCD2 interval invariant."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        ev, ["user_id"], "event_type", "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        epoch_us("valid_from").alias("vf"),
+        epoch_us("valid_to").alias("vt"),
+    )
+    probes = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", (epoch_us("ts") + 1_800_000_000).alias("probe_e")
+    )
+    return (
+        probes.join(dim, "user_id")
+        .filter(
+            (F.col("vf") <= F.col("probe_e"))
+            & (F.col("vt").isNull() | (F.col("probe_e") < F.col("vt")))
+        )
+        .select("event_id", "user_id", F.col("state").alias("state_at_probe"))
+    )
