@@ -2472,3 +2472,100 @@ def q_join_pit(spark, sf_dir):
         )
         .select("event_id", "user_id", F.col("state").alias("state_at_probe"))
     )
+
+
+@q(
+    "q_pvm_decomposition",
+    """
+    WITH bounds AS (
+      SELECT min(l_shipdate) AS lo, max(l_shipdate) AS hi FROM lineitem
+    ),
+    per AS (
+      SELECT l_partkey,
+             CASE WHEN date_diff('day', (SELECT lo FROM bounds), l_shipdate)
+                       <= date_diff('day', (SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds)) // 2
+                  THEN 0 ELSE 1 END AS half,
+             CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT l_partkey,
+             coalesce(max(CASE WHEN half = 0 THEN qty END), 0.0) AS q1,
+             coalesce(max(CASE WHEN half = 1 THEN qty END), 0.0) AS q2,
+             max(CASE WHEN half = 0 THEN rev / nullif(qty, 0) END) AS p1,
+             max(CASE WHEN half = 1 THEN rev / nullif(qty, 0) END) AS p2
+      FROM per GROUP BY l_partkey
+    ),
+    fx AS (
+      SELECT q1, q2,
+             coalesce(p1, p2) AS p1f, coalesce(p2, p1) AS p2f
+      FROM wide
+    )
+    SELECT round(sum((q2 - q1) * p1f), 2) AS volume_effect,
+           round(sum((p2f - p1f) * q1), 2) AS price_effect,
+           round(sum((p2f - p1f) * (q2 - q1)), 2) AS mix_effect,
+           round(sum(q2 * p2f - q1 * p1f), 2) AS total_change
+    FROM fx
+    """,
+)
+def q_pvm_decomposition(spark, sf_dir):
+    """Price-volume-mix waterfall: revenue change between the two
+    shipdate halves decomposed per part into volume (quantity delta at
+    old price), price (price delta at old quantity), and mix (the
+    cross term) - the FP&A bridge that answers WHY revenue moved, with
+    the exact identity total = volume + price + mix holding row-wise
+    by construction (missing-period prices coalesce to the other
+    period's, so entering/exiting parts land wholly in volume). One
+    fact rollup to (part, half); everything after runs on the
+    part-level aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+    per = (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "half",
+            F.when(
+                F.datediff("l_shipdate", "lo") <= F.floor(F.datediff("hi", "lo") / 2),
+                0,
+            ).otherwise(1),
+        )
+        .groupBy("l_partkey", "half")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double").alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    wide = per.groupBy("l_partkey").agg(
+        F.coalesce(F.max(F.when(F.col("half") == 0, F.col("qty"))), F.lit(0.0)).alias("q1"),
+        F.coalesce(F.max(F.when(F.col("half") == 1, F.col("qty"))), F.lit(0.0)).alias("q2"),
+        F.max(
+            F.when(F.col("half") == 0, F.col("rev") / F.nullif("qty", F.lit(0)))
+        ).alias("p1"),
+        F.max(
+            F.when(F.col("half") == 1, F.col("rev") / F.nullif("qty", F.lit(0)))
+        ).alias("p2"),
+    )
+    fx = wide.select(
+        "q1",
+        "q2",
+        F.coalesce("p1", "p2").alias("p1f"),
+        F.coalesce("p2", "p1").alias("p2f"),
+    )
+    return fx.agg(
+        F.round(F.sum((F.col("q2") - F.col("q1")) * F.col("p1f")), 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.sum((F.col("p2f") - F.col("p1f")) * F.col("q1")), 2).alias(
+            "price_effect"
+        ),
+        F.round(
+            F.sum((F.col("p2f") - F.col("p1f")) * (F.col("q2") - F.col("q1"))), 2
+        ).alias("mix_effect"),
+        F.round(
+            F.sum(F.col("q2") * F.col("p2f") - F.col("q1") * F.col("p1f")), 2
+        ).alias("total_change"),
+    )
