@@ -66,6 +66,7 @@ ALLOWED_BNLJ = {
     "q_rec_assoc_rules": "1-row distinct-order count cross-joined as a broadcast (basket and size joins are equi-joins)",
     "q_tou_peak_shift": "1-row epoch bounds cross-joined as a broadcast for the half split; everything else keyed",
     "q_seq_patterns": "1-row distinct-user count cross-joined as a broadcast (pattern join is a user-keyed equi-join)",
+    "q_pvm_decomposition": "1-row shipdate bounds cross-joined as a broadcast for the half split; rollups keyed",
 }
 
 
