@@ -2569,3 +2569,126 @@ def q_pvm_decomposition(spark, sf_dir):
             F.sum(F.col("q2") * F.col("p2f") - F.col("q1") * F.col("p1f")), 2
         ).alias("total_change"),
     )
+
+
+@q(
+    "q_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY user_id),
+    tagged AS (
+      SELECT uw.user_id, uw.w, f.w0,
+             lag(uw.w) OVER (PARTITION BY uw.user_id ORDER BY uw.w) AS prev_w
+      FROM uw JOIN firsts f USING (user_id)
+    )
+    SELECT w,
+           CAST(sum(CASE WHEN w = w0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN w > w0 AND prev_w = w - 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS retained,
+           CAST(sum(CASE WHEN w > w0 AND (prev_w IS NULL OR prev_w < w - 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+    FROM tagged GROUP BY w
+    """,
+)
+def q_growth_accounting(spark, sf_dir):
+    """Weekly growth accounting: every active user classified as NEW
+    (first-ever week), RETAINED (also active the immediately prior
+    week) or RESURRECTED (returning after a gap) - the decomposition
+    behind every 'is growth real or churn-masked' question, and the
+    companion to the cohort retention matrix. One distinct
+    (user, week) rollup; the first-week join and the lag share the
+    user key, so the classification never touches raw events twice."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_s
+
+    ev = t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", (epoch_s("ts") / F.lit(604800)).cast("bigint").alias("w")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("w").alias("w0"))
+    tagged = uw.join(firsts, "user_id").withColumn(
+        "prev_w", F.lag("w").over(Window.partitionBy("user_id").orderBy("w"))
+    )
+    is_new = (F.col("w") == F.col("w0")).cast("int")
+    is_ret = (
+        (F.col("w") > F.col("w0")) & (F.col("prev_w") == F.col("w") - 1)
+    ).cast("int")
+    is_res = (
+        (F.col("w") > F.col("w0"))
+        & (F.col("prev_w").isNull() | (F.col("prev_w") < F.col("w") - 1))
+    ).cast("int")
+    return tagged.groupBy("w").agg(
+        F.sum(is_new).cast("bigint").alias("new_users"),
+        F.sum(is_ret).cast("bigint").alias("retained"),
+        F.sum(is_res).cast("bigint").alias("resurrected"),
+    )
+
+
+@q(
+    "q_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT) // 604800) AS cohort_w
+      FROM events GROUP BY user_id
+    ),
+    spend AS (
+      SELECT e.user_id, f.cohort_w,
+             CAST(floor(epoch(e.ts)) AS BIGINT) // 604800 - f.cohort_w AS age_w,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN firsts f USING (user_id)
+    ),
+    weekly AS (
+      SELECT cohort_w, age_w, CAST(sum(cents) AS BIGINT) AS cents,
+             count(DISTINCT user_id) AS n_active
+      FROM spend GROUP BY 1, 2
+    ),
+    sized AS (SELECT cohort_w, count(*) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT w.cohort_w, w.age_w, s.cohort_size, w.n_active,
+           round(sum(w.cents) OVER (PARTITION BY w.cohort_w ORDER BY w.age_w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (100.0 * s.cohort_size), 6) AS cum_value_per_user
+    FROM weekly w JOIN sized s USING (cohort_w)
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curve: cumulative value per signup-week cohort,
+    normalized per original member (the denominator stays cohort_size,
+    not the shrinking active count - that's what makes curves
+    comparable across cohorts). The monetary sibling of
+    q_cohort_retention; the cumulative window runs over the
+    (cohort, age) aggregate, bounded by weeks^2. Integer-cents sums
+    end-to-end."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_s
+
+    ev = t(spark, sf_dir, "events")
+    wk = (epoch_s("ts") / F.lit(604800)).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_w"))
+    spend = ev.select(
+        "user_id", wk.alias("w"), F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).join(firsts, "user_id")
+    weekly = (
+        spend.withColumn("age_w", F.col("w") - F.col("cohort_w"))
+        .groupBy("cohort_w", "age_w")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.countDistinct("user_id").alias("n_active"),
+        )
+    )
+    sized = firsts.groupBy("cohort_w").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cum = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        weekly.join(sized, "cohort_w")
+        .select(
+            "cohort_w",
+            "age_w",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.sum("cents").over(cum) / (F.lit(100.0) * F.col("cohort_size")), 6
+            ).alias("cum_value_per_user"),
+        )
+    )
