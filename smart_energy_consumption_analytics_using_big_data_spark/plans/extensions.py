@@ -5016,3 +5016,64 @@ def q_text_trending(spark, sf_dir):
         .orderBy(F.desc("log_ratio"), F.asc("token"))
         .limit(15)
     )
+
+
+@q(
+    "q_dedup_source_overlap",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_a, doc_b
+      FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE common * 5 >= 3 * (sa.n + sb.n - common)
+    ),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_x,
+             greatest(da.source, db.source) AS source_y,
+             n.doc_a, n.doc_b
+      FROM near n
+      JOIN documents da ON da.doc_id = n.doc_a
+      JOIN documents db ON db.doc_id = n.doc_b
+    )
+    SELECT source_x, source_y, count(*) AS n_pairs,
+           CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+             AS n_docs_involved
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def q_dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup pairs (exact PPJoin
+    threshold, Jaccard >= 0.6) rolled up by unordered source pair -
+    the question a multi-source corpus build asks FIRST (how much of
+    source B is already in source A decides ingestion order and
+    licensing exposure). Source labels join onto the pair list (pair
+    table sized by near-dups, not the corpus), least/greatest
+    canonicalizes the unordered pair. Everything upstream is the
+    proven prefix-filtered join."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100, keep_df=True)
+    near = D.prefix_filtered_pairs(sh, t_num=3, t_den=5).select("doc_a", "doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    labeled = (
+        near.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return labeled.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+        .cast("bigint")
+        .alias("n_docs_involved"),
+    )
