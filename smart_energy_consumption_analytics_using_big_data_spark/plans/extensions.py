@@ -5077,3 +5077,69 @@ def q_dedup_source_overlap(spark, sf_dir):
         .cast("bigint")
         .alias("n_docs_involved"),
     )
+
+
+@q(
+    "q_docs_quality_by_lang",
+    """
+    WITH q AS (
+      SELECT doc_id, lang,
+             round(length(replace(text, ' ', '')) /
+                   len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM q
+    ),
+    m AS (
+      SELECT lang, min(CASE WHEN rk * 2 >= n THEN score END) AS med
+      FROM ranked GROUP BY lang
+    )
+    SELECT q.lang, count(*) AS n_docs, round(max(m.med), 6) AS median_score,
+           CAST(sum(CASE WHEN q.score >= m.med THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM q JOIN m USING (lang) GROUP BY q.lang
+    """,
+)
+def q_docs_quality_by_lang(spark, sf_dir):
+    """LANGUAGE-ADAPTIVE quality gate: each language's keep threshold
+    is its OWN median quality score (avg token length here), because a
+    fixed global cutoff systematically biases a multilingual corpus -
+    agglutinative languages run long tokens, isolating ones short.
+    The per-group median is the explicit rank-crossing form
+    (cross-engine exact); the threshold table is |langs| rows,
+    broadcast back onto the scored docs. This group-adaptive
+    thresholding is the multilingual companion to the absolute-floor
+    q_docs_quality_filter."""
+    docs = t(spark, sf_dir, "documents")
+    score = F.round(
+        F.length(F.regexp_replace("text", " ", ""))
+        / F.size(TX.tokens_ws(F.col("text"))),
+        6,
+    )
+    q_ = docs.select("doc_id", "lang", score.alias("score"))
+    wr = Window.partitionBy("lang").orderBy("score", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = q_.select(
+        "lang",
+        "score",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    m = ranked.groupBy("lang").agg(
+        F.min(F.when(F.col("rk") * 2 >= F.col("n"), F.col("score"))).alias("med")
+    )
+    return (
+        q_.join(F.broadcast(m), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.max("med"), 6).alias("median_score"),
+            F.sum((F.col("score") >= F.col("med")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
