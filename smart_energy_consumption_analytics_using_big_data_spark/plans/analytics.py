@@ -2692,3 +2692,46 @@ def q_cohort_ltv(spark, sf_dir):
             ).alias("cum_value_per_user"),
         )
     )
+
+
+@q(
+    "q_ts_heatmap",
+    """
+    WITH cell AS (
+      SELECT CAST(dayofweek(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hod, n, round(cents / 100.0, 6) AS total_value,
+           round(cents / CAST(sum(cents) OVER () AS DOUBLE), 6) AS intensity
+    FROM cell
+    """,
+)
+def q_ts_heatmap(spark, sf_dir):
+    """Day-of-week x hour-of-day load heatmap with normalized
+    intensity (each cell's share of the total) - the dashboard matrix
+    every energy/usage product opens with (the reference's Streamlit
+    hourly/weekday views folded into one 168-cell table). One
+    partial-agg shuffle of at most 168 groups; the normalizing window
+    runs over the aggregate, never the fact. DuckDB dayofweek
+    (0=Sunday) and Spark dayofweek (1=Sunday) differ by one - the
+    Spark side subtracts 1 so both engines emit the same labels."""
+    ev = t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_all = Window.partitionBy()
+    return cell.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("cents") / 100.0, 6).alias("total_value"),
+        F.round(F.col("cents") / F.sum("cents").over(w_all).cast("double"), 6).alias(
+            "intensity"
+        ),
+    )
