@@ -2735,3 +2735,47 @@ def q_ts_heatmap(spark, sf_dir):
             "intensity"
         ),
     )
+
+
+@q(
+    "q_stickiness",
+    """
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w,
+             user_id
+      FROM events
+    ),
+    dau AS (SELECT w, day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1, 2),
+    wau AS (SELECT w, count(DISTINCT user_id) AS wau FROM d GROUP BY 1)
+    SELECT dau.w, round(avg(dau.dau), 6) AS avg_dau, max(wau.wau) AS wau,
+           round(avg(dau.dau) / max(wau.wau), 6) AS stickiness
+    FROM dau JOIN wau USING (w) GROUP BY dau.w
+    """,
+)
+def q_stickiness(spark, sf_dir):
+    """Stickiness (avg DAU / WAU per week) - the engagement ratio that
+    separates daily-habit products from weekly-chore ones; 1.0 means
+    every weekly user shows up every day. Two distinct-count rollups
+    off one (day, week, user) projection, joined on the week key -
+    both aggregates shrink to calendar-bounded tables before any
+    window or join."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_s
+
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        (epoch_s("ts") / F.lit(86400)).cast("bigint").alias("day"),
+        (epoch_s("ts") / F.lit(604800)).cast("bigint").alias("w"),
+        "user_id",
+    )
+    dau = d.groupBy("w", "day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = d.groupBy("w").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "w")
+        .groupBy("w")
+        .agg(
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.max("wau").alias("wau"),
+            F.round(F.avg("dau") / F.max("wau"), 6).alias("stickiness"),
+        )
+    )
