@@ -2779,3 +2779,77 @@ def q_stickiness(spark, sf_dir):
             F.round(F.avg("dau") / F.max("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@q(
+    "q_eval_gains",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+             max(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS label
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT score, label,
+             ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM u
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n_users,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_users, n_pos,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / sum(n_pos) OVER (), 6) AS cum_capture,
+           round((CAST(n_pos AS DOUBLE) / n_users) /
+                 (CAST(sum(n_pos) OVER () AS DOUBLE) / sum(n_users) OVER ()), 6)
+             AS lift
+    FROM agg
+    """,
+)
+def q_eval_gains(spark, sf_dir):
+    """Gains/lift table - the model-evaluation read a scoring pipeline
+    feeds to the business: users ranked into score deciles
+    (deterministic ntile, user tiebreak), per-decile positive capture,
+    CUMULATIVE capture (the gains curve) and lift vs base rate. Score
+    is the exact integer-cents spend total; label is the rare
+    high-value purchase (the q_ab_test conversion event). Every window
+    runs on the 10-row decile aggregate except the ntile, which runs
+    on the user-level rollup; swap ntile for the mergeable-histogram
+    decile cut at extreme user counts (q_rfm_segment's note)."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") >= 150)).cast("int")
+        ).alias("label"),
+    )
+    ranked = u.select(
+        "score",
+        "label",
+        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("user_id"))).alias(
+            "decile"
+        ),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("label").cast("bigint").alias("n_pos")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return agg.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        F.round(
+            F.sum("n_pos").over(w_cum).cast("double") / F.sum("n_pos").over(w_all), 6
+        ).alias("cum_capture"),
+        F.round(
+            (F.col("n_pos").cast("double") / F.col("n_users"))
+            / (F.sum("n_pos").over(w_all).cast("double") / F.sum("n_users").over(w_all)),
+            6,
+        ).alias("lift"),
+    )
