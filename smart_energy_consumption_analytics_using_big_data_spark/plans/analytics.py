@@ -2853,3 +2853,112 @@ def q_eval_gains(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+@q(
+    "q_ts_hurst",
+    """
+    WITH h AS (
+      SELECT (epoch_us(ts) // 3600000000) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT row_number() OVER (ORDER BY hr) - 1 AS t, cents / 100.0 AS v
+      FROM h
+    ),
+    wnd AS (
+      SELECT sc.s, idx.t // sc.s AS wid, idx.t, idx.v
+      FROM idx CROSS JOIN (SELECT unnest([64, 128, 256]) AS s) sc
+    ),
+    filled AS (
+      SELECT s, wid FROM wnd GROUP BY s, wid HAVING count(*) = s
+    ),
+    stats AS (
+      SELECT w.s, w.wid, avg(w.v) AS m, stddev_pop(w.v) AS sd
+      FROM wnd w JOIN filled USING (s, wid) GROUP BY w.s, w.wid
+    ),
+    cum AS (
+      SELECT w.s, w.wid, st.sd,
+             sum(w.v - st.m) OVER (PARTITION BY w.s, w.wid ORDER BY w.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+      FROM wnd w JOIN stats st ON w.s = st.s AND w.wid = st.wid
+    ),
+    rs AS (
+      SELECT s, wid, (max(y) - min(y)) / max(sd) AS rs
+      FROM cum WHERE sd > 0 GROUP BY s, wid
+    ),
+    pers AS (
+      SELECT s, count(*) AS n_windows, avg(rs) AS mean_rs FROM rs GROUP BY s
+    )
+    SELECT round(regr_slope(ln(mean_rs), ln(CAST(s AS DOUBLE))), 6) AS hurst,
+           round(max(CASE WHEN s = 64 THEN mean_rs END), 6) AS mean_rs_64,
+           round(max(CASE WHEN s = 128 THEN mean_rs END), 6) AS mean_rs_128,
+           round(max(CASE WHEN s = 256 THEN mean_rs END), 6) AS mean_rs_256
+    FROM pers
+    """,
+)
+def q_ts_hurst(spark, sf_dir):
+    """Hurst exponent by rescaled-range (R/S) analysis over the hourly
+    load series: for window scales 64/128/256h, R = range of the
+    cumulative mean-deviation walk and S = window stddev; the slope of
+    ln(mean R/S) against ln(scale) estimates H (0.5 = memoryless,
+    >0.5 = persistent load - the long-memory diagnostic that says
+    whether naive short-window forecasts can ever be sufficient). The
+    per-window walk is an ordered running sum inside (scale, window)
+    partitions, incomplete tail windows are dropped, and the final
+    regression is regr_slope over three scale points - the whole
+    estimator is window algebra over the bounded hourly rollup."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+
+    ev = t(spark, sf_dir, "events")
+    h = (
+        ev.select(epoch_us("ts").alias("__e"), "value")
+        .withColumn("hr", F.expr("__e DIV 3600000000"))
+        .groupBy("hr")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    idx = h.select(
+        (F.row_number().over(Window.orderBy("hr")) - 1).alias("t"),
+        (F.col("cents") / 100.0).alias("v"),
+    )
+    scales = spark.range(1).select(
+        F.explode(F.array(F.lit(64), F.lit(128), F.lit(256))).alias("s")
+    )
+    wnd = idx.crossJoin(F.broadcast(scales)).select(
+        "s", F.expr("t DIV s").alias("wid"), "t", "v"
+    )
+    filled = wnd.groupBy("s", "wid").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") == F.col("s")
+    ).select("s", "wid")
+    stats = (
+        wnd.join(filled, ["s", "wid"])
+        .groupBy("s", "wid")
+        .agg(F.avg("v").alias("m"), F.stddev_pop("v").alias("sd"))
+    )
+    w_cum = Window.partitionBy("s", "wid").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wnd.join(stats, ["s", "wid"]).select(
+        "s", "wid", "sd", F.sum(F.col("v") - F.col("m")).over(w_cum).alias("y")
+    )
+    rs = (
+        cum.filter(F.col("sd") > 0)
+        .groupBy("s", "wid")
+        .agg(((F.max("y") - F.min("y")) / F.max("sd")).alias("rs"))
+    )
+    pers = rs.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_windows"), F.avg("rs").alias("mean_rs")
+    )
+    return pers.agg(
+        F.round(
+            F.regr_slope(F.log("mean_rs"), F.log(F.col("s").cast("double"))), 6
+        ).alias("hurst"),
+        F.round(F.max(F.when(F.col("s") == 64, F.col("mean_rs"))), 6).alias("mean_rs_64"),
+        F.round(F.max(F.when(F.col("s") == 128, F.col("mean_rs"))), 6).alias(
+            "mean_rs_128"
+        ),
+        F.round(F.max(F.when(F.col("s") == 256, F.col("mean_rs"))), 6).alias(
+            "mean_rs_256"
+        ),
+    )
