@@ -67,6 +67,7 @@ ALLOWED_BNLJ = {
     "q_tou_peak_shift": "1-row epoch bounds cross-joined as a broadcast for the half split; everything else keyed",
     "q_seq_patterns": "1-row distinct-user count cross-joined as a broadcast (pattern join is a user-keyed equi-join)",
     "q_pvm_decomposition": "1-row shipdate bounds cross-joined as a broadcast for the half split; rollups keyed",
+    "q_ts_hurst": "3-row literal scale table broadcast against the bounded hourly rollup",
 }
 
 
