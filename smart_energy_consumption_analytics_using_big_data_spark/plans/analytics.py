@@ -2962,3 +2962,77 @@ def q_ts_hurst(spark, sf_dir):
             "mean_rs_256"
         ),
     )
+
+
+@q(
+    "q_eval_auc",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS score,
+             max(CASE WHEN event_type = 'purchase' AND value >= 150
+                      THEN 1 ELSE 0 END) AS label
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score) AS min_rk,
+             count(*) OVER (PARTITION BY score) AS n_tied
+      FROM u
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN label = 1
+                           THEN 2 * min_rk + n_tied - 1 END) AS BIGINT) AS two_rank_sum,
+             CAST(sum(label) AS BIGINT) AS np,
+             CAST(sum(1 - label) AS BIGINT) AS nn
+      FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           round((two_rank_sum / 2.0 - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def q_eval_auc(spark, sf_dir):
+    """Exact ROC AUC via the Mann-Whitney rank form with PROPER tie
+    handling: each row's tied-average rank is min_rank + (ties-1)/2,
+    carried as the INTEGER 2*min_rank + ties - 1 so the rank sum stays
+    exact until one final division - no per-row float accumulation, so
+    partition order cannot move the answer. AUC closes the evaluation
+    family (gains/lift show the business view, AUC the
+    threshold-independent one) for the same deterministic score/label
+    pair as q_eval_gains. Two windows over the user-level rollup (a
+    global rank and a score-partitioned tie count), one scalar row
+    out."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("score"),
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") >= 150)).cast("int")
+        ).alias("label"),
+    )
+    ranked = u.select(
+        "label",
+        F.rank().over(Window.orderBy("score")).alias("min_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("n_tied"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("label") == 1,
+                2 * F.col("min_rk") + F.col("n_tied") - 1,
+            )
+        )
+        .cast("bigint")
+        .alias("two_rank_sum"),
+        F.sum("label").cast("bigint").alias("np"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("two_rank_sum") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

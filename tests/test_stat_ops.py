@@ -111,3 +111,24 @@ def test_skyline_equals_bruteforce_dominance(spark):
         )
     }
     assert got == brute
+
+
+def test_auc_known_small_sample(spark, tmp_path):
+    """AUC on a hand-computable score/label set with a TIE spanning
+    both classes (the tied-average-rank path). One event per user:
+    u1 neg view 152.00 -> score 15200; u2 pos purchase 152.00 ->
+    15200 (cross-class tie); u3 neg view 1.00 -> 100; u4 pos purchase
+    153.00 -> 15300. Pairs: (u3,u2) win, (u3,u4) win, (u1,u2) tie 0.5,
+    (u1,u4) win => AUC = 3.5/4 = 0.875."""
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.analytics import q_eval_auc
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (1, base, 1, "view", 152.00),
+        (2, base, 2, "purchase", 152.00),
+        (3, base, 3, "view", 1.00),
+        (4, base, 4, "purchase", 153.00),
+    ]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_eval_auc(spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 0.875)
