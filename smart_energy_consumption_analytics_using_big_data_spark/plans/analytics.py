@@ -3036,3 +3036,104 @@ def q_eval_auc(spark, sf_dir):
             6,
         ).alias("auc"),
     )
+
+
+@q(
+    "q_corr_spearman",
+    """
+    WITH u AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT (2 * rank() OVER (ORDER BY n_events)
+              + count(*) OVER (PARTITION BY n_events) - 1) / 2.0 AS rx,
+             (2 * rank() OVER (ORDER BY cents)
+              + count(*) OVER (PARTITION BY cents) - 1) / 2.0 AS ry
+      FROM u
+    )
+    SELECT round(corr(rx, ry), 6) AS spearman_rho, count(*) AS n
+    FROM ranked
+    """,
+)
+def q_corr_spearman(spark, sf_dir):
+    """Spearman rank correlation between per-user activity and spend:
+    Pearson corr over tied-average ranks (the same exact integer
+    2*min_rank + ties - 1 encoding as q_eval_auc, halved at the end) -
+    monotone-association strength that outliers cannot drag, the
+    robust companion to q_corr's Pearson. Rank windows run over the
+    user-level rollup; at extreme cardinality the ranks come from the
+    mergeable-histogram CDF instead of a global sort."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    def tied_rank(col):
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            - 1
+        ) / 2.0
+
+    ranked = u.select(
+        tied_rank("n_events").alias("rx"), tied_rank("cents").alias("ry")
+    )
+    return ranked.agg(
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q_stat_chi2",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS row_t,
+             sum(o) OVER (PARTITION BY dow) AS col_t,
+             sum(o) OVER () AS n
+      FROM obs
+    )
+    SELECT round(sum((o - CAST(row_t AS DOUBLE) * col_t / n)
+                     * (o - CAST(row_t AS DOUBLE) * col_t / n)
+                     / (CAST(row_t AS DOUBLE) * col_t / n)), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+                AS BIGINT) AS dof
+    FROM tot
+    """,
+)
+def q_stat_chi2(spark, sf_dir):
+    """Chi-square independence test for event type x day-of-week: the
+    categorical hypothesis test behind 'does behavior differ by
+    weekday' - observed vs expected (row_total*col_total/N) summed
+    over the contingency cells, plus the degrees of freedom. The
+    marginals are window sums over the |types| x 7 contingency TABLE
+    (never the fact), so the test costs one partial-agg rollup at any
+    event count. Spark's dayofweek is 1-based vs DuckDB's 0-based -
+    the Spark side subtracts 1 to align labels, which leaves chi2
+    itself invariant (it only relabels columns)."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_t"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_t"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    return tot.agg(
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
+    )
