@@ -5143,3 +5143,80 @@ def q_docs_quality_by_lang(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+@q(
+    "q_ts_mann_kendall",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day)
+               AS i, cents
+      FROM d
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat,
+             count(*) AS n_pairs
+      FROM x a JOIN x b ON a.event_type = b.event_type AND b.i > a.i
+      GROUP BY a.event_type
+    ),
+    sized AS (SELECT event_type, count(*) AS n FROM x GROUP BY event_type)
+    SELECT p.event_type, p.s_stat, z.n,
+           round((p.s_stat - sign(p.s_stat)) /
+                 sqrt(z.n * (z.n - 1.0) * (2 * z.n + 5) / 18.0), 6) AS mk_z
+    FROM pairs p JOIN sized z USING (event_type)
+    """,
+)
+def q_ts_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test per series: S = sum of pairwise
+    direction signs over the daily rollup (exact integer - ties
+    contribute 0), normalized by the no-ties variance
+    n(n-1)(2n+5)/18 with the continuity correction - the
+    significance companion to q_ts_theilsen's robust slope (slope
+    says how steep, MK-z says whether it's real). Same calendar-
+    bounded pair join as Theil-Sen: days^2/2 per series, never
+    events^2."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    x = d.withColumn(
+        "i", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    ).select("event_type", "i", "cents")
+    a, b = x.alias("a"), x.alias("b")
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.i") > F.col("a.i")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(sgn).cast("bigint").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    sized = x.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    var = F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18.0
+    return (
+        pairs.join(sized, "event_type")
+        .select(
+            "event_type",
+            "s_stat",
+            "n",
+            F.round(
+                (F.col("s_stat") - F.signum(F.col("s_stat").cast("double")))
+                / F.sqrt(var),
+                6,
+            ).alias("mk_z"),
+        )
+    )
