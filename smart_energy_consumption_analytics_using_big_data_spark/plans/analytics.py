@@ -3104,7 +3104,12 @@ def q_corr_spearman(spark, sf_dir):
                      * (o - CAST(row_t AS DOUBLE) * col_t / n)
                      / (CAST(row_t AS DOUBLE) * col_t / n)), 6) AS chi2,
            CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
-                AS BIGINT) AS dof
+                AS BIGINT) AS dof,
+           round(sqrt(sum((o - CAST(row_t AS DOUBLE) * col_t / n)
+                          * (o - CAST(row_t AS DOUBLE) * col_t / n)
+                          / (CAST(row_t AS DOUBLE) * col_t / n))
+                      / (max(n) * least(count(DISTINCT event_type) - 1,
+                                        count(DISTINCT dow) - 1))), 6) AS cramers_v
     FROM tot
     """,
 )
@@ -3117,7 +3122,10 @@ def q_stat_chi2(spark, sf_dir):
     (never the fact), so the test costs one partial-agg rollup at any
     event count. Spark's dayofweek is 1-based vs DuckDB's 0-based -
     the Spark side subtracts 1 to align labels, which leaves chi2
-    itself invariant (it only relabels columns)."""
+    itself invariant (it only relabels columns). Cramer's V rescales
+    chi2 to a [0,1] effect size - at 100 TB row counts EVERYTHING is
+    'significant', so the effect size is the number that still means
+    something."""
     ev = t(spark, sf_dir, "events")
     obs = ev.groupBy(
         "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
@@ -3131,9 +3139,12 @@ def q_stat_chi2(spark, sf_dir):
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
     e = F.col("row_t").cast("double") * F.col("col_t") / F.col("n")
+    chi2 = F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+    min_dim = F.least(F.countDistinct("event_type") - 1, F.countDistinct("dow") - 1)
     return tot.agg(
-        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6).alias("chi2"),
+        F.round(chi2, 6).alias("chi2"),
         (
             (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
         ).cast("bigint").alias("dof"),
+        F.round(F.sqrt(chi2 / (F.max("n") * min_dim)), 6).alias("cramers_v"),
     )
