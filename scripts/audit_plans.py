@@ -68,6 +68,7 @@ ALLOWED_BNLJ = {
     "q_seq_patterns": "1-row distinct-user count cross-joined as a broadcast (pattern join is a user-keyed equi-join)",
     "q_pvm_decomposition": "1-row shipdate bounds cross-joined as a broadcast for the half split; rollups keyed",
     "q_ts_hurst": "3-row literal scale table broadcast against the bounded hourly rollup",
+    "q_ml_isotonic": "PAV minimax self-joins over the 50-row calibration bin table — bin-count-bounded, data-size-independent",
 }
 
 

@@ -15,6 +15,44 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seed_mod: int = 10,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded multi-source BFS: hop distance from a seed set.
+
+    Seeds are the graph nodes with ``id % seed_mod == 0`` (a
+    deterministic sample of entry points); each round relaxes
+    ``dist(v) = min(dist(v), min_{(u,v) in E} dist(u) + 1)`` as one
+    equi-join on src plus one min-aggregation on node id — the
+    Bellman-Ford step specialised to unit weights. ``max_hops`` rounds
+    unroll to a fixed dataflow (no driver-side convergence loop), so
+    the result is the exact <=max_hops-hop neighborhood, all-integer
+    and oracle-checkable against the same unrolled recurrence.
+
+    At scale each round shuffles at most |frontier-adjacent E| + |V|
+    rows on the node key; lineage stays bounded by the fixed round
+    count (the same design as `pagerank` above).
+    """
+    edges = edges.persist()
+    dist = (
+        edges.select(F.col(src).alias("id"))
+        .filter(F.col(src) % seed_mod == 0)
+        .distinct()
+        .select("id", F.lit(0).alias("dist"))
+    )
+    ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+    for _ in range(max_hops):
+        hop = ed.join(dist, "id").select(
+            F.col("__dst").alias("id"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = dist.unionByName(hop).groupBy("id").agg(F.min("dist").alias("dist"))
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,

@@ -1710,6 +1710,71 @@ def q_graph_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3)
 
 
+def _bfs_oracle(max_hops: int = 4, seed_mod: int = 10) -> str:
+    """Unrolled bounded BFS over the same fuzzy-name graph: d{k} is the
+    exact <=k-hop distance table, each round one join + one MIN."""
+    head = """
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             unnest(list_distinct(list_append(
+               list_transform(generate_series(1, len(c_name)),
+                              i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name))),
+               c_name))) AS variant
+      FROM customer
+    ),
+    pairs AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS id, 0 AS dist FROM e WHERE src % {m} = 0
+    )
+    """.format(m=seed_mod)
+    for it in range(1, max_hops + 1):
+        head += f""",
+    d{it} AS (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM d{it - 1}
+        UNION ALL
+        SELECT e.dst AS id, d.dist + 1 AS dist
+        FROM e JOIN d{it - 1} d ON e.src = d.id
+      ) GROUP BY id
+    )
+    """
+    return head + f"SELECT id, dist FROM d{max_hops}"
+
+
+@q("q_graph_bfs", _bfs_oracle(4))
+def q_graph_bfs(spark, sf_dir):
+    """Bounded multi-source BFS over the fuzzy-name similarity graph:
+    hop distance from the ``id % 10 == 0`` seed customers, 4 unrolled
+    min-relaxation rounds (join on src + MIN per node — unit-weight
+    Bellman-Ford). The graph-traversal primitive behind blast-radius /
+    influence-neighborhood questions on an entity graph; all-integer,
+    so the oracle is exact with no float discipline needed. Reuses
+    q_join_fuzzy's FastSS blocking for the edge list (reference has no
+    graph surface; this extends the §2 similarity family)."""
+    c = t(spark, sf_dir, "customer")
+    pairs = J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    return bfs_hops(edges, seed_mod=10, max_hops=4)
+
+
 @q(
     "q_text_logprob",
     """
@@ -5218,5 +5283,367 @@ def q_ts_mann_kendall(spark, sf_dir):
                 / F.sqrt(var),
                 6,
             ).alias("mk_z"),
+        )
+    )
+
+
+@q(
+    "q_attribution",
+    """
+    WITH touches AS (
+      SELECT user_id AS t_user, ts AS touch_ts, event_id AS touch_id,
+             'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                          AS VARCHAR) AS channel
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, ts AS conv_ts, value AS revenue
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.conv_id, c.revenue, t.touch_ts, t.touch_id, t.channel
+      FROM conv c LEFT JOIN touches t
+        ON c.user_id = t.t_user
+       AND t.touch_ts <= c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    r AS (
+      SELECT coalesce(channel, 'direct') AS channel, revenue,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts, touch_id) AS rn_f,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts DESC, touch_id DESC) AS rn_l,
+             count(touch_id) OVER (PARTITION BY conv_id) AS n_touch
+      FROM j
+    )
+    SELECT channel,
+           CAST(SUM(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+           CAST(SUM(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+           round(CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) / greatest(n_touch, 1), 12)
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS linear,
+           round(CAST(SUM(CAST(round(revenue / greatest(n_touch, 1), 12)
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS linear_revenue
+    FROM r GROUP BY channel
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Multi-touch attribution: every purchase credits the click/view
+    touchpoints of the same user in the trailing 7 days under three
+    models at once — first-touch, last-touch, and linear (1/n split,
+    revenue-weighted too); conversions with no qualifying touch credit
+    a 'direct' channel via the LEFT join's null branch. One equi-join
+    on user_id (the time bounds ride along as join filters — no range
+    explosion), per-conversion windows for position/count, then a
+    channel rollup with decimal-summed fractional credits. The
+    marketing-attribution shape every event warehouse runs; channel is
+    derived from the props JSON (ch0-ch3)."""
+    ev = t(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 4).cast("string"),
+        ).alias("channel"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("conv_ts"),
+        F.col("value").alias("revenue"),
+    )
+    j = conv.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w_first = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    w_n = Window.partitionBy("conv_id")
+    r = j.select(
+        F.coalesce("channel", F.lit("direct")).alias("channel"),
+        "revenue",
+        F.row_number().over(w_first).alias("rn_f"),
+        F.row_number().over(w_last).alias("rn_l"),
+        F.count("touch_id").over(w_n).alias("n_touch"),
+    )
+    nt = F.greatest("n_touch", F.lit(1))
+    return r.groupBy("channel").agg(
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0)).alias("first_touch"),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0)).alias("last_touch"),
+        F.round(
+            F.sum(F.round(F.lit(1.0) / nt, 12).cast("decimal(28,12)")).cast("double"),
+            6,
+        ).alias("linear"),
+        F.round(
+            F.sum(F.round(F.col("revenue") / nt, 12).cast("decimal(28,12)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("linear_revenue"),
+    )
+
+
+@q(
+    "q_ml_isotonic",
+    """
+    WITH binned AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             ntile(50) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    ),
+    b AS (SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM binned GROUP BY bin),
+    p AS (SELECT bin, n, pos,
+                 CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                 CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+          FROM b),
+    seg AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS a
+      FROM p j JOIN p k ON j.bin <= k.bin
+    ),
+    mn AS (
+      SELECT i.bin, s.jb, min(s.a) AS m
+      FROM p i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+      GROUP BY i.bin, s.jb
+    ),
+    fit AS (SELECT bin, round(max(m), 6) AS fitted FROM mn GROUP BY bin)
+    SELECT b.bin, b.n, b.pos,
+           round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate,
+           fit.fitted
+    FROM b JOIN fit ON fit.bin = b.bin
+    """,
+)
+def q_ml_isotonic(spark, sf_dir):
+    """Isotonic calibration (pool-adjacent-violators) of the
+    price->urgency rate: orders land in 50 equal-count score bins
+    (deterministic ntile with a key tiebreak), and the monotone fit is
+    computed through the PAV minimax identity fitted_i = max_{j<=i}
+    min_{k>=i} mean(y, bins j..k) over prefix sums — the exact PAV
+    solution with no sequential pooling loop, so it is pure joins +
+    min/max over a 50-row bin table and oracle-checkable (pytest also
+    pins it against pyspark.ml's IsotonicRegression). The reliability-
+    curve calibration step behind every score-producing model. Scale
+    note: the global ntile sorts once (same trade as every exact
+    quantile here — the sketch path derives cut points from
+    approx_quantile); the minimax self-joins are bin-count-bounded
+    (50x50), data-size-independent."""
+    o = t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.ntile(50).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    p = b.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("pos").over(wc).alias("cp"),
+    )
+    jdf = p.select(
+        F.col("bin").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+    )
+    kdf = p.select(F.col("bin").alias("kb"), "cn", "cp")
+    seg = jdf.join(kdf, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cp") - F.col("cp0")).cast("double")
+            / (F.col("cn") - F.col("cn0")).cast("double")
+        ).alias("a"),
+    )
+    ib = p.select(F.col("bin").alias("i"))
+    mn = (
+        ib.join(seg, (F.col("jb") <= F.col("i")) & (F.col("kb") >= F.col("i")))
+        .groupBy("i", "jb")
+        .agg(F.min("a").alias("m"))
+    )
+    fit = mn.groupBy("i").agg(F.round(F.max("m"), 6).alias("fitted"))
+    return b.join(fit, b["bin"] == fit["i"]).select(
+        "bin",
+        "n",
+        "pos",
+        F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("raw_rate"),
+        "fitted",
+    )
+
+
+@q(
+    "q_ts_holt",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT user_id, date,
+             list(v) OVER (PARTITION BY user_id ORDER BY date
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS vals
+      FROM daily
+    ),
+    sm AS (
+      SELECT user_id, date,
+             list_sum(list_transform(generate_series(1, len(vals)),
+               i -> (CAST(0.4 AS DOUBLE) * power(0.6, len(vals) - i)) * vals[i]))
+               AS s1,
+             list_sum(list_transform(generate_series(1, len(vals)),
+               i -> ((CAST(0.16 AS DOUBLE) * (len(vals) - i + 1))
+                     * power(0.6, len(vals) - i)) * vals[i])) AS s2
+      FROM fr
+    )
+    SELECT user_id, date,
+           round(2 * s1 - s2, 6) AS level,
+           round((CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * (s1 - s2), 6)
+             AS trend,
+           round((2 * s1 - s2)
+                 + (CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * (s1 - s2), 6)
+             AS forecast_next
+    FROM sm
+    """.format(dsum=DSUM("value")),
+)
+def q_ts_holt(spark, sf_dir):
+    """Brown double-exponential smoothing (Holt's linear method with a
+    single alpha=0.4): per user-day series, s1/s2 expand to CLOSED-FORM
+    weighted sums over a 14-day trailing frame — s1 uses weights
+    a(1-a)^k, s2 the convolved (k+1)a^2(1-a)^k — so the two smoothing
+    recurrences become one collect_list window plus indexed transforms
+    (the q_window_ewma pattern), no sequential state. level = 2*s1-s2,
+    trend = a/(1-a)*(s1-s2), one-step forecast = level + trend: the
+    trend-aware forecasting the reference's dashboards approximate
+    with plain rolling means. Left-to-right double accumulation over
+    the identical frame list keeps both engines bit-equal."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("date")
+    ).agg(sum_exact(F.col("value")).alias("v"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    fr = daily.select("user_id", "date", F.collect_list("v").over(w).alias("vals"))
+    m = F.size("vals")
+    fold = lambda c: F.aggregate(c, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    s1 = fold(
+        F.transform(
+            "vals",
+            lambda x, i: (F.lit(0.4) * F.pow(F.lit(0.6), (m - 1 - i))) * x,
+        )
+    )
+    s2 = fold(
+        F.transform(
+            "vals",
+            lambda x, i: ((F.lit(0.16) * (m - i)) * F.pow(F.lit(0.6), (m - 1 - i)))
+            * x,
+        )
+    )
+    sm = fr.select("user_id", "date", s1.alias("s1"), s2.alias("s2"))
+    level = F.lit(2) * F.col("s1") - F.col("s2")
+    trend = (F.lit(0.4) / F.lit(0.6)) * (F.col("s1") - F.col("s2"))
+    return sm.select(
+        "user_id",
+        "date",
+        F.round(level, 6).alias("level"),
+        F.round(trend, 6).alias("trend"),
+        F.round(level + trend, 6).alias("forecast_next"),
+    )
+
+
+@q(
+    "q_feature_quantile_norm",
+    """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(n_chars AS DOUBLE) AS gv,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gi
+      FROM documents
+    ),
+    posd AS (
+      SELECT doc_id, source, n_chars,
+             (CASE WHEN ns = 1 THEN CAST(0.0 AS DOUBLE)
+                   ELSE CAST(r - 1 AS DOUBLE) / CAST(ns - 1 AS DOUBLE) END)
+               * CAST((SELECT count(*) FROM documents) - 1 AS DOUBLE) AS pos
+      FROM s
+    )
+    SELECT p.doc_id, p.source, p.n_chars,
+           round(g0.gv + (p.pos - floor(p.pos))
+                         * (coalesce(g1.gv, g0.gv) - g0.gv), 6) AS qnorm
+    FROM posd p
+    JOIN g g0 ON g0.gi = CAST(floor(p.pos) AS BIGINT) + 1
+    LEFT JOIN g g1 ON g1.gi = CAST(floor(p.pos) AS BIGINT) + 2
+    """,
+)
+def q_feature_quantile_norm(spark, sf_dir):
+    """Quantile normalization across sources: each document's length
+    feature maps to the GLOBAL inverse-CDF value at its within-source
+    percent-rank (linear interpolation between the two straddling
+    global order statistics) — after it, every source has the same
+    length distribution, the batch-effect correction used before
+    mixing heterogeneous corpus sources. Per-source ranks are one
+    window pass; the global sorted index is the one inherent global
+    sort of any exact quantile transform (sketch path: interpolate
+    against approx_quantile cut points); the lookup itself is two
+    integer equi-joins on the floor/ceil positions plus a 1-row
+    broadcast of the corpus count."""
+    d = t(spark, sf_dir, "documents")
+    nrow = d.agg(F.count(F.lit(1)).alias("__N"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    s = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    g = d.select(
+        F.col("n_chars").cast("double").alias("gv"),
+        F.row_number().over(wg).alias("gi"),
+    )
+    pos = (
+        F.when(F.col("ns") == 1, F.lit(0.0)).otherwise(
+            (F.col("r") - 1).cast("double") / (F.col("ns") - 1).cast("double")
+        )
+    ) * (F.col("__N") - 1).cast("double")
+    posd = s.crossJoin(F.broadcast(nrow)).select(
+        "doc_id", "source", "n_chars", pos.alias("pos")
+    )
+    idx0 = F.floor("pos").cast("bigint")
+    p0 = posd.select("*", (idx0 + 1).alias("gi0"), (idx0 + 2).alias("gi1"))
+    g0 = g.select(F.col("gi").alias("gi0"), F.col("gv").alias("gv0"))
+    g1 = g.select(F.col("gi").alias("gi1"), F.col("gv").alias("gv1"))
+    return (
+        p0.join(g0, "gi0")
+        .join(g1, "gi1", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(
+                F.col("gv0")
+                + (F.col("pos") - F.floor("pos"))
+                * (F.coalesce("gv1", "gv0") - F.col("gv0")),
+                6,
+            ).alias("qnorm"),
         )
     )

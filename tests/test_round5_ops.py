@@ -1,0 +1,120 @@
+"""Semantic checks for the round-5 operators — the oracle gate proves
+Spark == DuckDB; these prove both equal the FORMULA (or an independent
+implementation) on hand-computable fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+    q_attribution,
+    q_feature_quantile_norm,
+    q_graph_bfs,
+    q_ml_isotonic,
+    q_ts_holt,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_bfs_hop_distances_on_path_graph(spark, tmp_path):
+    # ED1 chain aaaa-aaab-aabb-abbb-bbbb plus a second component
+    # qqqq-qqqr; zzzz is isolated (no edges -> absent from the graph).
+    # Seeds = node ids % 10 == 0, i.e. 10 and 20.
+    rows = [
+        (10, "aaaa", 0, 0.0, "SEG"),
+        (11, "aaab", 0, 0.0, "SEG"),
+        (12, "aabb", 0, 0.0, "SEG"),
+        (13, "abbb", 0, 0.0, "SEG"),
+        (14, "bbbb", 0, 0.0, "SEG"),
+        (15, "zzzz", 0, 0.0, "SEG"),
+        (20, "qqqq", 0, 0.0, "SEG"),
+        (21, "qqqr", 0, 0.0, "SEG"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    out = {r.id: r.dist for r in q_graph_bfs(spark, str(tmp_path)).collect()}
+    assert out == {10: 0, 11: 1, 12: 2, 13: 3, 14: 4, 20: 0, 21: 1}
+
+
+def test_attribution_conserves_credit(spark):
+    rows = q_attribution(spark, SF_SMOKE).collect()
+    n_conv = 202  # purchases at sf0.001
+    assert sum(r.first_touch for r in rows) == n_conv
+    assert sum(r.last_touch for r in rows) == n_conv
+    # linear credit splits each conversion into fractions that sum
+    # back to exactly one conversion (up to the 1e-12 credit rounding)
+    assert abs(sum(r.linear for r in rows) - n_conv) < 1e-4
+    assert {r.channel for r in rows} >= {"ch0", "ch1", "ch2", "ch3"}
+
+
+def test_isotonic_matches_mllib_pav(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    rows = q_ml_isotonic(spark, SF_SMOKE).collect()
+    pts = spark.createDataFrame(
+        [(float(r.bin), r.pos / r.n, float(r.n)) for r in rows],
+        "x double, y double, w double",
+    )
+    feats = VectorAssembler(inputCols=["x"], outputCol="features").transform(pts)
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="y", weightCol="w"
+    ).fit(feats)
+    pred = {
+        int(r.x): r.prediction for r in model.transform(feats).collect()
+    }
+    for r in rows:
+        assert abs(r.fitted - pred[r.bin]) < 1e-6, (r.bin, r.fitted, pred[r.bin])
+    # monotone non-decreasing in bin order
+    fitted = [r.fitted for r in sorted(rows, key=lambda r: r.bin)]
+    assert fitted == sorted(fitted)
+
+
+def test_holt_equals_sequential_recurrence(spark, tmp_path):
+    # 10 days (< the 14-row frame) so the truncated closed form equals
+    # the untruncated zero-init recurrence exactly.
+    base = dt.datetime(2024, 1, 1)
+    xs = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 21.0, 20.0, 24.0]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "view", x, "{}")
+        for i, x in enumerate(xs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.date: (r.level, r.trend, r.forecast_next)
+        for r in q_ts_holt(spark, str(tmp_path)).collect()
+    }
+    a = 0.4
+    s1 = s2 = 0.0
+    for i, x in enumerate(xs):
+        s1 = a * x + (1 - a) * s1
+        s2 = a * s1 + (1 - a) * s2
+        level, trend = 2 * s1 - s2, a / (1 - a) * (s1 - s2)
+        got = out[(base + dt.timedelta(days=i)).date()]
+        assert abs(got[0] - level) < 1e-6
+        assert abs(got[1] - trend) < 1e-6
+        assert abs(got[2] - (level + trend)) < 1e-6
+
+
+def test_quantile_norm_aligns_source_distributions(spark):
+    rows = q_feature_quantile_norm(spark, SF_SMOKE).collect()
+    by_source: dict[str, list[float]] = {}
+    lo = min(r.n_chars for r in rows)
+    hi = max(r.n_chars for r in rows)
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r.qnorm)
+    # equal-sized sources (25 docs each at sf0.001) must map onto the
+    # IDENTICAL set of global inverse-CDF values after normalization
+    dists = {src: tuple(sorted(v)) for src, v in by_source.items()}
+    assert len(set(dists.values())) == 1
+    # endpoints pin to the global extrema
+    some = next(iter(dists.values()))
+    assert some[0] == float(lo) and some[-1] == float(hi)
