@@ -16,6 +16,13 @@ Cross-engine determinism rules used throughout:
 * DuckDB returns BIGINT where Spark returns INT for date parts - the
   oracle casts to INTEGER; DuckDB SUM(BIGINT) returns HUGEINT - the
   oracle casts to BIGINT.
+* pow() differs between JVM Math.pow and DuckDB at the ulp level, and
+  geometric-weight sums over few-decimal data are FINITE decimals that
+  land on round-half boundaries (seen live in q_ts_croston at sf0.01).
+  When the true weight is a finite decimal, recover it exactly with a
+  DECIMAL(16,14)-class cast of the double pow and accumulate terms in
+  exact DECIMAL (q_ts_holt / q_ts_croston); double folds are only safe
+  for normalized ratios (q_window_ewma) or non-terminating results.
 """
 
 from __future__ import annotations

@@ -1640,9 +1640,12 @@ def q_join_bloom(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
-    """Unrolled fixed-iteration PageRank over the fuzzy-name graph."""
-    head = """
+def _pagerank_oracle(iters: int = 3, edges_head: str | None = None) -> str:
+    """Unrolled fixed-iteration PageRank; `edges_head` supplies the
+    WITH-clause CTEs ending in a symmetric edge table ``e(src, dst)``
+    (default: the fuzzy-name graph)."""
+    if edges_head is None:
+        edges_head = """
     WITH v AS (
       SELECT c_custkey, c_name,
              unnest(list_distinct(list_append(
@@ -1660,7 +1663,9 @@ def _pagerank_oracle(iters: int = 3) -> str:
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b, id_a FROM pairs
-    ),
+    )
+    """
+    head = edges_head + """,
     nodes AS (SELECT DISTINCT src AS id FROM e),
     cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
@@ -5496,22 +5501,31 @@ def q_ml_isotonic(spark, sf_dir):
     ),
     sm AS (
       SELECT user_id, date,
-             list_sum(list_transform(generate_series(1, len(vals)),
-               i -> (CAST(0.4 AS DOUBLE) * power(0.6, len(vals) - i)) * vals[i]))
-               AS s1,
-             list_sum(list_transform(generate_series(1, len(vals)),
-               i -> ((CAST(0.16 AS DOUBLE) * (len(vals) - i + 1))
-                     * power(0.6, len(vals) - i)) * vals[i])) AS s2
+             CAST(list_sum(list_transform(generate_series(1, len(vals)),
+               i -> CAST(CAST(0.4 AS DOUBLE) * power(0.6, len(vals) - i)
+                         AS DECIMAL(16,14))
+                    * CAST(vals[i] AS DECIMAL(12,6))))
+                  AS DECIMAL(32,20)) AS s1,
+             CAST(list_sum(list_transform(generate_series(1, len(vals)),
+               i -> CAST((CAST(0.16 AS DOUBLE) * (len(vals) - i + 1))
+                         * power(0.6, len(vals) - i) AS DECIMAL(17,15))
+                    * CAST(vals[i] AS DECIMAL(12,6))))
+                  AS DECIMAL(33,21)) AS s2
       FROM fr
+    ),
+    lv AS (
+      SELECT user_id, date, s1, s2,
+             CAST(2 AS DECIMAL(2,0)) * s1 - s2 AS level_dec,
+             CAST(s1 - s2 AS DOUBLE) AS diff
+      FROM sm
     )
     SELECT user_id, date,
-           round(2 * s1 - s2, 6) AS level,
-           round((CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * (s1 - s2), 6)
-             AS trend,
-           round((2 * s1 - s2)
-                 + (CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * (s1 - s2), 6)
+           CAST(round(level_dec, 6) AS DOUBLE) AS level,
+           round((CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * diff, 6) AS trend,
+           round(CAST(level_dec AS DOUBLE)
+                 + (CAST(0.4 AS DOUBLE) / CAST(0.6 AS DOUBLE)) * diff, 6)
              AS forecast_next
-    FROM sm
+    FROM lv
     """.format(dsum=DSUM("value")),
 )
 def q_ts_holt(spark, sf_dir):
@@ -5523,8 +5537,12 @@ def q_ts_holt(spark, sf_dir):
     (the q_window_ewma pattern), no sequential state. level = 2*s1-s2,
     trend = a/(1-a)*(s1-s2), one-step forecast = level + trend: the
     trend-aware forecasting the reference's dashboards approximate
-    with plain rolling means. Left-to-right double accumulation over
-    the identical frame list keeps both engines bit-equal."""
+    with plain rolling means. Exactness discipline: the true weights
+    a(1-a)^k are FINITE decimals, so each is recovered exactly from the
+    (engine-dependent, ulp-off) double pow by a DECIMAL(16,14) cast,
+    and terms/sums stay in exact decimal — JVM Math.pow vs DuckDB pow
+    ulp drift cannot flip a round-half boundary (level is also a finite
+    decimal; only the irrational a/(1-a) factor computes in double)."""
     ev = t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "user_id", F.col("ts").cast("date").alias("date")
@@ -5536,29 +5554,52 @@ def q_ts_holt(spark, sf_dir):
     )
     fr = daily.select("user_id", "date", F.collect_list("v").over(w).alias("vals"))
     m = F.size("vals")
-    fold = lambda c: F.aggregate(c, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+
+    def fold(c, acc_type):
+        return F.aggregate(
+            c,
+            F.lit(0).cast(acc_type),
+            lambda a, b: (a + b).cast(acc_type),
+        )
+
     s1 = fold(
         F.transform(
             "vals",
-            lambda x, i: (F.lit(0.4) * F.pow(F.lit(0.6), (m - 1 - i))) * x,
-        )
+            lambda x, i: (F.lit(0.4) * F.pow(F.lit(0.6), (m - 1 - i))).cast(
+                "decimal(16,14)"
+            )
+            * x.cast("decimal(12,6)"),
+        ),
+        "decimal(32,20)",
     )
     s2 = fold(
         F.transform(
             "vals",
-            lambda x, i: ((F.lit(0.16) * (m - i)) * F.pow(F.lit(0.6), (m - 1 - i)))
-            * x,
-        )
+            lambda x, i: (
+                (F.lit(0.16) * (m - i)) * F.pow(F.lit(0.6), (m - 1 - i))
+            ).cast("decimal(17,15)")
+            * x.cast("decimal(12,6)"),
+        ),
+        "decimal(33,21)",
     )
     sm = fr.select("user_id", "date", s1.alias("s1"), s2.alias("s2"))
-    level = F.lit(2) * F.col("s1") - F.col("s2")
-    trend = (F.lit(0.4) / F.lit(0.6)) * (F.col("s1") - F.col("s2"))
-    return sm.select(
+    lv = sm.select(
         "user_id",
         "date",
-        F.round(level, 6).alias("level"),
-        F.round(trend, 6).alias("trend"),
-        F.round(level + trend, 6).alias("forecast_next"),
+        (F.lit(2).cast("decimal(2,0)") * F.col("s1") - F.col("s2")).alias(
+            "level_dec"
+        ),
+        (F.col("s1") - F.col("s2")).cast("double").alias("diff"),
+    )
+    ratio = F.lit(0.4) / F.lit(0.6)
+    return lv.select(
+        "user_id",
+        "date",
+        F.round("level_dec", 6).cast("double").alias("level"),
+        F.round(ratio * F.col("diff"), 6).alias("trend"),
+        F.round(
+            F.col("level_dec").cast("double") + ratio * F.col("diff"), 6
+        ).alias("forecast_next"),
     )
 
 
@@ -5646,4 +5687,163 @@ def q_feature_quantile_norm(spark, sf_dir):
                 6,
             ).alias("qnorm"),
         )
+    )
+
+
+_TEXTRANK_EDGES = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    adj AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM tok WHERE len(toks) >= 2
+    ),
+    pairs AS (
+      SELECT DISTINCT least(toks[i], toks[i+1]) AS a,
+             greatest(toks[i], toks[i+1]) AS b
+      FROM adj WHERE toks[i] <> toks[i+1]
+    ),
+    e AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    )
+"""
+
+
+@q("q_text_textrank", _pagerank_oracle(3, edges_head=_TEXTRANK_EDGES))
+def q_text_textrank(spark, sf_dir):
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): an undirected
+    word co-occurrence graph from ADJACENT token pairs (deduplicated to
+    a simple graph), ranked by the same fixed-iteration PageRank as
+    q_graph_pagerank — high-rank words sit at the center of the
+    corpus's collocation structure, the unsupervised keyword-extraction
+    stage of a text pipeline. The pair build is one explode + distinct;
+    each rank round is a word-keyed equi-join + shuffle, so the whole
+    thing scales with |vocab edges|, not |corpus|^2."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens_ws(F.col("text"))).alias("pos", "w")
+    )
+    w2 = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = (
+        tok.withColumn("w2", w2)
+        .where(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
+        .select(
+            F.least("w", "w2").alias("a"), F.greatest("w", "w2").alias("b")
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
+
+    return pagerank(edges, iters=3)
+
+
+@q(
+    "q_ts_croston",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS d
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT user_id, date, d,
+             CAST(date_diff('day',
+                            lag(date) OVER (PARTITION BY user_id ORDER BY date),
+                            date) AS DOUBLE) AS gap
+      FROM daily
+    ),
+    w AS (
+      SELECT user_id, date,
+             list(d) OVER (PARTITION BY user_id ORDER BY date
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS ds,
+             list(gap) OVER (PARTITION BY user_id ORDER BY date
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS gs
+      FROM g WHERE gap IS NOT NULL
+    ),
+    sm AS (
+      SELECT user_id, date,
+             CAST(list_sum(list_transform(generate_series(1, len(ds)),
+               i -> CAST(CAST(0.3 AS DOUBLE) * power(0.7, len(ds) - i)
+                         AS DECIMAL(16,14))
+                    * CAST(ds[i] AS DECIMAL(12,6))))
+                  AS DECIMAL(32,20)) AS sz,
+             CAST(list_sum(list_transform(generate_series(1, len(gs)),
+               i -> CAST(CAST(0.3 AS DOUBLE) * power(0.7, len(gs) - i)
+                         AS DECIMAL(16,14))
+                    * CAST(gs[i] AS DECIMAL(12,6))))
+                  AS DECIMAL(32,20)) AS sp
+      FROM w
+    )
+    SELECT user_id, date,
+           CAST(round(sz, 6) AS DOUBLE) AS demand_ewma,
+           CAST(round(sp, 6) AS DOUBLE) AS interval_ewma,
+           round(CAST(sz AS DOUBLE) / CAST(sp AS DOUBLE), 6) AS croston_rate
+    FROM sm
+    """.format(dsum=DSUM("value")),
+)
+def q_ts_croston(spark, sf_dir):
+    """Croston's method for intermittent demand: purchases are sparse
+    per user-day, so forecasting the daily mean undershoots badly
+    between spikes — Croston instead smooths the non-zero demand SIZES
+    and the inter-arrival GAPS separately (alpha=0.3 over an 8-spike
+    trailing frame, same closed-form zero-init EWMA as q_ts_holt) and
+    forecasts rate = size/interval. Only days WITH demand materialize
+    (the zero days live implicitly in the date-diff gaps), which is
+    exactly what makes this scale: state is per-spike, not per-day."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("date")
+    ).agg(sum_exact(F.col("value")).alias("d"))
+    wlag = Window.partitionBy("user_id").orderBy("date")
+    g = daily.withColumn(
+        "gap", F.datediff("date", F.lag("date").over(wlag)).cast("double")
+    ).where(F.col("gap").isNotNull())
+    wfr = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    fr = g.select(
+        "user_id",
+        "date",
+        F.collect_list("d").over(wfr).alias("ds"),
+        F.collect_list("gap").over(wfr).alias("gs"),
+    )
+
+    def ewma(col):
+        # decimal-exact terms: the true weights 0.3*0.7^k are finite
+        # decimals (<= 8 digits), so the DECIMAL(16,14) cast absorbs
+        # the engine-dependent pow ulp (see q_ts_holt)
+        n = F.size(col)
+        terms = F.transform(
+            col,
+            lambda x, i: (F.lit(0.3) * F.pow(F.lit(0.7), (n - 1 - i))).cast(
+                "decimal(16,14)"
+            )
+            * x.cast("decimal(12,6)"),
+        )
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(32,20)"),
+            lambda a, b: (a + b).cast("decimal(32,20)"),
+        )
+
+    sm = fr.select(
+        "user_id", "date", ewma("ds").alias("sz"), ewma("gs").alias("sp")
+    )
+    return sm.select(
+        "user_id",
+        "date",
+        F.round("sz", 6).cast("double").alias("demand_ewma"),
+        F.round("sp", 6).cast("double").alias("interval_ewma"),
+        F.round(
+            F.col("sz").cast("double") / F.col("sp").cast("double"), 6
+        ).alias("croston_rate"),
     )

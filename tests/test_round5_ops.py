@@ -11,6 +11,8 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions im
     q_feature_quantile_norm,
     q_graph_bfs,
     q_ml_isotonic,
+    q_text_textrank,
+    q_ts_croston,
     q_ts_holt,
 )
 
@@ -118,3 +120,57 @@ def test_quantile_norm_aligns_source_distributions(spark):
     # endpoints pin to the global extrema
     some = next(iter(dists.values()))
     assert some[0] == float(lo) and some[-1] == float(hi)
+
+
+def test_textrank_path_graph_matches_hand_iteration(spark, tmp_path):
+    # docs "a b" and "b c" -> path graph a-b-c; replicate the
+    # fixed-iteration damped recurrence independently in Python.
+    rows = [(1, "a b", "en", "s0", 3), (2, "b c", "en", "s0", 3)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.id: r.rank for r in q_text_textrank(spark, str(tmp_path)).collect()}
+
+    edges = {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+    nodes = sorted({s for s, _ in edges})
+    deg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    n = len(nodes)
+    rank = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(3):
+        recv = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            recv[d] += round(rank[s] / deg[s], 12)
+        rank = {v: round(0.15 / n + 0.85 * recv[v], 12) for v in nodes}
+    assert out == {v: round(r, 6) for v, r in rank.items()}
+    assert out["b"] > out["a"] == out["c"]
+
+
+def test_croston_equals_sequential_recurrence(spark, tmp_path):
+    # One user, purchases on days 0, 2, 3, 7, 8 -> gaps 2, 1, 4, 1;
+    # fewer than the 8-row frame so truncation never bites.
+    base = dt.datetime(2024, 1, 1)
+    days_vals = [(0, 10.0), (2, 6.0), (3, 8.0), (7, 12.0), (8, 4.0)]
+    rows = [
+        (i, base + dt.timedelta(days=day), 1, "purchase", v, "{}")
+        for i, (day, v) in enumerate(days_vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.date: (r.demand_ewma, r.interval_ewma, r.croston_rate)
+        for r in q_ts_croston(spark, str(tmp_path)).collect()
+    }
+    a = 0.3
+    sz = sp = 0.0
+    gaps = [2.0, 1.0, 4.0, 1.0]
+    for (day, v), gap in zip(days_vals[1:], gaps):
+        sz = a * v + (1 - a) * sz
+        sp = a * gap + (1 - a) * sp
+        got = out[(base + dt.timedelta(days=day)).date()]
+        assert abs(got[0] - sz) < 1e-6
+        assert abs(got[1] - sp) < 1e-6
+        assert abs(got[2] - sz / sp) < 1e-6
+    assert len(out) == 4  # the first spike has no gap and is excluded
