@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     # hold-duration time-weighted rollup.
     "q_dedup_ppjoin",
     "q_ts_time_weighted_avg",
+    # round-5: iterative graph traversal, text-graph ranking, and the
+    # global-sort + position-join quantile transform.
+    "q_graph_bfs",
+    "q_text_textrank",
+    "q_feature_quantile_norm",
 ]
 
 

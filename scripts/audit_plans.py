@@ -69,6 +69,7 @@ ALLOWED_BNLJ = {
     "q_pvm_decomposition": "1-row shipdate bounds cross-joined as a broadcast for the half split; rollups keyed",
     "q_ts_hurst": "3-row literal scale table broadcast against the bounded hourly rollup",
     "q_ml_isotonic": "PAV minimax self-joins over the 50-row calibration bin table — bin-count-bounded, data-size-independent",
+    "q_feature_quantile_norm": "1-row corpus-count cross-joined as a broadcast (the inverse-CDF lookups are integer equi-joins)",
 }
 
 

@@ -54,6 +54,15 @@ PROBE = [
     "q_ts_time_weighted_avg",
     "q_rfm_segment",
     "q_dedup_ppjoin",
+    # round-5 additions: attribution (user-keyed join + windows),
+    # closed-form smoothing windows, text-graph pagerank, the global
+    # quantile transform, and BFS over the 10x customer graph
+    "q_attribution",
+    "q_ts_holt",
+    "q_ts_croston",
+    "q_text_textrank",
+    "q_feature_quantile_norm",
+    "q_graph_bfs",
 ]
 
 
@@ -107,11 +116,27 @@ def build_derived(spark, out_dir: str) -> None:
     for p in e_parts[1:]:
         big_e = big_e.unionByName(p)
     big_e.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
-    # tiny dims referenced via sf_dir by some probes
-    for name in ("customer",):
-        load_table(spark, SF01, name).write.mode("overwrite").parquet(
-            f"{out_dir}/{name}.parquet"
+    # customer x{REPLICAS_DOCS} with a replica suffix on the name: the
+    # within-replica ED1 structure is preserved and replicas of the
+    # SAME customer differ only in the suffix digit (also ED1), so the
+    # fuzzy graph grows in both nodes and cross-replica edges — a
+    # deliberately harsher BFS/pagerank scale point than pure
+    # disjoint-union replication
+    cust = load_table(spark, SF01, "customer")
+    c_parts = [
+        cust.select(
+            (F.col("c_custkey") + F.lit(i * 1_000_000)).alias("c_custkey"),
+            F.concat(F.col("c_name"), F.lit(f" r{i}")).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
         )
+        for i in range(REPLICAS_DOCS)
+    ]
+    big_c = c_parts[0]
+    for p in c_parts[1:]:
+        big_c = big_c.unionByName(p)
+    big_c.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
 
 
 def main() -> None:
@@ -135,7 +160,8 @@ def main() -> None:
         t0 = time.time()
         force(QUERIES[name](spark, out_dir))
         big = time.time() - t0
-        if name.startswith("q_dedup"):
+        if name.startswith(("q_dedup", "q_text", "q_feature", "q_graph")):
+            # documents- or customer-backed probes (10x replication)
             ratio = REPLICAS_DOCS
         elif name.startswith("q_emb"):
             ratio = REPLICAS_EMB

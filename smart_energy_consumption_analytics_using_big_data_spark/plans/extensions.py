@@ -5847,3 +5847,98 @@ def q_ts_croston(spark, sf_dir):
             F.col("sz").cast("double") / F.col("sp").cast("double"), 6
         ).alias("croston_rate"),
     )
+
+
+@q(
+    "q_text_rake",
+    """
+    WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tokp AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM tok0
+    ),
+    tk1 AS (
+      SELECT doc_id, pos, toks[pos] AS w,
+             CASE WHEN toks[pos] IN ('the', 'a') THEN 1 ELSE 0 END AS st
+      FROM tokp
+    ),
+    tk2 AS (
+      SELECT doc_id, pos, w, st,
+             SUM(st) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM tk1
+    ),
+    tk AS (SELECT doc_id, pos, w, pid FROM tk2 WHERE st = 0),
+    ph AS (
+      SELECT doc_id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM tk GROUP BY 1, 2
+    ),
+    wd AS (
+      SELECT w, count(*) AS freq, SUM(plen) AS deg
+      FROM tk JOIN ph USING (doc_id, pid) GROUP BY w
+    ),
+    ws AS (SELECT w, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore FROM wd),
+    ps AS (
+      SELECT doc_id, pid, phrase, min(plen) AS plen,
+             SUM(CAST(round(wscore, 12) AS DECIMAL(28,12))) AS s
+      FROM tk JOIN ph USING (doc_id, pid) JOIN ws USING (w)
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase, CAST(min(plen) AS BIGINT) AS len_tokens,
+           count(*) AS n_occurrences,
+           round(CAST(min(s) AS DOUBLE), 6) AS rake_score
+    FROM ps GROUP BY phrase
+    """,
+)
+def q_text_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (Rose et al. 2010): the token stream
+    splits into candidate phrases at stopword boundaries (gap-and-
+    island via a running stopword count — no self-join), word scores
+    are degree/frequency where degree credits each occurrence with its
+    phrase length, and a phrase scores the sum of its member word
+    scores. The statistical keyphrase extractor that complements
+    q_text_textrank's graph ranking; everything is explode + window +
+    two equi-joins, linear in corpus tokens."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(TX.tokens_ws(F.col("text"))).alias("pos", "w")
+    )
+    stop = F.col("w").isin("the", "a")
+    wpid = Window.partitionBy("doc_id").orderBy("pos")
+    tk = (
+        tok.withColumn("pid", F.sum(stop.cast("int")).over(wpid))
+        .where(~stop)
+        .select("doc_id", "pos", "w", "pid")
+    )
+    ph = tk.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    occ = tk.join(ph, ["doc_id", "pid"])
+    wd = occ.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    ws = wd.select(
+        "w",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias(
+            "wscore"
+        ),
+    )
+    ps = (
+        occ.join(ws, "w")
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(
+            F.min("plen").alias("plen"),
+            F.sum(F.round("wscore", 12).cast("decimal(28,12)")).alias("s"),
+        )
+    )
+    return ps.groupBy("phrase").agg(
+        F.min("plen").alias("len_tokens"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.round(F.min("s").cast("double"), 6).alias("rake_score"),
+    )

@@ -81,3 +81,52 @@ def q_ml_rf_importance(spark, sf_dir):
         for name, w in zip(FC.FEATURE_COLS, rf_model.featureImportances.toArray())
     ]
     return spark.createDataFrame(rows, "feature string, importance double")
+
+
+@q("q_ml_als")  # rows-only (factorization; no SQL oracle by nature)
+def q_ml_als(spark, sf_dir):
+    """ALS collaborative filtering (implicit feedback): customer x part
+    purchase counts from the order join factorize into rank-8 latent
+    vectors (seed 42), and each customer gets their top-3 part
+    recommendations — the model-based recommender beside the
+    item-item-cosine memory-based one (q_rec_item_sim). Exploded to
+    scalar rows for the driver comparator. Scale note: training is
+    Spark's blocked ALS (shuffle-bounded); exhaustive
+    recommendForAllUsers scoring is the sf-sized baseline — at corpus
+    scale serving goes through the ANN path (q_sim_ann_ivf) over the
+    learned item factors."""
+    from pyspark.ml.recommendation import ALS
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ratings = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            o["o_custkey"].cast("int").alias("user"),
+            li["l_partkey"].cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        alpha=1.0,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        F.col("user").cast("bigint").alias("user_id"),
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select(
+        "user_id",
+        (F.col("rec_rank") + 1).alias("rec_rank"),
+        F.col("rec.item").cast("bigint").alias("part_id"),
+        F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
+    )

@@ -11,10 +11,12 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions im
     q_feature_quantile_norm,
     q_graph_bfs,
     q_ml_isotonic,
+    q_text_rake,
     q_text_textrank,
     q_ts_croston,
     q_ts_holt,
 )
+from smart_energy_consumption_analytics_using_big_data_spark.plans.mlq import q_ml_als
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -174,3 +176,42 @@ def test_croston_equals_sequential_recurrence(spark, tmp_path):
         assert abs(got[1] - sp) < 1e-6
         assert abs(got[2] - sz / sp) < 1e-6
     assert len(out) == 4  # the first spike has no gap and is excluded
+
+
+def test_rake_textbook_phrase_scores(spark, tmp_path):
+    # "the fast join the fast join scan" -> phrases [fast join],
+    # [fast join scan]; deg/freq: fast 5/2, join 5/2, scan 3/1.
+    rows = [(1, "the fast join the fast join scan", "en", "s0", 32)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.phrase: (r.len_tokens, r.n_occurrences, r.rake_score)
+        for r in q_text_rake(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "fast join": (2, 1, 5.0),
+        "fast join scan": (3, 1, 8.0),
+    }
+
+
+def test_als_recommendations_shape_and_order(spark):
+    rows = q_ml_als(spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # 3 ranked recs per customer with non-increasing scores
+    for recs in by_user.values():
+        recs.sort(key=lambda r: r.rec_rank)
+        assert [r.rec_rank for r in recs] == [1, 2, 3]
+        assert recs[0].score >= recs[1].score >= recs[2].score
+    # recommended items come from the observed catalog
+    import duckdb
+
+    parts = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT l_partkey FROM '{SF_SMOKE}/lineitem.parquet'"
+        ).fetchall()
+    }
+    assert {r.part_id for r in rows} <= parts
