@@ -1716,21 +1716,13 @@ def q_graph_pagerank(spark, sf_dir):
 
 
 def _bfs_oracle(max_hops: int = 4, seed_mod: int = 10) -> str:
-    """Unrolled bounded BFS over the same fuzzy-name graph: d{k} is the
-    exact <=k-hop distance table, each round one join + one MIN."""
+    """Unrolled bounded BFS over the co-purchase part graph: d{k} is
+    the exact <=k-hop distance table, each round one join + one MIN."""
     head = """
-    WITH v AS (
-      SELECT c_custkey, c_name,
-             unnest(list_distinct(list_append(
-               list_transform(generate_series(1, len(c_name)),
-                              i -> substr(c_name, 1, i-1) || substr(c_name, i+1, len(c_name))),
-               c_name))) AS variant
-      FROM customer
-    ),
-    pairs AS (
-      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
-      FROM v a JOIN v b ON a.variant = b.variant AND a.c_custkey < b.c_custkey
-      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
     e AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1757,16 +1749,29 @@ def _bfs_oracle(max_hops: int = 4, seed_mod: int = 10) -> str:
 
 @q("q_graph_bfs", _bfs_oracle(4))
 def q_graph_bfs(spark, sf_dir):
-    """Bounded multi-source BFS over the fuzzy-name similarity graph:
-    hop distance from the ``id % 10 == 0`` seed customers, 4 unrolled
+    """Bounded multi-source BFS over the co-purchase part graph (the
+    same edge source as q_graph_triangles/q_graph_clustering): hop
+    distance from the ``id % 10 == 0`` seed parts, 4 unrolled
     min-relaxation rounds (join on src + MIN per node — unit-weight
     Bellman-Ford). The graph-traversal primitive behind blast-radius /
-    influence-neighborhood questions on an entity graph; all-integer,
-    so the oracle is exact with no float discipline needed. Reuses
-    q_join_fuzzy's FastSS blocking for the edge list (reference has no
-    graph surface; this extends the §2 similarity family)."""
-    c = t(spark, sf_dir, "customer")
-    pairs = J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
+    related-product-neighborhood questions; all-integer, so the oracle
+    is exact with no float discipline needed. (Originally ran on the
+    fuzzy-name graph; the FastSS blocking build dominated the runtime
+    ~2:1 over the traversal being measured, so the edge source moved
+    to the one-equi-join co-purchase graph.)"""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .distinct()
+    )
     edges = pairs.select(
         F.explode(
             F.array(

@@ -21,27 +21,29 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans.mlq import q_
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def test_bfs_hop_distances_on_path_graph(spark, tmp_path):
-    # ED1 chain aaaa-aaab-aabb-abbb-bbbb plus a second component
-    # qqqq-qqqr; zzzz is isolated (no edges -> absent from the graph).
-    # Seeds = node ids % 10 == 0, i.e. 10 and 20.
-    rows = [
-        (10, "aaaa", 0, 0.0, "SEG"),
-        (11, "aaab", 0, 0.0, "SEG"),
-        (12, "aabb", 0, 0.0, "SEG"),
-        (13, "abbb", 0, 0.0, "SEG"),
-        (14, "bbbb", 0, 0.0, "SEG"),
-        (15, "zzzz", 0, 0.0, "SEG"),
-        (20, "qqqq", 0, 0.0, "SEG"),
-        (21, "qqqr", 0, 0.0, "SEG"),
-    ]
-    spark.createDataFrame(
-        rows,
-        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
-        " c_mktsegment string",
-    ).write.parquet(str(tmp_path / "customer.parquet"))
-    out = {r.id: r.dist for r in q_graph_bfs(spark, str(tmp_path)).collect()}
+def test_bfs_hop_distances_on_path_graph(spark):
+    # path 10-11-12-13-14 plus a second component 20-21, symmetric
+    # edges; node 15 is isolated (no edges -> absent from the graph).
+    # Seeds = node ids % 10 == 0, i.e. 10 and 20. Node 14 sits at
+    # exactly max_hops; a longer path would be truncated by design.
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        bfs_hops,
+    )
+
+    und = [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {r.id: r.dist for r in bfs_hops(edges, seed_mod=10, max_hops=4).collect()}
     assert out == {10: 0, 11: 1, 12: 2, 13: 3, 14: 4, 20: 0, 21: 1}
+
+
+def test_bfs_query_reaches_copurchase_neighborhood(spark):
+    # on the real co-purchase graph every returned distance is within
+    # the hop bound and every seed part reports distance zero
+    rows = q_graph_bfs(spark, SF_SMOKE).collect()
+    assert rows and all(0 <= r.dist <= 4 for r in rows)
+    assert all(r.dist == 0 for r in rows if r.id % 10 == 0)
 
 
 def test_attribution_conserves_credit(spark):
