@@ -63,6 +63,8 @@ PROBE = [
     "q_text_textrank",
     "q_feature_quantile_norm",
     "q_graph_bfs",
+    "q_graph_jaccard",
+    "q_ts_hampel",
 ]
 
 
@@ -137,6 +139,30 @@ def build_derived(spark, out_dir: str) -> None:
     for p in c_parts[1:]:
         big_c = big_c.unionByName(p)
     big_c.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+    # lineitem x{REPLICAS_DOCS} with shifted order AND part keys: the
+    # co-purchase graph (BFS / neighbor-Jaccard probes) scales in
+    # orders, parts, and edges while replicas stay disjoint components
+    li = load_table(spark, SF01, "lineitem")
+    l_parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("l_partkey"),
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        for i in range(REPLICAS_DOCS)
+    ]
+    big_l = l_parts[0]
+    for p in l_parts[1:]:
+        big_l = big_l.unionByName(p)
+    big_l.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
 
 def main() -> None:

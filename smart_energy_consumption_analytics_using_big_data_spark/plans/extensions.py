@@ -5947,3 +5947,271 @@ def q_text_rake(spark, sf_dir):
         F.count(F.lit(1)).alias("n_occurrences"),
         F.round(F.min("s").cast("double"), 6).alias("rake_score"),
     )
+
+
+@q(
+    "q_ts_hampel",
+    """
+    WITH fr AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+      FROM events
+    ),
+    st AS (
+      SELECT event_id, user_id, value, list_sort(vals) AS s, len(vals) AS n
+      FROM fr
+    ),
+    md AS (
+      SELECT event_id, user_id, value, s, n,
+             CASE WHEN n % 2 = 1 THEN s[(n + 1) // 2]
+                  ELSE (s[n // 2] + s[n // 2 + 1]) / 2 END AS med
+      FROM st
+    ),
+    dv AS (
+      SELECT event_id, user_id, value, med, n,
+             list_sort(list_transform(s, x -> abs(x - med))) AS ds
+      FROM md
+    )
+    SELECT event_id, user_id, round(med, 6) AS med7,
+           round(CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                      ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2 END, 6) AS mad7,
+           abs(value - med) > 3 * 1.4826 *
+             (CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                   ELSE (ds[n // 2] + ds[n // 2 + 1]) / 2 END) AS is_outlier
+    FROM dv
+    """,
+)
+def q_ts_hampel(spark, sf_dir):
+    """Hampel outlier filter: a reading is flagged when it deviates
+    from its trailing 7-row median by more than 3 scaled MADs (1.4826
+    recovers sigma under Gaussian noise) — the robust despiking filter
+    that rolling z-scores (q_window_zscore) get wrong when the spike
+    itself inflates the stddev. One collect_list window per entity;
+    median AND MAD both come from in-row sorted-array math (no second
+    window pass), so the cost stays one exchange + O(w log w) per row.
+    MAD=0 frames (constant window) flag only strict deviations."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = ev.select(
+        "event_id", "user_id", "value", F.collect_list("value").over(w).alias("vals")
+    )
+    st = fr.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort("vals").alias("s"),
+        F.size("vals").alias("n"),
+    )
+
+    def list_median(arr):
+        n = F.col("n")
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    md = st.select(
+        "event_id", "user_id", "value", "s", "n", list_median(F.col("s")).alias("med")
+    )
+    dv = md.select(
+        "event_id",
+        "user_id",
+        "value",
+        "med",
+        "n",
+        F.array_sort(
+            F.transform("s", lambda x: F.abs(x - F.col("med")))
+        ).alias("ds"),
+    )
+    mad = list_median(F.col("ds"))
+    return dv.select(
+        "event_id",
+        "user_id",
+        F.round("med", 6).alias("med7"),
+        F.round(mad, 6).alias("mad7"),
+        (F.abs(F.col("value") - F.col("med")) > F.lit(3) * F.lit(1.4826) * mad).alias(
+            "is_outlier"
+        ),
+    )
+
+
+@q(
+    "q_graph_jaccard",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    common AS (
+      SELECT x.node AS a, y.node AS b, count(*) AS c
+      FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a, b, c,
+             CAST(c AS DOUBLE) / CAST(da.d + db.d - c AS DOUBLE) AS j
+      FROM common JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+      WHERE c >= 2
+    ),
+    sym AS (
+      SELECT a AS node, b AS nbr, c, j FROM scored
+      UNION ALL
+      SELECT b, a, c, j FROM scored
+    ),
+    rk AS (
+      SELECT node, nbr, c, j,
+             row_number() OVER (PARTITION BY node ORDER BY j DESC, nbr) AS rk
+      FROM sym
+    )
+    SELECT node, nbr, c AS n_common, round(j, 6) AS jaccard,
+           CAST(rk AS INT) AS rk
+    FROM rk WHERE rk <= 3
+    """,
+)
+def q_graph_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard kNN graph (link prediction / entity
+    similarity on the co-purchase graph): each part's top-3 most
+    similar parts by neighborhood overlap (>= 2 common neighbors) —
+    likely substitutes or bundle-mates even when never bought
+    together. Common neighbors come from ONE wedge join on the
+    shared-neighbor key (the q_graph_triangles join shape); a per-node
+    row_number keeps the OUTPUT scale-free (|V| x 3 rows at any data
+    size, where a fixed similarity threshold emits everything or
+    nothing as density shifts). Scale note: wedge fan-out through hub
+    nodes is inherent to exact neighborhood overlap — the 100 TB path
+    approximates the same score with MinHash over adjacency sets
+    (q_dedup_minhash_lsh's machinery, swapping shingles for neighbor
+    lists)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .distinct()
+    )
+    adj = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("node"), F.col("id_b").alias("nbr")),
+                F.struct(F.col("id_b").alias("node"), F.col("id_a").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr").persist()
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(F.col("x.node").alias("a"), F.col("y.node").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    jac = F.col("c").cast("double") / (
+        F.col("da") + F.col("db") - F.col("c")
+    ).cast("double")
+    scored = (
+        common.join(da, "a")
+        .join(db, "b")
+        .where(F.col("c") >= 2)
+        .select("a", "b", "c", jac.alias("j"))
+    )
+    sym = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("node"),
+                    F.col("b").alias("nbr"),
+                    F.col("c").alias("c"),
+                    F.col("j").alias("j"),
+                ),
+                F.struct(
+                    F.col("b").alias("node"),
+                    F.col("a").alias("nbr"),
+                    F.col("c").alias("c"),
+                    F.col("j").alias("j"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr", "e.c", "e.j")
+    wr = Window.partitionBy("node").orderBy(F.desc("j"), F.asc("nbr"))
+    return (
+        sym.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 3)
+        .select(
+            "node",
+            "nbr",
+            F.col("c").alias("n_common"),
+            F.round("j", 6).alias("jaccard"),
+            "rk",
+        )
+    )
+
+
+@q(
+    "q_dq_ldiversity",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+             CAST(floor(value / 10.0) AS INT) AS vband,
+             count(DISTINCT user_id) AS l, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_groups,
+           min(l) AS l_diversity,
+           count(CASE WHEN l < 3 THEN 1 END) AS n_risky_groups,
+           CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows
+    FROM g
+    """,
+)
+def q_dq_ldiversity(spark, sf_dir):
+    """l-diversity audit — k-anonymity's stronger sibling
+    (q_dq_kanonymity shares the quasi-identifier classes): a class can
+    be large yet still leak if every row shares the same SENSITIVE
+    value, so the released dataset's l is the minimum count of
+    DISTINCT sensitive values (user_id) per QI class, plus how many
+    classes (and rows) fall under l=3. Same two shrinking partial-agg
+    passes; the distinct count rides the QI shuffle."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.floor(F.col("value") / 10.0).cast("int").alias("vband"),
+    ).agg(
+        F.countDistinct("user_id").alias("l"), F.count(F.lit(1)).alias("n")
+    )
+    risky = F.when(F.col("l") < 3, F.lit(1))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("l").alias("l_diversity"),
+        F.count(risky).alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_risky_rows"),
+    )

@@ -217,3 +217,90 @@ def test_als_recommendations_shape_and_order(spark):
         ).fetchall()
     }
     assert {r.part_id for r in rows} <= parts
+
+
+def test_hampel_flags_spike_not_neighbors(spark, tmp_path):
+    # constant 5.0 series with one 50.0 spike: the spike deviates from
+    # its frame median (5.0) by 45 with MAD 0 -> flagged; every other
+    # row has deviation 0 -> not flagged (MAD=0 frames flag only
+    # strict deviations)
+    base = dt.datetime(2024, 1, 1)
+    vals = [5.0] * 6 + [50.0] + [5.0] * 6
+    rows = [
+        (i, base + dt.timedelta(hours=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+        q_ts_hampel,
+    )
+
+    out = {r.event_id: r for r in q_ts_hampel(spark, str(tmp_path)).collect()}
+    assert out[6].is_outlier and out[6].med7 == 5.0 and out[6].mad7 == 0.0
+    assert not any(out[i].is_outlier for i in range(len(vals)) if i != 6)
+
+
+def test_graph_jaccard_matches_bruteforce_sets(spark, tmp_path):
+    # orders {1,2,3} and {1,2,4}: neighborhoods 1:{2,3,4} 2:{1,3,4}
+    # 3:{1,2} 4:{1,2} -> jaccard(3,4)=1.0, (1,2)=0.5, (1,3)=(1,4)=
+    # (2,3)=(2,4)=0.25 — all at or above the 0.25 emit threshold
+    rows = []
+    for ok, parts in ((100, [1, 2, 3]), (200, [1, 2, 4])):
+        for i, p in enumerate(parts):
+            rows.append((ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         dt.datetime(2024, 1, 1)))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+        q_graph_jaccard,
+    )
+
+    got = {
+        (r.node, r.nbr): (r.n_common, r.jaccard, r.rk)
+        for r in q_graph_jaccard(spark, str(tmp_path)).collect()
+    }
+    # pairs with >= 2 common neighbors: (1,2) j=2/4 and (3,4) j=2/2;
+    # symmetrized, each is its endpoint's rank-1 (and only) neighbor
+    nbrs = {1: {2, 3, 4}, 2: {1, 3, 4}, 3: {1, 2}, 4: {1, 2}}
+    want = {}
+    for a, b in ((1, 2), (2, 1), (3, 4), (4, 3)):
+        c = len(nbrs[a] & nbrs[b])
+        want[(a, b)] = (c, round(c / len(nbrs[a] | nbrs[b]), 6), 1)
+    assert got == want
+
+
+def test_ldiversity_min_distinct_sensitive(spark, tmp_path):
+    # one QI class with a single user (l=1, risky), one with three
+    base = dt.datetime(2024, 1, 1, 5)  # hour=5 for all rows
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base, 7, "view", 2.0, "{}"),
+        (3, base, 11, "click", 1.0, "{}"),
+        (4, base, 12, "click", 2.0, "{}"),
+        (5, base, 13, "click", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+        q_dq_ldiversity,
+    )
+
+    r = q_dq_ldiversity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_groups, r.l_diversity, r.n_risky_groups, r.n_risky_rows) == (
+        2,
+        1,
+        1,
+        2,
+    )
