@@ -6046,9 +6046,10 @@ def q_ts_hampel(spark, sf_dir):
     "q_graph_jaccard",
     """
     WITH pairs AS (
-      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
     ),
     adj AS (
       SELECT id_a AS node, id_b AS nbr FROM pairs
@@ -6091,9 +6092,14 @@ def q_graph_jaccard(spark, sf_dir):
     shared-neighbor key (the q_graph_triangles join shape); a per-node
     row_number keeps the OUTPUT scale-free (|V| x 3 rows at any data
     size, where a fixed similarity threshold emits everything or
-    nothing as density shifts). Scale note: wedge fan-out through hub
-    nodes is inherent to exact neighborhood overlap — the 100 TB path
-    approximates the same score with MinHash over adjacency sets
+    nothing as density shifts). The graph keeps only pairs CO-BOUGHT
+    IN >= 2 ORDERS — the standard noise-floor prune for co-occurrence
+    graphs, and the thing that bounds wedge fan-out: one-off random
+    co-purchases grow quadratically with data (measured 298M wedge
+    rows at sf0.1) while repeated pairs track true affinity (12k
+    wedges, pair count ~flat across 100x data). Scale note: even so,
+    exact overlap through a residual hub is the cost ceiling — the
+    100 TB escape hatch is MinHash over adjacency sets
     (q_dedup_minhash_lsh's machinery, swapping shingles for neighbor
     lists)."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -6104,10 +6110,12 @@ def q_graph_jaccard(spark, sf_dir):
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .where(F.col("__m") >= 2)
+        .select("id_a", "id_b")
     )
     adj = pairs.select(
         F.explode(
@@ -6214,4 +6222,258 @@ def q_dq_ldiversity(spark, sf_dir):
         )
         .cast("bigint")
         .alias("n_risky_rows"),
+    )
+
+
+@q(
+    "q_ts_downsample",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, value,
+             strftime(to_timestamp((epoch_us(ts) // 21600000000) * 21600),
+                      '%Y-%m-%d %H:%M:%S') AS bucket_start
+      FROM events
+    ),
+    st AS (
+      SELECT user_id, bucket_start, event_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                    OVER (PARTITION BY user_id, bucket_start) AS DOUBLE)
+               / count(*) OVER (PARTITION BY user_id, bucket_start) AS m,
+             count(*) OVER (PARTITION BY user_id, bucket_start) AS n
+      FROM b
+    ),
+    rk AS (
+      SELECT user_id, bucket_start, event_id, value, n,
+             row_number() OVER (PARTITION BY user_id, bucket_start
+                                ORDER BY abs(value - m) DESC, event_id) AS rn
+      FROM st
+    )
+    SELECT user_id, bucket_start, event_id AS rep_event_id,
+           round(value, 6) AS rep_value, n AS n_in_bucket
+    FROM rk WHERE rn = 1
+    """,
+)
+def q_ts_downsample(spark, sf_dir):
+    """Peak-preserving downsampling for plotting/telemetry export: one
+    representative reading per (user, 6h bucket) — the row FARTHEST
+    from the bucket mean (tie -> lowest id), so spikes survive where
+    plain bucket averages would flatten them (the property LTTB-class
+    downsamplers exist for; this is the order-free variant expressible
+    as two window passes over one exchange). Output is |entities| x
+    |buckets| rows regardless of ingest rate — the scale-free shape a
+    dashboard needs. Bucket mean is decimal-exact, so the deviation
+    ranking is engine- and partitioning-identical."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format(F.window("ts", "6 hours")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_start"
+        ),
+    )
+    wB = Window.partitionBy("user_id", "bucket_start")
+    st = b.select(
+        "user_id",
+        "bucket_start",
+        "event_id",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(25,6)")).over(wB).cast("double")
+            / F.count(F.lit(1)).over(wB)
+        ).alias("m"),
+        F.count(F.lit(1)).over(wB).alias("n"),
+    )
+    wr = Window.partitionBy("user_id", "bucket_start").orderBy(
+        F.desc(F.abs(F.col("value") - F.col("m"))), F.asc("event_id")
+    )
+    return (
+        st.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "bucket_start",
+            F.col("event_id").alias("rep_event_id"),
+            F.round("value", 6).alias("rep_value"),
+            F.col("n").alias("n_in_bucket"),
+        )
+    )
+
+
+def _ppr_oracle(iters: int = 3, seed_mod: int = 10) -> str:
+    """Unrolled personalized PageRank over the co-purchase graph:
+    restart mass only on the id % seed_mod seed parts."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    scnt AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE id % {m} = 0),
+    deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (
+      SELECT id, CASE WHEN id % {m} = 0
+                      THEN round(1.0 / (SELECT ns FROM scnt), 12)
+                      ELSE 0.0 END AS rank
+      FROM nodes
+    )
+    """.format(m=seed_mod)
+    for it in range(1, iters + 1):
+        head += f""",
+    c{it} AS (
+      SELECT e.dst AS id,
+             CAST(round(r.rank / d.deg, 12) AS DECIMAL(28,12)) AS c
+      FROM e JOIN r{it - 1} r ON e.src = r.id JOIN deg d ON e.src = d.id
+    ),
+    r{it} AS (
+      SELECT n.id,
+             round(CASE WHEN n.id % {seed_mod} = 0
+                        THEN 0.15 / (SELECT ns FROM scnt) ELSE 0.0 END
+                   + 0.85 * coalesce(CAST(s.s AS DOUBLE), 0.0), 12) AS rank
+      FROM nodes n LEFT JOIN (SELECT id, SUM(c) AS s FROM c{it} GROUP BY id) s
+        ON n.id = s.id
+    )
+    """
+    return head + f"SELECT id, round(rank, 6) AS rank FROM r{iters}"
+
+
+@q("q_graph_ppr", _ppr_oracle(3))
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank over the co-purchase part graph: restart
+    mass pinned to the ``id % 10 == 0`` seed parts, so rank measures
+    relatedness to that portfolio — the "customers who bought these
+    also orbit around..." relatedness walk (Haveliwala 2002), vs
+    q_graph_pagerank's global centrality. Same fixed-iteration
+    join+shuffle rounds and decimal-exact contribution sums; only the
+    restart vector changes."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    return personalized_pagerank(edges, seed_mod=10, iters=3)
+
+
+def _seasonal_strength_oracle() -> str:
+    return """
+    WITH stl AS ({stl}),
+    x AS (
+      SELECT event_type, residual AS r,
+             seasonal + residual AS sr, trend + residual AS tr
+      FROM stl
+    ),
+    v AS (
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mr,
+             CAST(SUM(CAST(round(r * r, 12) AS DECIMAL(30,12))) AS DOUBLE)
+               / count(*) AS mr2,
+             CAST(SUM(CAST(sr AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS msr,
+             CAST(SUM(CAST(round(sr * sr, 12) AS DECIMAL(30,12))) AS DOUBLE)
+               / count(*) AS msr2,
+             CAST(SUM(CAST(tr AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mtr,
+             CAST(SUM(CAST(round(tr * tr, 12) AS DECIMAL(30,12))) AS DOUBLE)
+               / count(*) AS mtr2
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, n AS n_buckets,
+           round(greatest(CAST(0.0 AS DOUBLE),
+             CASE WHEN msr2 - msr * msr = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 - (mr2 - mr * mr) / (msr2 - msr * msr) END), 6)
+             AS f_seasonal,
+           round(greatest(CAST(0.0 AS DOUBLE),
+             CASE WHEN mtr2 - mtr * mtr = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 1.0 - (mr2 - mr * mr) / (mtr2 - mtr * mtr) END), 6)
+             AS f_trend
+    FROM v
+    """.format(stl=_ORACLE_REG["q_ts_stl_decompose"])
+
+
+@q("q_ts_seasonal_strength", _seasonal_strength_oracle())
+def q_ts_seasonal_strength(spark, sf_dir):
+    """Seasonal and trend STRENGTH (Hyndman's F_s = max(0, 1 -
+    var(remainder)/var(seasonal+remainder)) and the F_t analogue on
+    trend+remainder) per event type, computed directly on
+    q_ts_stl_decompose's output — the forecastability diagnostic that
+    says whether the STL seasonal/trend components actually explain
+    the series or the energy profile is noise-dominated. Variances come
+    from decimal-exact sums of the rounded STL components (the rounded
+    values ARE finite decimals, so E[x^2]-E[x]^2 is engine-identical);
+    one extra shrinking aggregation over the decomposition, no new
+    scans."""
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.analytics import (
+        q_ts_stl_decompose,
+    )
+
+    stl = q_ts_stl_decompose(spark, sf_dir)
+    x = stl.select(
+        "event_type",
+        F.col("residual").alias("r"),
+        (F.col("seasonal") + F.col("residual")).alias("sr"),
+        (F.col("trend") + F.col("residual")).alias("tr"),
+    )
+
+    def moments(c):
+        m = F.sum(F.col(c).cast("decimal(25,6)")).cast("double") / F.count(
+            F.lit(1)
+        )
+        m2 = F.sum(
+            F.round(F.col(c) * F.col(c), 12).cast("decimal(30,12)")
+        ).cast("double") / F.count(F.lit(1))
+        return m, m2
+
+    mr, mr2 = moments("r")
+    msr, msr2 = moments("sr")
+    mtr, mtr2 = moments("tr")
+    v = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        mr.alias("mr"),
+        mr2.alias("mr2"),
+        msr.alias("msr"),
+        msr2.alias("msr2"),
+        mtr.alias("mtr"),
+        mtr2.alias("mtr2"),
+    )
+
+    def strength(m, m2):
+        denom = F.col(m2) - F.col(m) * F.col(m)
+        ratio = (F.col("mr2") - F.col("mr") * F.col("mr")) / denom
+        return F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.when(denom == 0, F.lit(0.0)).otherwise(F.lit(1.0) - ratio),
+            ),
+            6,
+        )
+
+    return v.select(
+        "event_type",
+        F.col("n").alias("n_buckets"),
+        strength("msr", "msr2").alias("f_seasonal"),
+        strength("mtr", "mtr2").alias("f_trend"),
     )

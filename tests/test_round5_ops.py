@@ -21,6 +21,20 @@ from smart_energy_consumption_analytics_using_big_data_spark.plans.mlq import q_
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+def _r(x: float, n: int) -> float:
+    """Round-half-UP on the double's SHORTEST decimal repr — what
+    Spark's round does (BigDecimal.valueOf goes through
+    Double.toString, not the exact binary expansion) and DuckDB
+    matches; Python's built-in round is banker's on the exact
+    expansion and disagrees on .5 boundaries."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-n)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def test_bfs_hop_distances_on_path_graph(spark):
     # path 10-11-12-13-14 plus a second component 20-21, symmetric
     # edges; node 15 is isolated (no edges -> absent from the graph).
@@ -139,13 +153,13 @@ def test_textrank_path_graph_matches_hand_iteration(spark, tmp_path):
     nodes = sorted({s for s, _ in edges})
     deg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
     n = len(nodes)
-    rank = {v: round(1.0 / n, 12) for v in nodes}
+    rank = {v: _r(1.0 / n, 12) for v in nodes}
     for _ in range(3):
         recv = {v: 0.0 for v in nodes}
         for s, d in edges:
-            recv[d] += round(rank[s] / deg[s], 12)
-        rank = {v: round(0.15 / n + 0.85 * recv[v], 12) for v in nodes}
-    assert out == {v: round(r, 6) for v, r in rank.items()}
+            recv[d] += _r(rank[s] / deg[s], 12)
+        rank = {v: _r(0.15 / n + 0.85 * recv[v], 12) for v in nodes}
+    assert out == {v: _r(r, 6) for v, r in rank.items()}
     assert out["b"] > out["a"] == out["c"]
 
 
@@ -245,11 +259,19 @@ def test_hampel_flags_spike_not_neighbors(spark, tmp_path):
 
 
 def test_graph_jaccard_matches_bruteforce_sets(spark, tmp_path):
-    # orders {1,2,3} and {1,2,4}: neighborhoods 1:{2,3,4} 2:{1,3,4}
-    # 3:{1,2} 4:{1,2} -> jaccard(3,4)=1.0, (1,2)=0.5, (1,3)=(1,4)=
-    # (2,3)=(2,4)=0.25 — all at or above the 0.25 emit threshold
+    # each edge is co-bought in two orders (the >= 2 support prune
+    # keeps it): edges (1,3),(1,4),(2,3),(2,4) -> neighborhoods
+    # 1:{3,4} 2:{3,4} 3:{1,2} 4:{1,2}; the single-order pair (5,6)
+    # is pruned as noise. jaccard(1,2)=jaccard(3,4)=1.0, c=2.
+    orders = [
+        (100, [1, 3]), (101, [1, 3]),
+        (102, [1, 4]), (103, [1, 4]),
+        (104, [2, 3]), (105, [2, 3]),
+        (106, [2, 4]), (107, [2, 4]),
+        (108, [5, 6]),
+    ]
     rows = []
-    for ok, parts in ((100, [1, 2, 3]), (200, [1, 2, 4])):
+    for ok, parts in orders:
         for i, p in enumerate(parts):
             rows.append((ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
                          dt.datetime(2024, 1, 1)))
@@ -268,9 +290,10 @@ def test_graph_jaccard_matches_bruteforce_sets(spark, tmp_path):
         (r.node, r.nbr): (r.n_common, r.jaccard, r.rk)
         for r in q_graph_jaccard(spark, str(tmp_path)).collect()
     }
-    # pairs with >= 2 common neighbors: (1,2) j=2/4 and (3,4) j=2/2;
-    # symmetrized, each is its endpoint's rank-1 (and only) neighbor
-    nbrs = {1: {2, 3, 4}, 2: {1, 3, 4}, 3: {1, 2}, 4: {1, 2}}
+    # pairs with >= 2 common neighbors: (1,2) share {3,4}, (3,4)
+    # share {1,2}; symmetrized, each is its endpoint's rank-1 (and
+    # only) kNN entry; parts 5/6 are absent entirely
+    nbrs = {1: {3, 4}, 2: {3, 4}, 3: {1, 2}, 4: {1, 2}}
     want = {}
     for a, b in ((1, 2), (2, 1), (3, 4), (4, 3)):
         c = len(nbrs[a] & nbrs[b])
@@ -304,3 +327,70 @@ def test_ldiversity_min_distinct_sensitive(spark, tmp_path):
         1,
         2,
     )
+
+
+def test_downsample_keeps_spike_and_breaks_ties_low_id(spark, tmp_path):
+    # one 6h bucket, values [1,1,1,10]: mean 3.25 -> spike wins;
+    # second bucket [0,10]: equidistant from mean 5 -> lower id wins
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + dt.timedelta(hours=1), 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=2), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(hours=3), 1, "view", 10.0, "{}"),
+        (4, base + dt.timedelta(hours=6), 1, "view", 0.0, "{}"),
+        (5, base + dt.timedelta(hours=7), 1, "view", 10.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+        q_ts_downsample,
+    )
+
+    out = {
+        r.bucket_start: (r.rep_event_id, r.rep_value, r.n_in_bucket)
+        for r in q_ts_downsample(spark, str(tmp_path)).collect()
+    }
+    assert out["2024-01-01 00:00:00"] == (3, 10.0, 4)
+    assert out["2024-01-01 06:00:00"] == (4, 0.0, 2)
+
+
+def test_personalized_pagerank_matches_hand_iteration(spark):
+    # path 10-11-12-13 (symmetric), single seed 10: replicate the
+    # damped seeded recurrence independently in Python.
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(10, 11), (11, 12), (12, 13)]
+    edges_df = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    out = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges_df, seed_mod=10, iters=3).collect()
+    }
+
+    edges = und + [(b, a) for a, b in und]
+    nodes = sorted({v for e in edges for v in e})
+    deg = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+    seeds = [v for v in nodes if v % 10 == 0]
+    rank = {v: _r(1.0 / len(seeds), 12) if v in seeds else 0.0 for v in nodes}
+    for _ in range(3):
+        recv = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            recv[d] += _r(rank[s] / deg[s], 12)
+        rank = {
+            v: _r(
+                (0.15 / len(seeds) if v in seeds else 0.0) + 0.85 * recv[v], 12
+            )
+            for v in nodes
+        }
+    assert out == {v: _r(r, 6) for v, r in rank.items()}
+    # beyond the seed's immediate neighbor (which soaks up the seed's
+    # whole donated mass on a degree-1 path), relatedness decays with
+    # distance, and everything stays non-negative
+    assert out[11] > out[12] and out[11] > out[10] > out[13] >= 0.0
