@@ -6477,3 +6477,88 @@ def q_ts_seasonal_strength(spark, sf_dir):
         strength("msr", "msr2").alias("f_seasonal"),
         strength("mtr", "mtr2").alias("f_trend"),
     )
+
+
+@q(
+    "q_dedup_chunks",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST((len(toks) + 19) // 20 AS INT) - 1))
+               AS chunk_id
+      FROM tok
+    ),
+    x AS (
+      SELECT doc_id, chunk_id,
+             array_to_string(list_slice(toks, chunk_id * 20 + 1,
+                                        chunk_id * 20 + 20), ' ') AS ctext
+      FROM c
+    ),
+    r AS (
+      SELECT doc_id, chunk_id, ctext,
+             row_number() OVER (PARTITION BY md5(ctext)
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM x
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+                                   ORDER BY chunk_id), '')) AS cleaned_hash
+    FROM r GROUP BY doc_id
+    """,
+)
+def q_dedup_chunks(spark, sf_dir):
+    """Sub-document dedup (Lee et al.-style at CHUNK granularity):
+    every 20-token non-overlapping chunk keeps only its globally FIRST
+    occurrence (lowest doc_id, then position — deterministic), and
+    each document is reconstructed from its surviving chunks in order
+    — so a document that copies half of another loses just that half,
+    where doc-level dedup would either keep the redundancy or drop the
+    unique half too. One explode to chunk rows, one hash-keyed window
+    for first-occurrence, one ordered re-agg to rebuild; the rebuilt
+    text travels as md5 so the result stays narrow while still
+    value-checking exact reconstruction bytes."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", TX.tokens_ws(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n_chunks = F.floor((F.size("toks") + 19) / 20).cast("int")
+    c = tok.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    x = c.select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice("toks", F.col("chunk_id") * 20 + 1, F.lit(20))
+        ).alias("ctext"),
+    )
+    wf = Window.partitionBy(F.md5("ctext")).orderBy("doc_id", "chunk_id")
+    r = x.withColumn("rn", F.row_number().over(wf))
+    kept_text = F.when(F.col("rn") == 1, F.col("ctext"))
+    recon = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.struct(F.col("chunk_id"), F.col("ctext")),
+                    )
+                )
+            ),
+            lambda s: s["ctext"],
+        ),
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(kept_text).alias("n_kept"),
+        F.md5(recon).alias("cleaned_hash"),
+    )

@@ -394,3 +394,33 @@ def test_personalized_pagerank_matches_hand_iteration(spark):
     # whole donated mass on a degree-1 path), relatedness decays with
     # distance, and everything stays non-negative
     assert out[11] > out[12] and out[11] > out[10] > out[13] >= 0.0
+
+
+def test_chunk_dedup_reconstructs_unique_remainder(spark, tmp_path):
+    # doc1 = w0..w24 (chunks [w0..w19], [w20..w24]); doc2 copies
+    # doc1's first chunk then adds x1..x5 -> its copied chunk drops,
+    # reconstruction keeps only "x1 .. x5"; doc3 is untouched.
+    import hashlib
+
+    w = [f"w{i}" for i in range(25)]
+    doc1 = " ".join(w)
+    doc2 = " ".join(w[:20] + ["x1", "x2", "x3", "x4", "x5"])
+    doc3 = "u1 u2 u3"
+    rows = [(1, doc1, "en", "s0", len(doc1)),
+            (2, doc2, "en", "s0", len(doc2)),
+            (3, doc3, "en", "s0", len(doc3))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.extensions import (
+        q_dedup_chunks,
+    )
+
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.cleaned_hash)
+        for r in q_dedup_chunks(spark, str(tmp_path)).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1] == (2, 2, md5(doc1))
+    assert out[2] == (2, 1, md5("x1 x2 x3 x4 x5"))
+    assert out[3] == (1, 1, md5(doc3))
