@@ -70,6 +70,7 @@ ALLOWED_BNLJ = {
     "q_ts_hurst": "3-row literal scale table broadcast against the bounded hourly rollup",
     "q_ml_isotonic": "PAV minimax self-joins over the 50-row calibration bin table — bin-count-bounded, data-size-independent",
     "q_feature_quantile_norm": "1-row corpus-count cross-joined as a broadcast (the inverse-CDF lookups are integer equi-joins)",
+    "q_emb_trunc_recall": "inherits q_sim_cosine_topk's 1-row query-vector broadcast, applied at three truncation widths; recall joins are 10-row equi-joins",
 }
 
 

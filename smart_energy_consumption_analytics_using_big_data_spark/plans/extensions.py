@@ -6562,3 +6562,60 @@ def q_dedup_chunks(spark, sf_dir):
         F.count(kept_text).alias("n_kept"),
         F.md5(recon).alias("cleaned_hash"),
     )
+
+
+def _trunc_topk_sql(d: int) -> str:
+    a, b = f"list_slice(e.embedding, 1, {d})", f"list_slice(q.qvec, 1, {d})"
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"""
+      SELECT e.vec_id FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings
+                  ORDER BY vec_id LIMIT 1) q
+      ORDER BY round({dot} / (sqrt({na}) * sqrt({nb})), 6) DESC, e.vec_id
+      LIMIT 10
+    """
+
+
+@q(
+    "q_emb_trunc_recall",
+    f"""
+    WITH fl AS (SELECT vec_id FROM ({_ORACLE_REG['q_sim_cosine_topk']})),
+    t16 AS ({_trunc_topk_sql(16)}),
+    t32 AS ({_trunc_topk_sql(32)})
+    SELECT 16 AS dim, round(count(*) / 10.0, 6) AS recall_at_10
+    FROM t16 JOIN fl USING (vec_id)
+    UNION ALL
+    SELECT 32 AS dim, round(count(*) / 10.0, 6) AS recall_at_10
+    FROM t32 JOIN fl USING (vec_id)
+    """,
+)
+def q_emb_trunc_recall(spark, sf_dir):
+    """Matryoshka-style dimension-truncation evaluation: recall@10 of
+    exact cosine search using only the first 16 / 32 of 64 embedding
+    dims against the full-dimension top-10 — the measurement that
+    decides how far a nested-representation index can truncate before
+    retrieval quality pays (Kusupati et al. 2022's evaluation, on the
+    exact-search baseline so the oracle stays deterministic). Reuses
+    the brute-force scan (1-row query broadcast) three times on
+    progressively sliced vectors; output is two scalar rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    query = emb.orderBy("vec_id").limit(1)
+    full = S.cosine_topk(emb, query, k=10).select("vec_id")
+
+    def trunc_ids(d):
+        et = emb.withColumn("embedding", F.slice("embedding", 1, d))
+        qt = query.withColumn("embedding", F.slice("embedding", 1, d))
+        return S.cosine_topk(et, qt, k=10).select("vec_id")
+
+    parts = []
+    for d in (16, 32):
+        hit = trunc_ids(d).join(full, "vec_id")
+        parts.append(
+            hit.agg(
+                F.lit(d).alias("dim"),
+                F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -329,3 +329,40 @@ def q_stream_counter_delta(spark, sf_dir):
     )
 
     return stream_counter_delta(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
+    "q_stream_sliding_append",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    e2 AS (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM events),
+    w AS (
+      SELECT to_timestamp((epoch_us(ts) // 21600000000) * 21600 - k * 21600)
+               AS win_start,
+             event_type, value
+      FROM e2
+    ),
+    d AS (
+      SELECT win_start, event_type, {dsum} AS total_value, count(*) AS n
+      FROM w GROUP BY 1, 2
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type, total_value, n
+    FROM d, mx
+    WHERE win_start + INTERVAL 12 HOUR <= m - INTERVAL 1 DAY
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_sliding_append(spark, sf_dir):
+    """Watermarked APPEND-mode sliding rollup (12h window / 6h slide):
+    each event lands in two overlapping windows, each window emits
+    exactly once when the watermark passes its end, late state evicts.
+    The oracle expands the two window memberships arithmetically
+    (floor-to-slide minus k slides) and keeps windows whose end
+    precedes the final watermark — the eviction path itself is
+    hash-checked, the q_stream_rollup_append treatment applied to the
+    overlapping-window case."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_sliding_rollup_append,
+    )
+
+    return stream_sliding_rollup_append(spark, f"{sf_dir}/events.parquet")

@@ -261,3 +261,36 @@ def stream_session_rollup(
     query = _run_to_memory(spark, agg, name, "complete")
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_sliding_rollup_append(
+    spark: SparkSession,
+    events_glob: str,
+    window: str = "12 hours",
+    slide: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked APPEND-mode sliding rollup — the live-ingest form of
+    `stream_sliding_rollup`: overlapping windows emit once, when the
+    watermark passes their end, and their state evicts. Deterministic
+    under availableNow replay (final watermark = max(ts) - watermark),
+    so the emitted set equals the batch sliding aggregation restricted
+    to closed windows — SQL-expressible, which keeps even the
+    eviction path oracle-checked."""
+    events = _streaming_events(spark, events_glob).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(F.window("ts", window, slide).alias("win"), F.col("event_type"))
+        .agg(sum_exact("value").alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            "event_type",
+            "total_value",
+            "n",
+        )
+    )
+    name = f"stream_sliding_append_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "append")
+    query.awaitTermination()
+    return spark.table(name)
