@@ -73,6 +73,13 @@ ALLOWED_BNLJ = {
     "q_emb_trunc_recall": "inherits q_sim_cosine_topk's 1-row query-vector broadcast, applied at three truncation widths; recall joins are 10-row equi-joins",
 }
 
+# CartesianProduct is acceptable only when a library's own blocked
+# exhaustive computation plans it by design and the blocks are
+# factor-sized, not data-sized. Same contract as ALLOWED_BNLJ.
+ALLOWED_CARTESIAN = {
+    "q_ml_als": "MLlib recommendForAllUsers: deliberate blocked cross join of user-factor x item-factor BLOCKS (rank-8 vectors, dimension-sized) for exhaustive scoring; the ANN path serves at corpus scale",
+}
+
 
 def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -98,7 +105,8 @@ def audit_one(name: str, df, plan: str, oracled: bool) -> dict:
             bad.append(f"non-atomic oracled output: {nested}")
     return {
         "bad_nodes": bad,
-        "allowed": name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"],
+        "allowed": (name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"])
+        or (name in ALLOWED_CARTESIAN and bad == ["CartesianProduct"]),
         "pandas_stages": [node for node in PANDAS_NODES if node in plan],
         "scans": plan.count("Location: InMemoryFileIndex") // 2,
     }
