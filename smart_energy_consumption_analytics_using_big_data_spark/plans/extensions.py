@@ -6619,3 +6619,132 @@ def q_emb_trunc_recall(spark, sf_dir):
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@q(
+    "q_eval_ece",
+    """
+    WITH binned AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             ntile(50) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    ),
+    b AS (SELECT bin, count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM binned GROUP BY bin),
+    e AS (
+      SELECT bin, n, pos,
+             abs(CAST(pos AS DOUBLE) / n
+                 - (CAST(bin AS DOUBLE) - 0.5) / 50.0) AS gap
+      FROM b
+    )
+    SELECT CAST(count(*) AS INT) AS n_bins,
+           CAST(SUM(n) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(round(n * gap, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) / SUM(n), 6) AS ece,
+           round(max(gap), 6) AS mce
+    FROM e
+    """,
+)
+def q_eval_ece(spark, sf_dir):
+    """Expected / maximum calibration error over the same 50
+    deterministic score bins as q_ml_isotonic: per bin, the gap between
+    observed positive rate and the bin's nominal confidence (its rank
+    midpoint), weighted by bin mass for ECE and maxed for MCE — the
+    reliability-diagram summary numbers that say whether a score can
+    be read as a probability BEFORE calibration (q_ml_isotonic is the
+    fix; this is the diagnosis). Two shrinking aggregations after the
+    shared binning sort."""
+    o = t(spark, sf_dir, "orders")
+    binned = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.ntile(50).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
+    )
+    b = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
+    )
+    gap = F.abs(
+        F.col("pos").cast("double") / F.col("n")
+        - (F.col("bin").cast("double") - 0.5) / 50.0
+    )
+    e = b.select("n", gap.alias("gap"))
+    return e.agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.sum("n").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("n") * F.col("gap"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("ece"),
+        F.round(F.max("gap"), 6).alias("mce"),
+    )
+
+
+@q(
+    "q_graph_degree_dist",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+    h AS (SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d),
+    tot AS (SELECT CAST(SUM(n_nodes) AS DOUBLE) AS nv FROM h)
+    SELECT degree, n_nodes,
+           round(CAST(SUM(n_nodes) OVER (ORDER BY degree DESC) AS DOUBLE)
+                 / (SELECT nv FROM tot), 6) AS frac_at_least
+    FROM h
+    """,
+)
+def q_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the (unpruned) co-purchase graph: node
+    count per degree plus the complementary-CDF column (fraction of
+    nodes with degree >= d) — the diagnostic that decides whether the
+    graph operators upstream need hub mitigation (a heavy tail here is
+    exactly why q_graph_jaccard prunes to >= 2-order pairs and
+    q_graph_triangles orients by degree). Two shrinking aggregations
+    over the edge list; the CCDF is one window over the degree-sized
+    histogram."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .distinct()
+    )
+    adj = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("node"), F.col("id_b").alias("nbr")),
+                F.struct(F.col("id_b").alias("node"), F.col("id_a").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.node", "e.nbr")
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    h = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    wc = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    nv = Window.partitionBy()
+    return h.select(
+        "degree",
+        "n_nodes",
+        F.round(
+            F.sum("n_nodes").over(wc).cast("double") / F.sum("n_nodes").over(nv),
+            6,
+        ).alias("frac_at_least"),
+    )

@@ -366,3 +366,46 @@ def q_stream_sliding_append(spark, sf_dir):
     )
 
     return stream_sliding_rollup_append(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
+    "q_stream_session_append",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT user_id,
+             strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             max(ts) AS last_ts, count(*) AS n_events, {dsum} AS total_value
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events, total_value
+    FROM sess, mx
+    WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 1 DAY
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_session_append(spark, sf_dir):
+    """Watermarked APPEND-mode session windows: dynamic per-user
+    sessions (30 min gap) emit exactly once when the watermark passes
+    last-event + gap, then their merge state evicts. The oracle is the
+    batch lag/cumsum sessionization restricted to sessions closed
+    before the final watermark — the state-eviction path of the
+    native session_window operator, hash-checked (completes §2.9:
+    tumbling, sliding, AND session windows each verified in both
+    complete/update and append modes)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_session_rollup_append,
+    )
+
+    return stream_session_rollup_append(spark, f"{sf_dir}/events.parquet")

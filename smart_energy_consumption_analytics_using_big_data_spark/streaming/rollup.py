@@ -294,3 +294,39 @@ def stream_sliding_rollup_append(
     query = _run_to_memory(spark, agg, name, "append")
     query.awaitTermination()
     return spark.table(name)
+
+
+def stream_session_rollup_append(
+    spark: SparkSession,
+    events_glob: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked APPEND-mode session windows — the production form of
+    `stream_session_rollup`: a session emits exactly once, when the
+    watermark passes its end (last event + gap), and its merge state
+    evicts. Under availableNow replay the final watermark is
+    max(ts) - watermark, so the emitted set equals the batch
+    sessionization restricted to sessions closed before it —
+    SQL-expressible, so the session-merge eviction path carries a full
+    oracle too."""
+    events = _streaming_events(spark, events_glob).withWatermark("ts", watermark)
+    agg = (
+        events.groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            sum_exact("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"stream_session_append_{uuid.uuid4().hex[:8]}"
+    query = _run_to_memory(spark, agg, name, "append")
+    query.awaitTermination()
+    return spark.table(name)
