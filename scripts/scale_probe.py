@@ -65,6 +65,9 @@ PROBE = [
     "q_graph_bfs",
     "q_graph_jaccard",
     "q_ts_hampel",
+    "q_dedup_chunks",
+    "q_ts_downsample",
+    "q_dedup_threshold_curve",
 ]
 
 

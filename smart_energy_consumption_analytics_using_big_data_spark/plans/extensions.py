@@ -6748,3 +6748,73 @@ def q_graph_degree_dist(spark, sf_dir):
             6,
         ).alias("frac_at_least"),
     )
+
+
+@q(
+    "q_dedup_threshold_curve",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jac
+      FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+    ),
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+    m AS (
+      SELECT th.threshold, j.doc_a, j.doc_b
+      FROM th JOIN j ON j.jac >= th.threshold
+    ),
+    u AS (
+      SELECT threshold, doc_a AS d FROM m
+      UNION
+      SELECT threshold, doc_b FROM m
+    )
+    SELECT th.threshold,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(d.n_docs, 0) AS BIGINT) AS n_docs
+    FROM th
+    LEFT JOIN (SELECT threshold, count(*) AS n_pairs FROM m GROUP BY 1) p
+      USING (threshold)
+    LEFT JOIN (SELECT threshold, count(*) AS n_docs FROM u GROUP BY 1) d
+      USING (threshold)
+    """,
+)
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Dedup threshold sensitivity: how many near-dup pairs (and how
+    many documents they touch) survive at Jaccard cuts 0.5-0.9 — the
+    tuning curve every dedup rollout plots before committing to a
+    threshold, computed from ONE pass of the exact shingle-Jaccard
+    pair table (the 5-row literal threshold table broadcasts against
+    it). A steep drop between rungs means the corpus separates cleanly;
+    a flat curve means the threshold is a real quality/recall trade."""
+    sh = D.shingle_table(t(spark, sf_dir, "documents"), n=3, max_df=100)
+    j = D.jaccard_pairs(sh, min_jaccard=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("jac")
+    )
+    th = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (0.5, 0.6, 0.7, 0.8, 0.9)])
+        ).alias("threshold")
+    )
+    m = th.join(j, F.col("jac") >= F.col("threshold")).persist()
+    p = m.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    u = (
+        m.select("threshold", F.col("doc_a").alias("d"))
+        .union(m.select("threshold", F.col("doc_b")))
+        .distinct()
+    )
+    d = u.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        th.join(p, "threshold", "left")
+        .join(d, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
