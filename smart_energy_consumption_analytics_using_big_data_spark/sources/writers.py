@@ -230,3 +230,77 @@ def backfill_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def forget_subject(
+    spark,
+    path: str,
+    subject_col: str,
+    subject_values: list,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Targeted erasure (GDPR/CCPA "right to be forgotten") on a
+    hive-partitioned parquet table: rewrite ONLY the partitions that
+    actually contain the subject, leave every other partition's files
+    byte-untouched.
+
+    Two passes, both partition-pruned: (1) a subject-filtered scan
+    finds the affected partition values (pushdown means untouched
+    partitions are never read past their footers); (2) those
+    partitions are re-read WITHOUT the subject and swapped in via
+    dynamic partition overwrite (`backfill_partitions`). A full-table
+    rewrite would be correct too — but at 100 TB the difference
+    between rewriting 3 partitions and 3,000 is the whole point.
+
+    Returns a report DataFrame (partition values, rows_before,
+    rows_after) — the audit artifact an erasure request needs.
+    """
+    from pyspark.sql import functions as F
+
+    if partition_by is None:
+        partition_by = ["date"]
+    table = spark.read.parquet(path)
+    hit = table.filter(F.col(subject_col).isin(subject_values))
+    affected = [
+        tuple(r) for r in hit.select(*partition_by).distinct().collect()
+    ]
+    if not affected:
+        return spark.createDataFrame(
+            [],
+            ", ".join(f"{c} string" for c in partition_by)
+            + ", rows_before long, rows_after long",
+        )
+    cond = None
+    for vals in affected:
+        one = None
+        for c, v in zip(partition_by, vals):
+            clause = F.col(c) == F.lit(v)
+            one = clause if one is None else (one & clause)
+        cond = one if cond is None else (cond | one)
+    before = (
+        spark.read.parquet(path)
+        .filter(cond)
+        .groupBy(*partition_by)
+        .agg(F.count(F.lit(1)).alias("rows_before"))
+    )
+    cleaned = (
+        spark.read.parquet(path)
+        .filter(cond)
+        .filter(~F.col(subject_col).isin(subject_values))
+    )
+    # materialize BEFORE the overwrite: the rewrite reads the same
+    # files it replaces, so the cleaned rows must be pinned first
+    cleaned = cleaned.localCheckpoint(eager=True)
+    before = before.localCheckpoint(eager=True)
+    backfill_partitions(cleaned, path, partition_by)
+    after = (
+        spark.read.parquet(path)
+        .filter(cond)
+        .groupBy(*partition_by)
+        .agg(F.count(F.lit(1)).alias("rows_after"))
+    )
+    return before.join(after, partition_by, "left").select(
+        *[F.col(c).cast("string").alias(c) for c in partition_by],
+        "rows_before",
+        F.coalesce("rows_after", F.lit(0)).alias("rows_after"),
+    )

@@ -424,3 +424,61 @@ def test_chunk_dedup_reconstructs_unique_remainder(spark, tmp_path):
     assert out[1] == (2, 2, md5(doc1))
     assert out[2] == (2, 1, md5("x1 x2 x3 x4 x5"))
     assert out[3] == (1, 1, md5(doc3))
+
+
+def test_forget_subject_rewrites_only_affected_partitions(spark, tmp_path):
+    # user 7 appears only on days 1 and 3 of 4; erasure must rewrite
+    # exactly those two partition dirs, leave days 2/4's files
+    # byte-identical, remove user 7 completely, and keep everyone else.
+    import os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        forget_subject,
+        write_parquet,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(4):
+        for uid in ([7, 1, 2] if day in (0, 2) else [1, 2, 3]):
+            rows.append(
+                (eid, base + dt.timedelta(days=day), uid, "view", 1.0 * uid, "{}")
+            )
+            eid += 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("date", F.to_date("ts"))
+    path = str(tmp_path / "events_table")
+    write_parquet(df, path, partition_by=["date"])
+
+    def file_index(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    out[fp] = os.path.getmtime(fp)
+        return out
+
+    before_files = file_index(path)
+    report = {
+        r.date: (r.rows_before, r.rows_after)
+        for r in forget_subject(spark, path, "user_id", [7]).collect()
+    }
+    after_files = file_index(path)
+
+    assert report == {"2024-01-01": (3, 2), "2024-01-03": (3, 2)}
+    # untouched partitions: identical file paths AND mtimes
+    keep = {f: m for f, m in before_files.items() if "date=2024-01-02" in f or "date=2024-01-04" in f}
+    assert {f: after_files.get(f) for f in keep} == keep
+    # affected partitions actually rewritten (old files gone)
+    gone = [f for f in before_files if "date=2024-01-01" in f or "date=2024-01-03" in f]
+    assert not any(f in after_files for f in gone)
+    final = spark.read.parquet(path)
+    assert final.filter(F.col("user_id") == 7).count() == 0
+    assert final.count() == len(rows) - 2
