@@ -6818,3 +6818,179 @@ def q_dedup_threshold_curve(spark, sf_dir):
             F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
         )
     )
+
+
+@q(
+    "q_emb_drift",
+    """
+    WITH u AS (
+      SELECT label, vec_id % 2 AS half, uu.pos AS pos, uu.val AS val
+      FROM (
+        SELECT label, vec_id,
+               unnest(list_transform(generate_series(1, len(embedding)),
+                      i -> {'pos': i, 'val': CAST(embedding[i] AS DOUBLE)})) AS uu
+        FROM embeddings
+      )
+    ),
+    m AS (
+      SELECT label, half, pos,
+             round(CAST(SUM(CAST(round(val, 12) AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 6) AS mv
+      FROM u GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT a.label, a.pos, a.mv AS m0, b.mv AS m1
+      FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    ),
+    d AS (
+      SELECT label,
+             CAST(SUM(CAST(round(m0 * m1, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS dot,
+             CAST(SUM(CAST(round(m0 * m0, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS n0,
+             CAST(SUM(CAST(round(m1 * m1, 12) AS DECIMAL(28,12))) AS DOUBLE)
+               AS n1,
+             CAST(SUM(CAST(round((m0 - m1) * (m0 - m1), 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) AS sq
+      FROM p GROUP BY label
+    )
+    SELECT label, round(dot / (sqrt(n0) * sqrt(n1)), 6) AS centroid_cosine,
+           round(sqrt(sq), 6) AS centroid_l2
+    FROM d
+    """,
+)
+def q_emb_drift(spark, sf_dir):
+    """Embedding drift monitor: per label, the cosine and L2 distance
+    between the centroid of one half of the corpus (vec_id parity
+    stands in for before/after batches) and the other — the
+    model-ops check that a re-embedding run or upstream data shift
+    has not moved the representation space (cosine ~1, L2 ~0 means
+    stable). Per-dimension means use decimal-exact sums; the 64-dim
+    centroid comparison is dimension-sized, so the whole monitor is
+    two shrinking aggregations over one corpus explode."""
+    emb = t(spark, sf_dir, "embeddings")
+    u = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "val"),
+    )
+    m = u.groupBy("label", "half", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(
+            F.sum(
+                F.round(F.col("val").cast("double"), 12).cast("decimal(25,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mv")
+    )
+    a = m.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("mv").alias("m0")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("mv").alias("m1")
+    )
+    p = a.join(b, ["label", "pos"])
+
+    def dsum12(expr):
+        return F.sum(F.round(expr, 12).cast("decimal(28,12)")).cast("double")
+
+    d = p.groupBy("label").agg(
+        dsum12(F.col("m0") * F.col("m1")).alias("dot"),
+        dsum12(F.col("m0") * F.col("m0")).alias("n0"),
+        dsum12(F.col("m1") * F.col("m1")).alias("n1"),
+        dsum12((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1"))).alias(
+            "sq"
+        ),
+    )
+    return d.select(
+        "label",
+        F.round(
+            F.col("dot") / (F.sqrt("n0") * F.sqrt("n1")), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("sq"), 6).alias("centroid_l2"),
+    )
+
+
+@q(
+    "q_dq_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS date, CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    fr AS (
+      SELECT date, n,
+             list(n) OVER (ORDER BY date
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS vals
+      FROM daily
+    ),
+    st AS (
+      SELECT date, n, list_sort(vals) AS s, len(vals) AS w FROM fr WHERE len(vals) >= 3
+    ),
+    md AS (
+      SELECT date, n, s, w,
+             CASE WHEN w % 2 = 1 THEN s[(w + 1) // 2]
+                  ELSE (s[w // 2] + s[w // 2 + 1]) / 2 END AS med
+      FROM st
+    ),
+    dv AS (
+      SELECT date, n, med, w,
+             list_sort(list_transform(s, x -> abs(x - med))) AS ds
+      FROM md
+    )
+    SELECT date, CAST(n AS BIGINT) AS n_rows, round(med, 6) AS med7,
+           abs(n - med) > 3 * 1.4826 *
+             (CASE WHEN w % 2 = 1 THEN ds[(w + 1) // 2]
+                   ELSE (ds[w // 2] + ds[w // 2 + 1]) / 2 END) AS is_anomaly
+    FROM dv
+    """,
+)
+def q_dq_volume_anomaly(spark, sf_dir):
+    """Ingestion-volume anomaly monitor: each day's row count against
+    the median +- 3 scaled MADs of the TRAILING week (current day
+    excluded, so the anomaly cannot mask itself) — the data-quality
+    alarm that catches a dropped ingest shard or a duplicate replay
+    before any downstream query does. Same in-row sorted-array
+    median/MAD as q_ts_hampel, applied to the day-count series; the
+    first 3 days have no baseline and are skipped."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("date")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.orderBy("date").rowsBetween(-7, -1)
+    fr = daily.select(
+        "date", "n", F.collect_list("n").over(w).alias("vals")
+    ).filter(F.size("vals") >= 3)
+    st = fr.select(
+        "date", "n", F.array_sort("vals").alias("s"), F.size("vals").alias("w")
+    )
+
+    def list_median(arr):
+        n = F.col("w")
+        odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        ) / 2
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    md = st.select("date", "n", "s", "w", list_median(F.col("s")).alias("med"))
+    dv = md.select(
+        "date",
+        "n",
+        "med",
+        "w",
+        F.array_sort(F.transform("s", lambda x: F.abs(x - F.col("med")))).alias(
+            "ds"
+        ),
+    )
+    mad = list_median(F.col("ds"))
+    return dv.select(
+        "date",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round("med", 6).alias("med7"),
+        (
+            F.abs(F.col("n") - F.col("med")) > F.lit(3) * F.lit(1.4826) * mad
+        ).alias("is_anomaly"),
+    )
