@@ -6994,3 +6994,105 @@ def q_dq_volume_anomaly(spark, sf_dir):
             F.abs(F.col("n") - F.col("med")) > F.lit(3) * F.lit(1.4826) * mad
         ).alias("is_anomaly"),
     )
+
+
+@q(
+    "q_window_firstlast",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_seen,
+           last_value(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING)
+             AS last_overall,
+           nth_value(value, 3) OVER w AS third_seen
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_firstlast(spark, sf_dir):
+    """first_value / last_value / nth_value window family: the
+    positional accessors that complete the §2 window surface beyond
+    lag/lead/rank. The pitfall this query pins: last_value over the
+    DEFAULT frame (unbounded preceding..current row) is just the
+    current row — the full-partition frame must be explicit; nth_value
+    over the expanding frame is NULL until the partition has seen 3
+    rows. Unique (ts, event_id) ordering keeps every accessor
+    deterministic."""
+    ev = t(spark, sf_dir, "events")
+    w_exp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w_exp).alias("first_seen"),
+        F.last("value").over(w_full).alias("last_overall"),
+        F.nth_value("value", 3).over(w_exp).alias("third_seen"),
+    )
+
+
+@q(
+    "q_ts_gap_distribution",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS DOUBLE) / 60000000.0 AS gap_min
+      FROM events
+    ),
+    gg AS (SELECT event_type, gap_min FROM g WHERE gap_min IS NOT NULL)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_min, 0.5), 6) AS p50_min,
+           round(quantile_cont(gap_min, 0.9), 6) AS p90_min,
+           round(quantile_cont(gap_min, 0.99), 6) AS p99_min,
+           round(CAST(count(CASE WHEN gap_min > 30 THEN 1 END) AS DOUBLE)
+                 / count(*), 6) AS frac_over_30min
+    FROM gg GROUP BY event_type
+    """,
+)
+def q_ts_gap_distribution(spark, sf_dir):
+    """Inter-event gap distribution per event type: exact p50/p90/p99
+    of same-user gaps in minutes plus the fraction above 30 min — the
+    measurement that JUSTIFIES a sessionization gap instead of
+    folkloring it (q_sessionize / q_stream_session use 30 min; this
+    shows where that sits in the actual gap CDF). Note the lag runs
+    per USER (one exchange), the rollup per type; exact percentiles
+    sort within type groups — the sketch path is approx_percentile on
+    the same rows."""
+    ev = t(spark, sf_dir, "events")
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import (
+        epoch_us,
+    )
+
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            (epoch_us(F.col("ts")) - F.lag(epoch_us(F.col("ts"))).over(wlag)).cast(
+                "double"
+            )
+            / 60000000.0
+        ).alias("gap_min"),
+    ).where(F.col("gap_min").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_min, 0.5)"), 6).alias("p50_min"),
+        F.round(F.expr("percentile(gap_min, 0.9)"), 6).alias("p90_min"),
+        F.round(F.expr("percentile(gap_min, 0.99)"), 6).alias("p99_min"),
+        F.round(
+            F.count(F.when(F.col("gap_min") > 30, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_over_30min"),
+    )

@@ -1214,3 +1214,36 @@ def q_sql_identifier(spark, sf_dir):
         "GROUP BY IDENTIFIER(:col)",
         args={"tbl": "events", "col": "event_type"},
     )
+
+
+@q(
+    "q_sql_pivot",
+    """
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS qty_open,
+           round(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                               AS DECIMAL(25,6))) AS DOUBLE), 6) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_sql_pivot(spark, sf_dir):
+    """SQL-text PIVOT clause: Spark's native `PIVOT (agg FOR col IN
+    (...))` syntax over registered views (q_pivot is the DataFrame
+    twin). The oracle is the equivalent conditional aggregation —
+    which is also exactly the physical plan Spark lowers PIVOT to, so
+    the check pins the lowering, not just the numbers."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(CAST(o AS DOUBLE), 6) AS qty_open,
+               round(CAST(f AS DOUBLE), 6) AS qty_filled
+        FROM (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS DECIMAL(25,6)) AS qd
+          FROM lineitem
+        )
+        PIVOT (SUM(qd) FOR l_linestatus IN ('O' AS o, 'F' AS f))
+        """
+    )
