@@ -142,7 +142,8 @@ def main() -> int:
             n_bad += 1
             print(f"BAD   {name}: {row['bad_nodes']}")
         elif row["allowed"]:
-            print(f"allow {name}: BNLJ ({ALLOWED_BNLJ[name]})")
+            why = ALLOWED_BNLJ.get(name) or ALLOWED_CARTESIAN.get(name)
+            print(f"allow {name}: {row['bad_nodes'][0]} ({why})")
         else:
             tag = f" pandas={row['pandas_stages']}" if row["pandas_stages"] else ""
             print(f"ok    {name}: scans={row['scans']}{tag}")
