@@ -72,6 +72,7 @@ ALLOWED_BNLJ = {
     "q_feature_quantile_norm": "1-row corpus-count cross-joined as a broadcast (the inverse-CDF lookups are integer equi-joins)",
     "q_emb_trunc_recall": "inherits q_sim_cosine_topk's 1-row query-vector broadcast, applied at three truncation widths; recall joins are 10-row equi-joins",
     "q_dedup_threshold_curve": "5-row literal threshold table broadcast against the one-pass jaccard pair table (pair build itself is the equi-join shingle machinery)",
+    "q_agg_abc_pareto": "1-row total-revenue scalar cross-joined as a broadcast over the part-level rollup",
 }
 
 # CartesianProduct is acceptable only when a library's own blocked

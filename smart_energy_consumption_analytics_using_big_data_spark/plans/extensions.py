@@ -7096,3 +7096,134 @@ def q_ts_gap_distribution(spark, sf_dir):
             6,
         ).alias("frac_over_30min"),
     )
+
+
+@q(
+    "q_agg_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT l_partkey, {dsum} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE) AS t
+            FROM rev),
+    c AS (
+      SELECT l_partkey, revenue,
+             CAST(SUM(CAST(revenue AS DECIMAL(25,6)))
+                    OVER (ORDER BY revenue DESC, l_partkey) AS DOUBLE)
+               / (SELECT t FROM tot) AS cum_share
+      FROM rev
+    ),
+    k AS (
+      SELECT l_partkey, revenue, cum_share,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+      FROM c
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           {dsum2} AS class_revenue,
+           round(min(cum_share), 6) AS min_cum_share,
+           round(max(cum_share), 6) AS max_cum_share
+    FROM k GROUP BY abc_class
+    """.format(
+        dsum=DSUM("l_extendedprice * (1 - l_discount)"),
+        dsum2="round(CAST(SUM(CAST(revenue AS DECIMAL(25,6))) AS DOUBLE), 6)",
+    ),
+)
+def q_agg_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by revenue, classified
+    A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
+    80/20 inventory-analytics rollup. The cumulative share is one
+    window over the part-level rollup (already shrunk from the fact
+    table), the total is a 1-row scalar; decimal-exact sums make the
+    class boundaries partition-invariant. The classic skew question
+    'how few keys carry most of the load' as a first-class query."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        sum_exact(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue")
+    )
+    tot = rev.agg(
+        F.sum(F.col("revenue").cast("decimal(25,6)")).cast("double").alias("t")
+    )
+    wc = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue",
+        (
+            F.sum(F.col("revenue").cast("decimal(25,6)")).over(wc).cast("double")
+            / F.col("t")
+        ).alias("cum_share"),
+    )
+    k = c.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum(F.col("revenue").cast("decimal(25,6)")).cast("double"), 6
+        ).alias("class_revenue"),
+        F.round(F.min("cum_share"), 6).alias("min_cum_share"),
+        F.round(F.max("cum_share"), 6).alias("max_cum_share"),
+    )
+
+
+@q(
+    "q_ts_peaks",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, {dsum} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT user_id, hr, v,
+             lag(v) OVER (PARTITION BY user_id ORDER BY hr) AS prv,
+             lead(v) OVER (PARTITION BY user_id ORDER BY hr) AS nxt,
+             quantile_cont(v, 0.9) OVER (PARTITION BY user_id) AS p90
+      FROM hourly
+    )
+    SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(v, 6) AS peak_value
+    FROM n
+    WHERE prv IS NOT NULL AND nxt IS NOT NULL
+      AND v > prv AND v > nxt AND v >= p90
+    """.format(dsum=DSUM("value")),
+)
+def q_ts_peaks(spark, sf_dir):
+    """Local peak detection on the per-user hourly load curve: an hour
+    is a peak when it exceeds BOTH neighbors (strict local maximum,
+    boundary hours excluded) and sits at or above the user's own p90 —
+    the demand-response trigger (peaks are what tariffs penalize and
+    what q_tou_peak_shift measures movement of). Two lags and one
+    exact per-user percentile ride a single user-keyed exchange."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(sum_exact("value").alias("v"))
+    wl = Window.partitionBy("user_id").orderBy("hr")
+    wp = Window.partitionBy("user_id")
+    n = hourly.select(
+        "user_id",
+        "hr",
+        "v",
+        F.lag("v").over(wl).alias("prv"),
+        F.lead("v").over(wl).alias("nxt"),
+        F.expr("percentile(v, 0.9)").over(wp).alias("p90"),
+    )
+    return n.where(
+        F.col("prv").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("v") > F.col("prv"))
+        & (F.col("v") > F.col("nxt"))
+        & (F.col("v") >= F.col("p90"))
+    ).select(
+        "user_id",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.round("v", 6).alias("peak_value"),
+    )
