@@ -232,6 +232,23 @@ def backfill_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+# Characters Hive/Spark escape in partition directory names
+# (ExternalCatalogUtils.escapePathName): control chars plus this set.
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_part_value(v) -> str:
+    """Render a partition value exactly as Spark names its directory:
+    NULL -> __HIVE_DEFAULT_PARTITION__, unsafe chars %XX-escaped."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(v)
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
+        for ch in s
+    )
+
+
 def forget_subject(
     spark,
     path: str,
@@ -254,6 +271,17 @@ def forget_subject(
 
     Returns a report DataFrame (partition values, rows_before,
     rows_after) — the audit artifact an erasure request needs.
+
+    Edge case that dynamic overwrite CANNOT handle: a partition whose
+    every row belongs to the subject.  ``cleaned`` then has zero rows
+    for that partition value, dynamic ``partitionOverwriteMode`` only
+    swaps partitions *present* in the written DataFrame, and the
+    original files (pure subject PII) would survive byte-untouched
+    while the report looked successful.  Such partitions are deleted
+    explicitly through the Hadoop FileSystem API (scheme-agnostic, so
+    it works on HDFS/S3A exactly as on local disk), and the deletion is
+    verified — a partition that cannot be cleared raises instead of
+    silently violating the erasure contract.
     """
     from pyspark.sql import functions as F
 
@@ -292,13 +320,49 @@ def forget_subject(
     # files it replaces, so the cleaned rows must be pinned first
     cleaned = cleaned.localCheckpoint(eager=True)
     before = before.localCheckpoint(eager=True)
+    # partitions with zero survivors never appear in `cleaned`, so the
+    # dynamic overwrite below would leave them untouched — find them
+    # now (bounded: one tuple per affected partition) for explicit
+    # directory deletion after the swap.
+    surviving = {
+        tuple(r) for r in cleaned.select(*partition_by).distinct().collect()
+    }
+    emptied = [vals for vals in affected if tuple(vals) not in surviving]
     backfill_partitions(cleaned, path, partition_by)
-    after = (
-        spark.read.parquet(path)
-        .filter(cond)
-        .groupBy(*partition_by)
-        .agg(F.count(F.lit(1)).alias("rows_after"))
-    )
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for vals in emptied:
+            part_dir = "/".join(
+                [path.rstrip("/")]
+                + [
+                    f"{c}={_hive_part_value(v)}"
+                    for c, v in zip(partition_by, vals)
+                ]
+            )
+            jpath = jvm.org.apache.hadoop.fs.Path(part_dir)
+            fs = jpath.getFileSystem(hconf)
+            fs.delete(jpath, True)
+            if fs.exists(jpath):
+                raise RuntimeError(
+                    f"erasure failed: partition {part_dir} contains only "
+                    "subject rows and could not be deleted"
+                )
+    try:
+        after = (
+            spark.read.parquet(path)
+            .filter(cond)
+            .groupBy(*partition_by)
+            .agg(F.count(F.lit(1)).alias("rows_after"))
+        )
+        after = after.localCheckpoint(eager=True)
+    except Exception:
+        # every partition was emptied and deleted: nothing left to read
+        after = (
+            before.select(*partition_by)
+            .limit(0)
+            .withColumn("rows_after", F.lit(0).cast("long"))
+        )
     return before.join(after, partition_by, "left").select(
         *[F.col(c).cast("string").alias(c) for c in partition_by],
         "rows_before",

@@ -482,3 +482,87 @@ def test_forget_subject_rewrites_only_affected_partitions(spark, tmp_path):
     final = spark.read.parquet(path)
     assert final.filter(F.col("user_id") == 7).count() == 0
     assert final.count() == len(rows) - 2
+
+
+def test_forget_subject_clears_partition_of_only_subject_rows(spark, tmp_path):
+    # Day 2 consists ENTIRELY of user 7's rows. Dynamic partition
+    # overwrite cannot swap in an empty partition (nothing to write),
+    # so forget_subject must delete that directory explicitly — the
+    # silent-no-op here was the erasure-contract violation flagged in
+    # round 5's advice.
+    import os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        forget_subject,
+        write_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day, uids in enumerate([[7, 1], [7, 7, 7], [2, 3]]):
+        for uid in uids:
+            rows.append(
+                (eid, base + dt.timedelta(days=day), uid, "view", 1.0 * uid, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("date", F.to_date("ts"))
+    path = str(tmp_path / "events_poisoned")
+    write_parquet(df, path, partition_by=["date"])
+
+    report = {
+        r.date: (r.rows_before, r.rows_after)
+        for r in forget_subject(spark, path, "user_id", [7]).collect()
+    }
+    # the all-subject partition reports 3 -> 0, not 3 -> 3
+    assert report == {"2024-03-01": (2, 1), "2024-03-02": (3, 0)}
+    # its directory is gone from disk — no orphaned PII files
+    assert not os.path.exists(os.path.join(path, "date=2024-03-02"))
+    final = spark.read.parquet(path)
+    assert final.filter(F.col("user_id") == 7).count() == 0
+    assert sorted(r.date.isoformat() for r in final.select("date").distinct().collect()) == [
+        "2024-03-01",
+        "2024-03-03",
+    ]
+    # untouched partition still readable and complete
+    assert final.filter(F.col("date") == "2024-03-03").count() == 2
+
+
+def test_forget_subject_clears_every_partition(spark, tmp_path):
+    # degenerate erasure: the subject owns the ENTIRE table. All
+    # partition dirs are deleted and the report shows rows_after=0
+    # without the post-rewrite scan blowing up on an empty path.
+    import os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import (
+        forget_subject,
+        write_parquet,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 4, 1)
+    rows = [
+        (i, base + dt.timedelta(days=i % 2), 9, "view", 1.0, "{}")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("date", F.to_date("ts"))
+    path = str(tmp_path / "events_all_subject")
+    write_parquet(df, path, partition_by=["date"])
+
+    report = {
+        r.date: (r.rows_before, r.rows_after)
+        for r in forget_subject(spark, path, "user_id", [9]).collect()
+    }
+    assert report == {"2024-04-01": (2, 0), "2024-04-02": (2, 0)}
+    assert not any(
+        d.startswith("date=") for d in os.listdir(path)
+    ), "all-subject partitions must be deleted"
