@@ -36,6 +36,14 @@ def bfs_hops(
     At scale each round shuffles at most |frontier-adjacent E| + |V|
     rows on the node key; lineage stays bounded by the fixed round
     count (the same design as `pagerank` above).
+
+    Cache lifecycle: each round's result is persisted and eagerly
+    materialized, then the SUPERSEDED round (and finally the edge
+    cache) is unpersisted — a call leaves exactly one cached table in
+    the session, the returned result, which the caller owns (the
+    GraphFrames contract). Without the release, every call parked
+    ``max_hops + 2`` node/edge tables in the block manager for the
+    session's lifetime.
     """
     edges = edges.persist()
     dist = (
@@ -45,6 +53,7 @@ def bfs_hops(
         .select("id", F.lit(0).alias("dist"))
     )
     ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+    prev = None
     for _ in range(max_hops):
         hop = ed.join(dist, "id").select(
             F.col("__dst").alias("id"), (F.col("dist") + 1).alias("dist")
@@ -59,6 +68,14 @@ def bfs_hops(
             .agg(F.min("dist").alias("dist"))
             .persist()
         )
+        # pin this round's blocks BEFORE releasing its predecessor, so
+        # the unpersist can never trigger the exponential recompute it
+        # exists to prevent
+        dist.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+    edges.unpersist()
     return dist
 
 
@@ -119,7 +136,20 @@ def pagerank(
                 12,
             ).alias("rank"),
         )
-    return ranks.select("id", F.round("rank", 6).alias("rank"))
+    return _finish_ranks(ranks, edges, nodes)
+
+
+def _finish_ranks(ranks: DataFrame, edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Materialize the final rank table, then release the edge/node
+    caches the iteration needed — the caller owns only the returned
+    (persisted) result. Without the release each call parked the edge
+    pipeline and node table in the block manager for the session's
+    lifetime (round-5 advice)."""
+    out = ranks.select("id", F.round("rank", 6).alias("rank")).persist()
+    out.count()
+    nodes.unpersist()
+    edges.unpersist()
+    return out
 
 
 def personalized_pagerank(
@@ -174,4 +204,4 @@ def personalized_pagerank(
                 12,
             ).alias("rank"),
         )
-    return ranks.select("id", F.round("rank", 6).alias("rank"))
+    return _finish_ranks(ranks, edges, nodes)

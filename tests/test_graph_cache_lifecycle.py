@@ -1,0 +1,76 @@
+"""Graph operators must not accumulate session-lifetime caches
+(VERDICT r5 item 3 / round-5 advice).
+
+Contract: a call to bfs_hops / pagerank / personalized_pagerank leaves
+exactly ONE cached table — the returned, caller-owned result. The
+per-round and edge/node caches the iteration needed internally are
+released before return, so repeated invocations in a long-lived session
+(the bench loop, the driver's 50-query sweep) show no net growth in the
+block manager.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _edges(spark):
+    # small dense-ish directed graph: 200 nodes, deterministic edges
+    return (
+        spark.range(600)
+        .select(
+            (F.col("id") % 200).alias("src"),
+            ((F.col("id") * 7 + 3) % 200).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def test_bfs_leaves_only_result_cached(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    for _ in range(3):
+        out = bfs_hops(_edges(spark), seed_mod=10, max_hops=4)
+        assert out.count() > 0
+        # internal caches released: only the returned result remains
+        assert _n_persistent(spark) - base <= 1
+        out.unpersist()
+        assert _n_persistent(spark) == base
+
+
+def test_pagerank_leaves_only_result_cached(spark):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    spark.catalog.clearCache()
+    base = _n_persistent(spark)
+    for fn in (pagerank, personalized_pagerank):
+        for _ in range(2):
+            out = fn(_edges(spark))
+            assert out.count() > 0
+            assert _n_persistent(spark) - base <= 1
+            out.unpersist()
+            assert _n_persistent(spark) == base
+
+
+def test_bfs_result_unchanged_by_lifecycle(spark):
+    # the release ladder must not alter results: two calls in one
+    # session agree row-for-row (hand-computed values are pinned
+    # separately in test_round5_ops.test_bfs_hops_matches_hand_rounds)
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    a = bfs_hops(_edges(spark), seed_mod=10, max_hops=4)
+    b = bfs_hops(_edges(spark), seed_mod=10, max_hops=4)
+    ra = sorted((r.id, r.dist) for r in a.collect())
+    rb = sorted((r.id, r.dist) for r in b.collect())
+    a.unpersist()
+    b.unpersist()
+    assert ra == rb and len(ra) > 0
