@@ -68,7 +68,23 @@ PROBE = [
     "q_dedup_chunks",
     "q_ts_downsample",
     "q_dedup_threshold_curve",
+    # round-6: the r5-close queries that never saw a probe pass
+    # (VERDICT r5 item 8) plus the reworked two-pass ABC/Pareto prefix
+    # sum (item 4). q_sql_pivot is exercised via q_agg_abc_pareto's
+    # rollup: PIVOT lowers to the same conditional-agg-over-lineitem
+    # shape, and the probe dataset lacks the other registered views.
+    "q_agg_abc_pareto",
+    "q_ts_peaks",
+    "q_emb_drift",
+    "q_dq_volume_anomaly",
+    "q_ts_gap_distribution",
+    "q_window_firstlast",
 ]
+
+# data_ratio overrides where the prefix rule below misclassifies the
+# backing table: ABC/Pareto is lineitem-backed (10x replication), not
+# events-backed.
+RATIO_OVERRIDES = {"q_agg_abc_pareto": REPLICAS_DOCS}
 
 
 def build_derived(spark, out_dir: str) -> None:
@@ -170,6 +186,7 @@ def build_derived(spark, out_dir: str) -> None:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale_probe"
+    names = sys.argv[2:] or PROBE  # optional: probe only the named queries
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_derived(spark, out_dir)
@@ -181,7 +198,7 @@ def main() -> None:
         df.agg(F.sum(h)).collect()
 
     report = {}
-    for name in PROBE:
+    for name in names:
         force(QUERIES[name](spark, "/root/testdata/sf0.001"))  # warm
         t0 = time.time()
         force(QUERIES[name](spark, SF01))
@@ -189,7 +206,10 @@ def main() -> None:
         t0 = time.time()
         force(QUERIES[name](spark, out_dir))
         big = time.time() - t0
-        if name.startswith(("q_dedup", "q_text", "q_feature", "q_graph")):
+        spark.catalog.clearCache()  # caller-owned graph/ladder caches
+        if name in RATIO_OVERRIDES:
+            ratio = RATIO_OVERRIDES[name]
+        elif name.startswith(("q_dedup", "q_text", "q_feature", "q_graph")):
             # documents- or customer-backed probes (10x replication)
             ratio = REPLICAS_DOCS
         elif name.startswith("q_emb"):

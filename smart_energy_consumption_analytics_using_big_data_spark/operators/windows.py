@@ -82,3 +82,63 @@ def with_rank(
     keep-first dedup)."""
     w = Window.partitionBy(partition).orderBy(*order)
     return df.withColumn(rank_col, F.rank().over(w)).withColumn(row_number_col, F.row_number().over(w))
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    out: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window.
+
+    ``Window.orderBy(...)`` with no partitionBy collapses the whole
+    input onto one task (Spark even warns) — fine for a bin-bounded
+    table, a scale-killer on anything data-sized. This is the classic
+    two-pass parallel prefix sum instead:
+
+    1. ``repartitionByRange`` on the global order -> each range
+       partition holds a contiguous, disjoint slice of the total order;
+    2. pass 1: a PER-PARTITION running sum (window partitioned by
+       ``spark_partition_id()`` — parallel across slices) plus one
+       total per slice;
+    3. pass 2: the per-slice totals (<= shuffle-partition count, a
+       cluster constant independent of data size) get an exclusive
+       prefix sum on a single tiny task, then broadcast-join back as
+       per-slice offsets.
+
+    Exactness: the caller passes a DECIMAL ``value`` (decimal addition
+    is associative), so slice-local sums + offsets reproduce the serial
+    prefix sum bit-for-bit — same partition-invariance discipline as
+    ``operators.aggregates.sum_exact``. The order columns must be a
+    total order (include a unique tiebreak) or slice boundaries are
+    nondeterministic.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sliced = df.repartitionByRange(n, *order).withColumn(
+        "__slice", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__slice")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = sliced.withColumn("__local_cum", F.sum(value).over(w_local))
+    # one row per slice: bounded by the partition count, not the data
+    w_off = (
+        Window.orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("__slice")
+        .agg(F.sum(value).alias("__slice_total"))
+        .withColumn("__offset", F.sum("__slice_total").over(w_off))
+        .select("__slice", "__offset")
+    )
+    joined = local.join(F.broadcast(offsets), "__slice", "left")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return joined.withColumn(
+        out, F.col("__local_cum") + F.coalesce(F.col("__offset"), zero)
+    ).drop("__slice", "__local_cum", "__offset")

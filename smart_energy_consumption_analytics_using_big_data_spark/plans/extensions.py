@@ -2115,14 +2115,18 @@ def q_dedup_winnow_arrow(spark, sf_dir):
 
 @q("q_dedup_simhash_arrow")  # rows-only: siphash bit family not in DuckDB
 def q_dedup_simhash_arrow(spark, sf_dir):
-    """SimHash near-dup candidates on the Arrow signature path (third
-    measured text-kernel win: 0.59 s vs 1.05 s native at sf0.1,
-    PERFORMANCE.md round 4): per-batch vectorized token hashing +
-    np.add.reduceat bit sums produce the same 32-bit 0/1 fingerprint
-    shape, so the SHARED pigeonhole-banding pair join
-    (simhash_candidate_pairs) applies unchanged. Invariants pinned in
-    tests/test_minhash_arrow.py; md5 path (q_dedup_simhash) stays the
-    oracled baseline."""
+    """SimHash near-dup candidates on the Arrow signature path: per-
+    batch vectorized token hashing + np.add.reduceat bit sums produce
+    the same 32-bit 0/1 fingerprint shape, so the SHARED pigeonhole-
+    banding pair join (simhash_candidate_pairs) applies unchanged.
+
+    Measured LIKE-FOR-LIKE at sf0.1 (n=3 medians, round 6 — the r5
+    bench compared this fingerprints+pairs entry against the
+    fingerprints-only native entry and looked like a regression):
+    fingerprint stage 0.58 s Arrow vs 2.99 s native (5.1x); through
+    the identical pair join 1.33 s vs 3.12 s (2.3x). Invariants pinned
+    in tests/test_minhash_arrow.py; md5 path (q_dedup_simhash) stays
+    the oracled baseline."""
     fps = D.simhash_arrow(t(spark, sf_dir, "documents"))
     return D.simhash_candidate_pairs(fps)
 
@@ -7133,11 +7137,23 @@ def q_ts_gap_distribution(spark, sf_dir):
 def q_agg_abc_pareto(spark, sf_dir):
     """ABC / Pareto classification: parts ranked by revenue, classified
     A (first 80% of cumulative revenue), B (to 95%), C (tail) — the
-    80/20 inventory-analytics rollup. The cumulative share is one
-    window over the part-level rollup (already shrunk from the fact
-    table), the total is a 1-row scalar; decimal-exact sums make the
-    class boundaries partition-invariant. The classic skew question
-    'how few keys carry most of the load' as a first-class query."""
+    80/20 inventory-analytics rollup. The classic skew question
+    'how few keys carry most of the load' as a first-class query.
+
+    The cumulative revenue runs over the PART-LEVEL rollup, which at
+    100 TB is itself a large table (TPC-H scales parts with the data),
+    so an unpartitioned ``Window.orderBy`` — single-task execution —
+    would be the plan's scale ceiling (VERDICT r5 item 4). It uses the
+    two-pass range-partitioned prefix sum instead
+    (`operators.windows.with_global_prefix_sum`): per-slice parallel
+    running sums + a broadcast of per-slice offsets whose count is a
+    cluster constant. Decimal accumulation keeps the class boundaries
+    partition-invariant, so the result is bit-identical to the serial
+    window (and to the DuckDB oracle)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_prefix_sum,
+    )
+
     li = t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         sum_exact(
@@ -7147,16 +7163,16 @@ def q_agg_abc_pareto(spark, sf_dir):
     tot = rev.agg(
         F.sum(F.col("revenue").cast("decimal(25,6)")).cast("double").alias("t")
     )
-    wc = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    cum = with_global_prefix_sum(
+        rev,
+        order=[F.desc("revenue"), F.asc("l_partkey")],
+        value=F.col("revenue").cast("decimal(25,6)"),
+        out="cum_rev",
     )
-    c = rev.crossJoin(F.broadcast(tot)).select(
+    c = cum.crossJoin(F.broadcast(tot)).select(
         "l_partkey",
         "revenue",
-        (
-            F.sum(F.col("revenue").cast("decimal(25,6)")).over(wc).cast("double")
-            / F.col("t")
-        ).alias("cum_share"),
+        (F.col("cum_rev").cast("double") / F.col("t")).alias("cum_share"),
     )
     k = c.withColumn(
         "abc_class",
