@@ -17,7 +17,6 @@ across executors exactly like any other keyed state.
 
 from __future__ import annotations
 
-import importlib.util
 import uuid
 from collections.abc import Iterator
 
@@ -28,6 +27,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from smart_energy_consumption_analytics_using_big_data_spark.streaming.pbcompat import ensure_protobuf
 from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
     ROCKSDB_PROVIDER,
     _streaming_events,
@@ -38,12 +38,13 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, n_types bigi
 # transformWithState's Python worker speaks protobuf to the JVM state
 # server; without the google.protobuf package the worker crashes at
 # startup with an opaque STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
-# Gate on the import so callers get a clear, immediate error instead
-# (and tests skip rather than fail on dependency-free environments).
-try:
-    HAS_TWS_DEPS = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # no 'google' namespace package at all
-    HAS_TWS_DEPS = False
+# ensure_protobuf() resolves the runtime (native install, else the
+# Cloud-SDK-bundled fallback — see pbcompat); callers get a clear,
+# immediate error only when neither exists. Runs at IMPORT time on
+# purpose: unpickling UserTypedStatsProcessor in a Spark worker imports
+# this module, which installs the alias in that worker before the state
+# client's lazy StateMessage_pb2 import.
+HAS_TWS_DEPS = ensure_protobuf()
 
 
 class UserTypedStatsProcessor(StatefulProcessor):
