@@ -73,6 +73,13 @@ ALLOWED_BNLJ = {
     "q_emb_trunc_recall": "inherits q_sim_cosine_topk's 1-row query-vector broadcast, applied at three truncation widths; recall joins are 10-row equi-joins",
     "q_dedup_threshold_curve": "5-row literal threshold table broadcast against the one-pass jaccard pair table (pair build itself is the equi-join shingle machinery)",
     "q_agg_abc_pareto": "1-row total-revenue scalar cross-joined as a broadcast over the part-level rollup",
+    # round-6 ranking-family migrations: with_global_ntile carries the
+    # 1-row total row count as a broadcast cross join (tile arithmetic
+    # needs n); the ranking itself is the range-sliced two-pass.
+    "q_eval_ece": "with_global_ntile's 1-row row-count broadcast over the order-score order",
+    "q_eval_gains": "with_global_ntile's 1-row row-count broadcast over the user-score order",
+    "q_rfm_segment": "three with_global_ntile quartile cuts, each a 1-row row-count broadcast",
+    "q_agg_gini": "1-row (n, total-cents) scalar cross-joined as a broadcast over the user rollup",
 }
 
 # CartesianProduct is acceptable only when a library's own blocked

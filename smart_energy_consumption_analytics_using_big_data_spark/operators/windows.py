@@ -84,61 +84,258 @@ def with_rank(
     return df.withColumn(rank_col, F.rank().over(w)).withColumn(row_number_col, F.row_number().over(w))
 
 
+# ---------------------------------------------------------------------------
+# Globally-ordered analytics without single-task windows.
+#
+# ``Window.orderBy(...)`` with no partitionBy collapses the whole input
+# onto one task (Spark even warns) — fine for a bin-bounded table, a
+# scale-killer on anything data-sized. The family below implements the
+# classic two-pass scheme instead: slice the total order into
+# contiguous value ranges, compute per-slice ranks/sums in parallel
+# (window keyed on the slice id), then combine the per-slice totals — a
+# bounded set, one row per slice — into broadcast offsets.
+#
+# Slice assignment is a PURE FUNCTION of the row, not of execution:
+# boundaries are collected once on the driver (approx quantiles of the
+# bucketing key — n-1 doubles, a cluster constant) and embedded as
+# literals. This matters for correctness, not just determinism:
+# ``repartitionByRange`` RE-SAMPLES its boundaries on every execution
+# of the exchange, and Spark executes the local-rank branch and the
+# offsets branch of this DAG separately unless ReuseExchange happens to
+# dedupe them — measured on the orders table, the two executions
+# disagreed on slice membership and corrupted the global row numbers.
+# Literal boundaries make every re-execution agree by construction.
+#
+# The result is invariant to the boundary choice (boundaries only
+# decide WHERE the order is cut, and within-slice math plus exact
+# offsets reproduce the serial result for any contiguous cut), so the
+# outputs are also partition-count-invariant. Constraints: the
+# bucketing key must be non-null and numeric; heavy ties on a single
+# key value degrade toward fewer effective slices (graceful — the
+# serial window is the floor).
+
+
+def _value_sliced(
+    df: DataFrame,
+    bucket_by: str,
+    ascending: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Add ``__slice``: a deterministic contiguous range id over
+    ``bucket_by`` (monotone in the requested direction), from
+    driver-collected quantile boundaries embedded as literals."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sign = 1.0 if ascending else -1.0
+    keyed = df.withColumn("__bk", F.col(bucket_by).cast("double") * sign)
+    probs = [i / n for i in range(1, n)]
+    if probs:
+        bounds = keyed.stat.approxQuantile("__bk", probs, 0.001)
+    else:
+        bounds = []
+    if bounds:
+        # count of boundaries strictly below the key — plain scalar
+        # comparisons (no higher-order lambda), folded into one sum the
+        # optimizer constant-folds and codegens freely
+        terms = [
+            (F.col("__bk") > F.lit(float(b))).cast("int") for b in bounds
+        ]
+        slice_col = terms[0]
+        for term in terms[1:]:
+            slice_col = slice_col + term
+    else:
+        slice_col = F.lit(0)
+    return keyed.withColumn("__slice", slice_col).drop("__bk")
+
+
 def with_global_prefix_sum(
     df: DataFrame,
     order: list[Column],
     value: Column,
+    bucket_by: str,
+    ascending: bool = True,
     out: str = "cum_sum",
     num_partitions: int | None = None,
+    zero: Column | None = None,
 ) -> DataFrame:
-    """Globally-ordered running sum WITHOUT a single-partition window.
+    """Globally-ordered running sum without a single-task window.
 
-    ``Window.orderBy(...)`` with no partitionBy collapses the whole
-    input onto one task (Spark even warns) — fine for a bin-bounded
-    table, a scale-killer on anything data-sized. This is the classic
-    two-pass parallel prefix sum instead:
-
-    1. ``repartitionByRange`` on the global order -> each range
-       partition holds a contiguous, disjoint slice of the total order;
-    2. pass 1: a PER-PARTITION running sum (window partitioned by
-       ``spark_partition_id()`` — parallel across slices) plus one
-       total per slice;
-    3. pass 2: the per-slice totals (<= shuffle-partition count, a
-       cluster constant independent of data size) get an exclusive
-       prefix sum on a single tiny task, then broadcast-join back as
-       per-slice offsets.
-
-    Exactness: the caller passes a DECIMAL ``value`` (decimal addition
-    is associative), so slice-local sums + offsets reproduce the serial
-    prefix sum bit-for-bit — same partition-invariance discipline as
-    ``operators.aggregates.sum_exact``. The order columns must be a
-    total order (include a unique tiebreak) or slice boundaries are
-    nondeterministic.
-    """
-    spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    sliced = df.repartitionByRange(n, *order).withColumn(
-        "__slice", F.spark_partition_id()
-    )
+    ``order`` is the total order (include a unique tiebreak);
+    ``bucket_by``/``ascending`` name its leading numeric key for the
+    slice assignment. Exactness: pass a DECIMAL or integer ``value``
+    (both are associative under addition), so slice-local sums +
+    offsets reproduce the serial prefix sum bit-for-bit — the same
+    partition-invariance discipline as
+    ``operators.aggregates.sum_exact``. ``zero`` types the offset of
+    the first slice (default a decimal literal; pass a long zero for
+    integer values to keep the output integral)."""
+    sliced = _value_sliced(df, bucket_by, ascending, num_partitions)
     w_local = (
         Window.partitionBy("__slice")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = sliced.withColumn("__local_cum", F.sum(value).over(w_local))
-    # one row per slice: bounded by the partition count, not the data
-    w_off = (
-        Window.orderBy("__slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # one row per slice: bounded by the slice count, not the data
+    w_off = Window.orderBy("__slice").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
-        local.groupBy("__slice")
+        sliced.groupBy("__slice")
         .agg(F.sum(value).alias("__slice_total"))
         .withColumn("__offset", F.sum("__slice_total").over(w_off))
         .select("__slice", "__offset")
     )
     joined = local.join(F.broadcast(offsets), "__slice", "left")
-    zero = F.lit(0).cast("decimal(18,6)")
+    if zero is None:
+        zero = F.lit(0).cast("decimal(18,6)")
     return joined.withColumn(
         out, F.col("__local_cum") + F.coalesce(F.col("__offset"), zero)
     ).drop("__slice", "__local_cum", "__offset")
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order: list[Column],
+    value: Column,
+    bucket_by: str,
+    ascending: bool = True,
+    out: str = "run_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running MAX without a single-task window — the
+    sweep-line primitive (skyline/Pareto frontier, envelope tracking).
+    ``exclusive=True`` gives the ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING frame (current row excluded; the first row of the
+    whole order gets NULL, matching the serial window). Max is
+    idempotent and associative, so slice-local maxima + an exclusive
+    per-slice prefix max combine exactly via ``greatest`` (which skips
+    NULL sides)."""
+    sliced = _value_sliced(df, bucket_by, ascending, num_partitions)
+    upper = -1 if exclusive else 0
+    w_local = (
+        Window.partitionBy("__slice")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = sliced.withColumn("__local_max", F.max(value).over(w_local))
+    w_off = Window.orderBy("__slice").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sliced.groupBy("__slice")
+        .agg(F.max(value).alias("__slice_max"))
+        .withColumn("__offset", F.max("__slice_max").over(w_off))
+        .select("__slice", "__offset")
+    )
+    joined = local.join(F.broadcast(offsets), "__slice", "left")
+    return joined.withColumn(
+        out, F.greatest(F.col("__local_max"), F.col("__offset"))
+    ).drop("__slice", "__local_max", "__offset")
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    bucket_by: str,
+    ascending: bool = True,
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered 1-based row_number without a single-task window
+    — per-slice row_number in parallel plus broadcast exclusive COUNT
+    offsets. Counts are exact integers, so unlike the sum variant there
+    is no numeric-representation caveat; ``order`` must still be total
+    (include a unique tiebreak) for a deterministic result. Emitted as
+    LONG (Spark's native row_number is int-typed and would overflow
+    past 2^31 rows); cast at the call site if int parity is needed."""
+    sliced = _value_sliced(df, bucket_by, ascending, num_partitions)
+    w_local = Window.partitionBy("__slice").orderBy(*order)
+    local = sliced.withColumn("__local_rn", F.row_number().over(w_local))
+    w_off = Window.orderBy("__slice").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sliced.groupBy("__slice")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__slice", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__slice", "left")
+        .withColumn(
+            out, (F.col("__local_rn").cast("long") + F.col("__offset")).cast("long")
+        )
+        .drop("__slice", "__local_rn", "__offset")
+    )
+
+
+def with_global_rank(
+    df: DataFrame,
+    keys: list[str],
+    ascending: list[bool] | None = None,
+    out: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered RANK (ties share the rank of their first row)
+    over the named sort ``keys`` without a single-task window.
+
+    rank(x) = 1 + count of rows strictly before x's tie group — i.e.
+    the minimum global row_number within the group, recovered with one
+    keyed aggregation + broadcast-eligible equi-join back on the keys.
+    Keys must be non-null columns (the equi-join drops null matches);
+    every data-sized ranking site in this repo ranks non-null
+    aggregates. LONG-typed like with_global_row_number."""
+    ascending = ascending or [True] * len(keys)
+    order = [F.asc(k) if asc else F.desc(k) for k, asc in zip(keys, ascending)]
+    rn = with_global_row_number(
+        df,
+        order=order,
+        bucket_by=keys[0],
+        ascending=ascending[0],
+        out="__rn",
+        num_partitions=num_partitions,
+    )
+    firsts = rn.groupBy(*keys).agg(F.min("__rn").alias(out))
+    return rn.join(firsts, keys, "inner").drop("__rn")
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    bucket_by: str,
+    ascending: bool = True,
+    out: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered NTILE(k) without a single-task window, exactly
+    matching Spark's semantics: with n rows, the first ``n % k``
+    buckets hold ``n // k + 1`` rows, the rest ``n // k`` (rows n < k
+    get tile == row_number). Derived from the two-pass row_number plus
+    a 1-row broadcast total — all-integer arithmetic
+    (ceil(a/b) == (a+b-1) div b), so the result is bit-deterministic.
+    INT-typed to match the native ntile it replaces."""
+    rn = with_global_row_number(
+        df,
+        order=order,
+        bucket_by=bucket_by,
+        ascending=ascending,
+        out="__rn",
+        num_partitions=num_partitions,
+    )
+    total = rn.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # long-arith via double division + truncation: exact for n < 2^53,
+    # far past the 2^31 ceiling Spark's int-typed ntile has anyway
+    q = F.col("__n") - (F.col("__n") / k).cast("long") * k  # n % k
+    big = (F.col("__n") / k).cast("long") + 1  # bucket size n//k + 1
+    small = (F.col("__n") / k).cast("long")
+    rn_c = F.col("__rn")
+    in_big = rn_c <= big * q
+    tile = F.when(in_big, ((rn_c + big - 1) / big).cast("long")).otherwise(
+        q
+        + (
+            (rn_c - big * q + F.greatest(small, F.lit(1)) - 1)
+            / F.greatest(small, F.lit(1))
+        ).cast("long")
+    )
+    return (
+        rn.crossJoin(F.broadcast(total))
+        .withColumn(out, tile.cast("int"))
+        .drop("__rn", "__n")
+    )

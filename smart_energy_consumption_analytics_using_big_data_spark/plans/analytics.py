@@ -1704,11 +1704,13 @@ def q_rfm_segment(spark, sf_dir):
     """RFM segmentation: every user scored 1-4 on Recency (days since
     last event, vs the dataset's last day), Frequency, and Monetary
     (integer-cents total), quartiles via ntile with a user_id tiebreak
-    so the cut is deterministic on both engines. The three global
-    ntile windows run over the USER-level aggregate (one row per
-    user), not the fact table; at extreme user counts swap ntile for
-    the mergeable-histogram quantile cut (q_approx_quantile_merge's
-    shape) to avoid the single-partition sort."""
+    so the cut is deterministic on both engines. The three quartile
+    cuts run over the USER-level aggregate — which scales with the
+    data — so each is the two-pass range-sliced ntile
+    (`operators.windows.with_global_ntile`), not a single-task global
+    window (the r5 version's scale ceiling)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_ntile
+
     ev = t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
@@ -1722,14 +1724,29 @@ def q_rfm_segment(spark, sf_dir):
         recency.cast("int").alias("recency_days"),
         "n_events",
         "cents",
-    ).select(
-        "user_id",
-        "recency_days",
-        "n_events",
-        "cents",
-        F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("user_id"))).alias("r"),
-        F.ntile(4).over(Window.orderBy(F.desc("n_events"), F.asc("user_id"))).alias("f"),
-        F.ntile(4).over(Window.orderBy(F.desc("cents"), F.asc("user_id"))).alias("m"),
+    )
+    s = with_global_ntile(
+        s,
+        order=[F.asc("recency_days"), F.asc("user_id")],
+        k=4,
+        bucket_by="recency_days",
+        out="r",
+    )
+    s = with_global_ntile(
+        s,
+        order=[F.desc("n_events"), F.asc("user_id")],
+        k=4,
+        bucket_by="n_events",
+        ascending=False,
+        out="f",
+    )
+    s = with_global_ntile(
+        s,
+        order=[F.desc("cents"), F.asc("user_id")],
+        k=4,
+        bucket_by="cents",
+        ascending=False,
+        out="m",
     )
     return s.select(
         "user_id",
@@ -2171,9 +2188,12 @@ def q_sessions_concurrency(spark, sf_dir):
     interval self-join is quadratic in overlap). +1-before--1 ordering
     at equal timestamps (d DESC) counts a session ending exactly when
     another starts as momentarily concurrent on both engines. The
-    sweep window is global but runs over session BOUNDARIES (two rows
-    per session, not per event); at extreme scale, partition the sweep
-    by day and carry inter-day offsets like q_rollup_incremental."""
+    sweep runs over session BOUNDARIES (two rows per session) — which
+    still scale with the data — so it is the two-pass range-sliced
+    prefix sum (`operators.windows.with_global_prefix_sum`, exact
+    integer deltas), not a single-task global window: the de-facto
+    inter-slice-offset design this docstring used to defer to 'extreme
+    scale'."""
     from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
 
     ev = t(spark, sf_dir, "events")
@@ -2197,10 +2217,18 @@ def q_sessions_concurrency(spark, sf_dir):
     deltas = sess.select(F.col("s").alias("e"), F.lit(1).alias("d")).unionByName(
         sess.select((F.col("f") + 1).alias("e"), F.lit(-1).alias("d"))
     )
-    sweep_w = Window.orderBy(F.asc("e"), F.desc("d")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_prefix_sum,
     )
-    sweep = deltas.select("e", F.sum("d").over(sweep_w).alias("active"))
+
+    sweep = with_global_prefix_sum(
+        deltas,
+        order=[F.asc("e"), F.desc("d")],
+        value=F.col("d"),
+        bucket_by="e",
+        out="active",
+        zero=F.lit(0).cast("long"),
+    ).select("e", "active")
     return (
         sweep.groupBy(F.expr("e DIV 86400000000").alias("day"))
         .agg(F.max("active").cast("bigint").alias("peak_concurrent_sessions"))
@@ -2237,16 +2265,29 @@ def q_skyline_2d(spark, sf_dir):
     user-level aggregate. Ties on n_events order by cents DESC so an
     equal-x, lower-y row sees the better y first and is correctly
     dominated. The multi-objective top-k primitive (price vs quality,
-    cost vs freshness) as pure window algebra."""
+    cost vs freshness) as pure window algebra. The sweep runs over the
+    user-level aggregate — data-sized — so it is the two-pass
+    range-sliced exclusive prefix max
+    (`operators.windows.with_global_prefix_max`), not a single-task
+    global window."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_prefix_max,
+    )
+
     ev = t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    w = Window.orderBy(
-        F.desc("n_events"), F.desc("cents"), F.asc("user_id")
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    sweep = u.withColumn("best", F.max("cents").over(w))
+    sweep = with_global_prefix_max(
+        u,
+        order=[F.desc("n_events"), F.desc("cents"), F.asc("user_id")],
+        value=F.col("cents"),
+        bucket_by="n_events",
+        ascending=False,
+        out="best",
+        exclusive=True,
+    )
     return sweep.filter(
         F.col("best").isNull() | (F.col("cents") > F.col("best"))
     ).select("user_id", "n_events", F.round(F.col("cents") / 100.0, 6).alias("monetary"))
@@ -2828,13 +2869,18 @@ def q_eval_gains(spark, sf_dir):
             ((F.col("event_type") == "purchase") & (F.col("value") >= 150)).cast("int")
         ).alias("label"),
     )
-    ranked = u.select(
-        "score",
-        "label",
-        F.ntile(10).over(Window.orderBy(F.desc("score"), F.asc("user_id"))).alias(
-            "decile"
-        ),
-    )
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_ntile
+
+    # user-level deciles scale with the data: two-pass range-sliced
+    # ntile, not a single-task global window
+    ranked = with_global_ntile(
+        u.select("score", "label", "user_id"),
+        order=[F.desc("score"), F.asc("user_id")],
+        k=10,
+        bucket_by="score",
+        ascending=False,
+        out="decile",
+    ).select("score", "label", "decile")
     agg = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("label").cast("bigint").alias("n_pos")
     )
@@ -3000,9 +3046,13 @@ def q_eval_auc(spark, sf_dir):
     partition order cannot move the answer. AUC closes the evaluation
     family (gains/lift show the business view, AUC the
     threshold-independent one) for the same deterministic score/label
-    pair as q_eval_gains. Two windows over the user-level rollup (a
-    global rank and a score-partitioned tie count), one scalar row
-    out."""
+    pair as q_eval_gains. The global rank over the user-level rollup is
+    the two-pass range-sliced rank (`operators.windows.with_global_rank`
+    — the rollup scales with the data, so the r5 single-task window was
+    a ceiling); the tie count stays a score-PARTITIONED window, which
+    shuffles by key and scales."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_rank
+
     ev = t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("score"),
@@ -3010,9 +3060,11 @@ def q_eval_auc(spark, sf_dir):
             ((F.col("event_type") == "purchase") & (F.col("value") >= 150)).cast("int")
         ).alias("label"),
     )
-    ranked = u.select(
+    ranked = with_global_rank(
+        u.select("label", "score"), keys=["score"], out="min_rk"
+    ).select(
         "label",
-        F.rank().over(Window.orderBy("score")).alias("min_rk"),
+        "min_rk",
         F.count(F.lit(1)).over(Window.partitionBy("score")).alias("n_tied"),
     )
     agg = ranked.agg(
@@ -3062,23 +3114,30 @@ def q_corr_spearman(spark, sf_dir):
     Pearson corr over tied-average ranks (the same exact integer
     2*min_rank + ties - 1 encoding as q_eval_auc, halved at the end) -
     monotone-association strength that outliers cannot drag, the
-    robust companion to q_corr's Pearson. Rank windows run over the
-    user-level rollup; at extreme cardinality the ranks come from the
-    mergeable-histogram CDF instead of a global sort."""
+    robust companion to q_corr's Pearson. Both global ranks over the
+    user-level rollup are the two-pass range-sliced rank
+    (`operators.windows.with_global_rank`); the tie counts stay
+    key-partitioned windows, which shuffle by key and scale."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_rank
+
     ev = t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    def tied_rank(col):
+    r1 = with_global_rank(u, keys=["n_events"], out="__rk_n")
+    r2 = with_global_rank(r1, keys=["cents"], out="__rk_c")
+
+    def tied_avg(rank_col, key_col):
         return (
-            2 * F.rank().over(Window.orderBy(col))
-            + F.count(F.lit(1)).over(Window.partitionBy(col))
+            2 * F.col(rank_col)
+            + F.count(F.lit(1)).over(Window.partitionBy(key_col))
             - 1
         ) / 2.0
 
-    ranked = u.select(
-        tied_rank("n_events").alias("rx"), tied_rank("cents").alias("ry")
+    ranked = r2.select(
+        tied_avg("__rk_n", "n_events").alias("rx"),
+        tied_avg("__rk_c", "cents").alias("ry"),
     )
     return ranked.agg(
         F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),

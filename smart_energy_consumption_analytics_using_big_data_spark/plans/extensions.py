@@ -3856,24 +3856,36 @@ def q_agg_gini(spark, sf_dir):
     across households). Exact rank formula G = 2*sum(i*x_i)/(n*sum x)
     - (n+1)/n over ascending-sorted totals; integer-cents totals and
     an (value, user_id) rank tiebreak make the sort and the sum exact
-    and engine-portable. The global rank runs over the USER-level
-    aggregate (one row per user, not per event), so the single-
-    partition window is bounded by user cardinality. sum(i*cents)
-    accumulates in exact BIGINT on both engines (cast to DOUBLE only
-    at the final ratio); at extreme scale (1e8 users x 1e6-cent
-    totals approaches 2^63) switch the accumulator to DECIMAL(38,0)
-    before widening user counts."""
+    and engine-portable. The global position index runs over the
+    USER-level aggregate — which scales with the data — via the
+    two-pass range-sliced row_number
+    (`operators.windows.with_global_row_number`), not a single-task
+    window. sum(i*cents) accumulates in exact BIGINT on both engines
+    (cast to DOUBLE only at the final ratio); at extreme scale (1e8
+    users x 1e6-cent totals approaches 2^63) switch the accumulator to
+    DECIMAL(38,0) before widening user counts."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_row_number,
+    )
+
     ev = t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
-    w_ord = Window.orderBy("cents", "user_id")
-    w_all = Window.partitionBy()
-    r = u.select(
-        "cents",
-        F.row_number().over(w_ord).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("cents").over(w_all).alias("total"),
+    # n/total as a 1-row broadcast, not a whole-table window (which is
+    # just as single-task as an unpartitioned orderBy)
+    tot = u.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total")
+    )
+    r = (
+        with_global_row_number(
+            u,
+            order=[F.asc("cents"), F.asc("user_id")],
+            bucket_by="cents",
+            out="i",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("cents", "i", "n", "total")
     )
     return r.agg(
         F.round(
@@ -5448,12 +5460,26 @@ def q_ml_isotonic(spark, sf_dir):
     note: the global ntile sorts once (same trade as every exact
     quantile here — the sketch path derives cut points from
     approx_quantile); the minimax self-joins are bin-count-bounded
-    (50x50), data-size-independent."""
+    (50x50), data-size-independent. The equal-count binning itself is
+    the two-pass range-partitioned ntile
+    (`operators.windows.with_global_ntile`) — the r5 version's
+    unpartitioned window sorted every order on ONE task."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_ntile
+
     o = t(spark, sf_dir, "orders")
-    binned = o.select(
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
-        F.ntile(50).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
-    )
+    binned = with_global_ntile(
+        o.select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        order=[F.asc("o_totalprice"), F.asc("o_orderkey")],
+        k=50,
+        bucket_by="o_totalprice",
+        out="bin",
+    ).select("y", "bin")
     b = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
     )
@@ -5649,11 +5675,17 @@ def q_feature_quantile_norm(spark, sf_dir):
     global order statistics) — after it, every source has the same
     length distribution, the batch-effect correction used before
     mixing heterogeneous corpus sources. Per-source ranks are one
-    window pass; the global sorted index is the one inherent global
-    sort of any exact quantile transform (sketch path: interpolate
-    against approx_quantile cut points); the lookup itself is two
-    integer equi-joins on the floor/ceil positions plus a 1-row
-    broadcast of the corpus count."""
+    window pass; the global sorted index — the one inherent global
+    order of any exact quantile transform — is built with the two-pass
+    range-sliced row_number (`operators.windows.with_global_row_number`)
+    rather than a single-task window (sketch path: interpolate against
+    approx_quantile cut points); the lookup itself is two integer
+    equi-joins on the floor/ceil positions plus a 1-row broadcast of
+    the corpus count."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_row_number,
+    )
+
     d = t(spark, sf_dir, "documents")
     nrow = d.agg(F.count(F.lit(1)).alias("__N"))
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -5665,11 +5697,12 @@ def q_feature_quantile_norm(spark, sf_dir):
         F.row_number().over(ws).alias("r"),
         F.count(F.lit(1)).over(wn).alias("ns"),
     )
-    wg = Window.orderBy("n_chars", "doc_id")
-    g = d.select(
-        F.col("n_chars").cast("double").alias("gv"),
-        F.row_number().over(wg).alias("gi"),
-    )
+    g = with_global_row_number(
+        d.select("n_chars", "doc_id"),
+        order=[F.asc("n_chars"), F.asc("doc_id")],
+        bucket_by="n_chars",
+        out="gi",
+    ).select(F.col("n_chars").cast("double").alias("gv"), "gi")
     pos = (
         F.when(F.col("ns") == 1, F.lit(0.0)).otherwise(
             (F.col("r") - 1).cast("double") / (F.col("ns") - 1).cast("double")
@@ -6657,12 +6690,25 @@ def q_eval_ece(spark, sf_dir):
     reliability-diagram summary numbers that say whether a score can
     be read as a probability BEFORE calibration (q_ml_isotonic is the
     fix; this is the diagnosis). Two shrinking aggregations after the
-    shared binning sort."""
+    shared binning, which is the two-pass range-partitioned ntile
+    (`operators.windows.with_global_ntile`) rather than a single-task
+    global window."""
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import with_global_ntile
+
     o = t(spark, sf_dir, "orders")
-    binned = o.select(
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
-        F.ntile(50).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("bin"),
-    )
+    binned = with_global_ntile(
+        o.select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+            "o_totalprice",
+            "o_orderkey",
+        ),
+        order=[F.asc("o_totalprice"), F.asc("o_orderkey")],
+        k=50,
+        bucket_by="o_totalprice",
+        out="bin",
+    ).select("y", "bin")
     b = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").cast("bigint").alias("pos")
     )
@@ -7167,6 +7213,8 @@ def q_agg_abc_pareto(spark, sf_dir):
         rev,
         order=[F.desc("revenue"), F.asc("l_partkey")],
         value=F.col("revenue").cast("decimal(25,6)"),
+        bucket_by="revenue",
+        ascending=False,
         out="cum_rev",
     )
     c = cum.crossJoin(F.broadcast(tot)).select(
