@@ -89,6 +89,53 @@ ALLOWED_CARTESIAN = {
     "q_ml_als": "MLlib recommendForAllUsers: deliberate blocked cross join of user-factor x item-factor BLOCKS (rank-8 vectors, dimension-sized) for exhaustive scoring; the ANN path serves at corpus scale",
 }
 
+# A Window fed by Exchange SinglePartition executes the whole input on
+# ONE task (round-5 verdict's ABC/Pareto finding, made a standing lint
+# in round 6). Acceptable when (and only when) the window's input is
+# SUPPORT-bounded — bins, calendar grids, value/duration histograms,
+# dimension rollups — never when it scales with the data. Data-sized
+# sites use the two-pass family in operators/windows.py, whose own
+# bounded offsets pass (ordering on __slice, one row per slice) is
+# auto-allowed by the detector. Every entry must say what bounds the
+# input; any query NOT listed that plans one fails the audit.
+ALLOWED_GLOBAL_WINDOW = {
+    "q_drift_ks": "cumulative CDF gap over the value-BIN table (floor(value/25) support)",
+    "q_drift_wasserstein": "CDF steps over the distinct-value table (~1e4 rows for 2-decimal readings, event-count-independent)",
+    "q_ts_kaplan_meier": "risk-set/survival windows over the session-duration MINUTE histogram",
+    "q_rollup_share": "share-of-parent over the region x nation rollup (dimension-bounded: 25 nations)",
+    "q_ts_periodogram": "hourly time grid (calendar-bounded) + 4-row period table",
+    "q_ml_isotonic": "PAV prefix sums over the 50-row calibration bin table",
+    "q_graph_degree_dist": "complementary CDF over DISTINCT degree values (degree support, not node count)",
+    "q_dq_volume_anomaly": "per-DATE ingest counts (calendar-bounded)",
+    "q_ts_acf": "hourly time grid (calendar-bounded)",
+    "q_dq_benford": "9-row leading-digit table",
+    "q_ts_ramp_rate": "hourly time grid (calendar-bounded)",
+    "q_ts_heatmap": "hour x day-of-week grid (<=168 rows)",
+    "q_eval_gains": "cumulative capture over the 10-row decile table (deciles themselves cut by with_global_ntile)",
+    "q_ts_hurst": "hourly grid index + per-scale window stats (64/128/256-hour windows over the calendar-bounded series)",
+    "q_stat_chi2": "contingency-cell table (event_type x value-band support)",
+}
+
+
+def single_task_windows(plan: str) -> int:
+    """Count Window nodes executing on a single partition: a `Window`
+    whose child (within the next few operator lines — Sort /
+    WindowGroupLimit may intervene) is `Exchange SinglePartition`.
+    Windows ordering on __slice are the two-pass family's bounded
+    offsets pass (one row per slice) and are not counted."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Window [" in line and "__slice" not in line:
+            for j in range(i + 1, min(i + 6, len(lines))):
+                nxt = lines[j]
+                if "Window [" in nxt:
+                    break
+                if "Exchange SinglePartition" in nxt:
+                    hits += 1
+                    break
+    return hits
+
 
 def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(
@@ -112,10 +159,23 @@ def audit_one(name: str, df, plan: str, oracled: bool) -> dict:
         nested = nested_output_fields(df)
         if nested:
             bad.append(f"non-atomic oracled output: {nested}")
+    stw = single_task_windows(plan)
+    if stw and name not in ALLOWED_GLOBAL_WINDOW:
+        bad.append(f"single-task window x{stw}")
+    join_only = [
+        b
+        for b in bad
+        if b in ("BroadcastNestedLoopJoin", "CartesianProduct")
+    ]
     return {
         "bad_nodes": bad,
-        "allowed": (name in ALLOWED_BNLJ and bad == ["BroadcastNestedLoopJoin"])
-        or (name in ALLOWED_CARTESIAN and bad == ["CartesianProduct"]),
+        "allowed": bool(bad)
+        and all(
+            (b == "BroadcastNestedLoopJoin" and name in ALLOWED_BNLJ)
+            or (b == "CartesianProduct" and name in ALLOWED_CARTESIAN)
+            for b in bad
+        )
+        and join_only == bad,
         "pandas_stages": [node for node in PANDAS_NODES if node in plan],
         "scans": plan.count("Location: InMemoryFileIndex") // 2,
     }
