@@ -79,6 +79,12 @@ PROBE = [
     "q_dq_volume_anomaly",
     "q_ts_gap_distribution",
     "q_window_firstlast",
+    # round-6 ranking-family migrations: one representative per shape —
+    # sweep-line prefix sum, exclusive prefix max, tie-aware rank
+    # (all events-backed, 100x)
+    "q_sessions_concurrency",
+    "q_skyline_2d",
+    "q_eval_auc",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the

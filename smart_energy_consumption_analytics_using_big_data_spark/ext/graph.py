@@ -44,15 +44,26 @@ def bfs_hops(
     GraphFrames contract). Without the release, every call parked
     ``max_hops + 2`` node/edge tables in the block manager for the
     session's lifetime.
+
+    Shuffle discipline: the edge list is hash-repartitioned on the
+    join key ONCE and cached with that partitioning, so every round's
+    equi-join reuses it without a fresh |E| exchange — only the (much
+    smaller) distance table shuffles per round. Seeds derive from the
+    cached, partitioned table, so the upstream edge pipeline (often an
+    expensive similarity/blocking join) executes exactly once.
     """
-    edges = edges.persist()
+    ed = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+        .repartition("id")
+        .persist()
+    )
+    ed.count()
     dist = (
-        edges.select(F.col(src).alias("id"))
-        .filter(F.col(src) % seed_mod == 0)
+        ed.select("id")
+        .filter(F.col("id") % seed_mod == 0)
         .distinct()
         .select("id", F.lit(0).alias("dist"))
     )
-    ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
     prev = None
     for _ in range(max_hops):
         hop = ed.join(dist, "id").select(
@@ -75,7 +86,7 @@ def bfs_hops(
         if prev is not None:
             prev.unpersist()
         prev = dist
-    edges.unpersist()
+    ed.unpersist()
     return dist
 
 
@@ -102,20 +113,27 @@ def pagerank(
     # Spark does not CSE identical subplans: without materializing the
     # edge list, every iteration (and the nodes/degree derivations)
     # would re-execute the upstream edge pipeline - for a similarity
-    # graph that is the whole LSH/blocking join, per use. Persist once;
-    # the count() below doubles as the materialization point.
-    edges = edges.persist()
+    # graph that is the whole LSH/blocking join, per use. Materialize
+    # it ONCE, hash-partitioned on the contribution join key, so every
+    # round's equi-join (and the degree rollup) reuses the cached
+    # partitioning instead of re-exchanging |E| rows per iteration.
+    ed = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+        .repartition("id")
+        .persist()
+    )
+    ed.count()
+    edges = ed  # released by _finish_ranks
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        ed.select("id")
+        .union(ed.select(F.col("__dst").alias("id")))
         .distinct()
         .persist()
     )
     n = nodes.count()
-    deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     base = 1.0 - damping
     ranks = nodes.select("id", F.round(F.lit(1.0) / n, 12).alias("rank"))
-    ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
     for _ in range(iters):
         contrib = (
             ed.join(ranks, "id")
@@ -164,18 +182,25 @@ def personalized_pagerank(
     (nodes with ``id % seed_mod == 0``) instead of spreading uniformly,
     so rank measures relatedness TO THE SEEDS — the recommendation /
     relatedness variant (Haveliwala 2002) of the centrality walk above.
-    Same fixed-iteration dataflow and decimal-rounded contribution sums
-    as `pagerank`; the only change is the restart vector."""
-    edges = edges.persist()
+    Same fixed-iteration dataflow, decimal-rounded contribution sums,
+    and once-materialized key-partitioned edge cache as `pagerank`;
+    the only change is the restart vector."""
+    ed = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
+        .repartition("id")
+        .persist()
+    )
+    ed.count()
+    edges = ed  # released by _finish_ranks
     nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        ed.select("id")
+        .union(ed.select(F.col("__dst").alias("id")))
         .distinct()
         .persist()
     )
     is_seed = F.col("id") % seed_mod == 0
     ns = nodes.filter(is_seed).count()
-    deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     base = 1.0 - damping
     ranks = nodes.select(
         "id",
@@ -183,7 +208,6 @@ def personalized_pagerank(
             "rank"
         ),
     )
-    ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst"))
     for _ in range(iters):
         contrib = (
             ed.join(ranks, "id")
