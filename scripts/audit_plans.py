@@ -73,6 +73,7 @@ ALLOWED_BNLJ = {
     "q_emb_trunc_recall": "inherits q_sim_cosine_topk's 1-row query-vector broadcast, applied at three truncation widths; recall joins are 10-row equi-joins",
     "q_dedup_threshold_curve": "5-row literal threshold table broadcast against the one-pass jaccard pair table (pair build itself is the equi-join shingle machinery)",
     "q_agg_abc_pareto": "1-row total-revenue scalar cross-joined as a broadcast over the part-level rollup",
+    "q_eval_qq_normal": "two 1-row broadcasts (error count for plotting positions; fit-line moment scalars) cross-joined over the Q-Q point table — the order statistics themselves ride the two-pass range-sliced row_number",
     # round-6 ranking-family migrations: with_global_ntile carries the
     # 1-row total row count as a broadcast cross join (tile arithmetic
     # needs n); the ranking itself is the range-sliced two-pass.

@@ -85,6 +85,9 @@ PROBE = [
     "q_sessions_concurrency",
     "q_skyline_2d",
     "q_eval_auc",
+    # round-6 D3 closure: global ranking + probit over persistence
+    # residuals (events-backed, 100x)
+    "q_eval_qq_normal",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the

@@ -7291,3 +7291,152 @@ def q_ts_peaks(spark, sf_dir):
         F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         F.round("v", 6).alias("peak_value"),
     )
+
+
+from smart_energy_consumption_analytics_using_big_data_spark.functions.statfns import probit_sql  # noqa: E402
+
+_QQ_PROBIT = probit_sql("p")
+
+@q(
+    "q_eval_qq_normal",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date, {dsum} AS d
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    err AS (
+      SELECT user_id, date,
+             round(d - lag(d) OVER (PARTITION BY user_id ORDER BY date),
+                   6) AS v
+      FROM daily
+      QUALIFY lag(d) OVER (PARTITION BY user_id ORDER BY date) IS NOT NULL
+    ),
+    ranked AS (
+      SELECT user_id, date, v,
+             row_number() OVER (ORDER BY v, user_id, date) AS i,
+             count(*) OVER () AS n
+      FROM err
+    ),
+    pts AS (
+      SELECT i, v,
+             (CAST(i AS DOUBLE) - CAST(0.375 AS DOUBLE))
+               / (CAST(n AS DOUBLE) + CAST(0.25 AS DOUBLE)) AS p
+      FROM ranked
+    ),
+    qq AS (SELECT i, v, round({probit}, 6) AS m FROM pts),
+    fit AS (
+      SELECT count(*) AS n,
+             {sx} AS sx, {sy} AS sy,
+             {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
+      FROM qq
+    )
+    SELECT qq.i, qq.m AS theo_q, qq.v AS sample_q,
+           round((CAST(fit.n AS DOUBLE) * fit.sxy - fit.sx * fit.sy)
+                 / (CAST(fit.n AS DOUBLE) * fit.sxx - fit.sx * fit.sx),
+                 6) AS slope,
+           round((fit.sy - (CAST(fit.n AS DOUBLE) * fit.sxy - fit.sx * fit.sy)
+                           / (CAST(fit.n AS DOUBLE) * fit.sxx - fit.sx * fit.sx)
+                         * fit.sx) / CAST(fit.n AS DOUBLE),
+                 6) AS intercept,
+           round((CAST(fit.n AS DOUBLE) * fit.sxy - fit.sx * fit.sy)
+                 / sqrt((CAST(fit.n AS DOUBLE) * fit.sxx - fit.sx * fit.sx)
+                        * (CAST(fit.n AS DOUBLE) * fit.syy - fit.sy * fit.sy)),
+                 6) AS corr
+    FROM qq CROSS JOIN fit
+    """.format(
+        dsum=DSUM("value"),
+        probit=_QQ_PROBIT,
+        sx="CAST(SUM(CAST(m AS DECIMAL(28,12))) AS DOUBLE)",
+        sy="CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)",
+        sxx="CAST(SUM(CAST(m * m AS DECIMAL(28,12))) AS DOUBLE)",
+        syy="CAST(SUM(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE)",
+        sxy="CAST(SUM(CAST(m * v AS DECIMAL(28,12))) AS DOUBLE)",
+    ),
+)
+def q_eval_qq_normal(spark, sf_dir):
+    """Normal Q-Q table + least-squares reference line for forecast
+    errors — the engine-side data behind the reference dashboard's
+    `stats.probplot(errors, dist="norm")` panel
+    (visualization/streamlit_app.py:406): SURVEY §2 row D3, previously
+    the one inventory row left presentation-side.
+
+    Errors are the naive persistence-forecast residuals (today's daily
+    purchase total minus yesterday's, per user — the model-free analog
+    of the dashboard's prediction errors, deterministic and therefore
+    oracle-checkable). Plan shape, all scale-safe:
+
+    1. daily rollup + per-user lag: one user-keyed exchange;
+    2. global order statistics via the two-pass range-sliced
+       row_number (`operators.windows.with_global_row_number`) — the
+       inherent global sort of any Q-Q, WITHOUT a single-task window;
+    3. theoretical quantiles at Blom plotting positions
+       (i - 0.375)/(n + 0.25) — rational arithmetic only (scipy's
+       default Filliben positions need pow(0.5, 1/n), a cross-engine
+       ulp trap; Blom is the standard choice for normal Q-Q and keeps
+       the position math bit-deterministic) — through Acklam's inverse
+       normal CDF emitted as ONE shared SQL string for both engines
+       (`functions/statfns.probit_sql`; rel. err < 1.15e-9, matches
+       scipy.stats.probplot to ~1e-8);
+    4. the probit output is rounded to 6dp BEFORE the regression
+       moments, so the tail branches' 1-ulp JVM-vs-DuckDB ln()
+       difference (measured: 6 of 9999 grid points differ in the last
+       bit) cannot straddle a downstream decimal half boundary;
+    5. slope/intercept/r of the fit line from raw moments accumulated
+       in DECIMAL(28,12) (order- and partition-independent), finished
+       with identical double arithmetic on both engines, constants
+       broadcast to every point row.
+    """
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.windows import (
+        with_global_row_number,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("date")
+    ).agg(sum_exact("value").alias("d"))
+    wlag = Window.partitionBy("user_id").orderBy("date")
+    err = (
+        daily.withColumn("pred", F.lag("d").over(wlag))
+        .where(F.col("pred").isNotNull())
+        .select(
+            "user_id", "date", F.round(F.col("d") - F.col("pred"), 6).alias("v")
+        )
+    )
+    ranked = with_global_row_number(
+        err,
+        order=[F.asc("v"), F.asc("user_id"), F.asc("date")],
+        bucket_by="v",
+        out="i",
+    )
+    nrow = err.agg(F.count(F.lit(1)).alias("n"))
+    pts = ranked.crossJoin(F.broadcast(nrow)).select(
+        "i",
+        "v",
+        (
+            (F.col("i").cast("double") - F.lit(0.375))
+            / (F.col("n").cast("double") + F.lit(0.25))
+        ).alias("p"),
+    )
+    qq = pts.select("i", "v", F.round(F.expr(_QQ_PROBIT), 6).alias("m"))
+    dsum12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    fit = qq.agg(
+        F.count(F.lit(1)).cast("double").alias("fn"),
+        dsum12(F.col("m")).alias("sx"),
+        dsum12(F.col("v")).alias("sy"),
+        dsum12(F.col("m") * F.col("m")).alias("sxx"),
+        dsum12(F.col("v") * F.col("v")).alias("syy"),
+        dsum12(F.col("m") * F.col("v")).alias("sxy"),
+    )
+    num = F.col("fn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("fn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("fn") * F.col("syy") - F.col("sy") * F.col("sy")
+    return qq.crossJoin(F.broadcast(fit)).select(
+        "i",
+        F.col("m").alias("theo_q"),
+        F.col("v").alias("sample_q"),
+        F.round(num / den, 6).alias("slope"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("fn"), 6).alias(
+            "intercept"
+        ),
+        F.round(num / F.sqrt(den * deny), 6).alias("corr"),
+    )
