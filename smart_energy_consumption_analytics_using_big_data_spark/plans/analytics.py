@@ -1732,29 +1732,40 @@ def q_rfm_segment(spark, sf_dir):
         "n_events",
         "cents",
     )
-    s = with_global_ntile(
-        s,
+    # The three quartile cuts are INDEPENDENT total orders over the
+    # same user rollup. Chaining them (tile #2 over tile #1's output,
+    # as r6 first did) makes each stage's eager boundary probe and
+    # internal row-count re-execute every earlier tile pipeline —
+    # measured ~quadratic replay, 5.5 s at sf0.1. Computing each tile
+    # from the slim (user_id, key) projection of the CACHED rollup and
+    # joining back on the unique user key runs the three two-pass
+    # rankings once each: 5.5 -> ~2 s at sf0.1, and at cluster scale
+    # three user-keyed joins replace depth-squared pipeline replays.
+    s = s.persist()
+    r_tile = with_global_ntile(
+        s.select("user_id", "recency_days"),
         order=[F.asc("recency_days"), F.asc("user_id")],
         k=4,
         bucket_by="recency_days",
         out="r",
-    )
-    s = with_global_ntile(
-        s,
+    ).select("user_id", "r")
+    f_tile = with_global_ntile(
+        s.select("user_id", "n_events"),
         order=[F.desc("n_events"), F.asc("user_id")],
         k=4,
         bucket_by="n_events",
         ascending=False,
         out="f",
-    )
-    s = with_global_ntile(
-        s,
+    ).select("user_id", "f")
+    m_tile = with_global_ntile(
+        s.select("user_id", "cents"),
         order=[F.desc("cents"), F.asc("user_id")],
         k=4,
         bucket_by="cents",
         ascending=False,
         out="m",
-    )
+    ).select("user_id", "m")
+    s = s.join(r_tile, "user_id").join(f_tile, "user_id").join(m_tile, "user_id")
     return s.select(
         "user_id",
         "recency_days",
