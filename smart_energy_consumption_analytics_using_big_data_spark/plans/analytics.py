@@ -3143,8 +3143,19 @@ def q_corr_spearman(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
-    r1 = with_global_rank(u, keys=["n_events"], out="__rk_n")
-    r2 = with_global_rank(r1, keys=["cents"], out="__rk_c")
+    # the two rank passes are independent orders over the same rollup:
+    # NEVER chain two-pass operators through each other's outputs (the
+    # chained form's eager boundary probe re-executes the upstream rank
+    # pipeline — the q_rfm_segment quadratic-replay lesson); derive each
+    # from the cached base and equi-join the rank columns back
+    u = u.persist()
+    ra = with_global_rank(
+        u.select("user_id", "n_events"), keys=["n_events"], out="__rk_n"
+    ).select("user_id", "__rk_n")
+    rb = with_global_rank(
+        u.select("user_id", "cents"), keys=["cents"], out="__rk_c"
+    ).select("user_id", "__rk_c")
+    r2 = u.join(ra, "user_id").join(rb, "user_id")
 
     def tied_avg(rank_col, key_col):
         return (
