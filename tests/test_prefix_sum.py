@@ -222,3 +222,46 @@ def test_global_prefix_sum_integer_values(spark):
     b = {r.id: r.cum for r in ours.collect()}
     assert a == b
     assert ours.schema["cum"].dataType.simpleString() == "bigint"
+
+
+def test_global_row_number_constant_bucket_key(spark):
+    # the documented degenerate: every bucketing value identical, so
+    # all quantile boundaries coincide and the whole input lands in
+    # ONE slice — the two-pass must gracefully become the serial
+    # window, not drop or duplicate ranks
+    df = spark.range(400).select(
+        F.col("id"), F.lit(7).alias("v"), (F.col("id") % 3).alias("payload")
+    )
+    ours = with_global_row_number(
+        df,
+        order=[F.asc("v"), F.asc("id")],
+        bucket_by="v",
+        num_partitions=8,
+    )
+    got = sorted((r.id, r.rn) for r in ours.collect())
+    assert got == [(i, i + 1) for i in range(400)]
+
+
+def test_global_row_number_hypothesis_tie_structures(spark):
+    # arbitrary duplicate structures vs the native serial window
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=80)
+    )
+    def check(vs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vs)], "id long, v long"
+        )
+        native = df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("id")))
+        )
+        ours = with_global_row_number(
+            df, order=[F.asc("v"), F.asc("id")], bucket_by="v", num_partitions=5
+        )
+        assert {(r.id, r.rn) for r in ours.collect()} == {
+            (r.id, r.rn) for r in native.collect()
+        }
+
+    check()
