@@ -319,7 +319,11 @@ def with_global_ntile(
         out="__rn",
         num_partitions=num_partitions,
     )
-    total = rn.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # row_number preserves rows, so count the INPUT: counting rn would
+    # re-execute the whole two-pass ranking pipeline inside the
+    # broadcast subquery of the same action (one full extra pass per
+    # ntile call; the q_rfm_segment replay lesson, in miniature)
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     # long-arith via double division + truncation: exact for n < 2^53,
     # far past the 2^31 ceiling Spark's int-typed ntile has anyway
     q = F.col("__n") - (F.col("__n") / k).cast("long") * k  # n % k
