@@ -275,24 +275,35 @@ def with_global_rank(
     """Globally-ordered RANK (ties share the rank of their first row)
     over the named sort ``keys`` without a single-task window.
 
-    rank(x) = 1 + count of rows strictly before x's tie group — i.e.
-    the minimum global row_number within the group, recovered with one
-    keyed aggregation + broadcast-eligible equi-join back on the keys.
-    Keys must be non-null columns (the equi-join drops null matches);
-    every data-sized ranking site in this repo ranks non-null
-    aggregates. LONG-typed like with_global_row_number."""
+    rank(x) = 1 + count of rows strictly before x's tie group. A tie
+    group is equal on ALL sort keys, hence equal on ``keys[0]`` — and
+    ``_value_sliced`` assigns equal bucketing values to the SAME slice
+    (strictly-greater boundary comparisons), so tie groups never span
+    slices and the global rank is simply the slice-local ``F.rank()``
+    plus the exclusive per-slice row-count offset. (The first version
+    recovered it as the min global row_number per group via a keyed
+    aggregation + join back, which executed the ranking pipeline twice
+    per call — the with_global_ntile recount lesson.) Keys must be
+    non-null; LONG-typed like with_global_row_number."""
     ascending = ascending or [True] * len(keys)
     order = [F.asc(k) if asc else F.desc(k) for k, asc in zip(keys, ascending)]
-    rn = with_global_row_number(
-        df,
-        order=order,
-        bucket_by=keys[0],
-        ascending=ascending[0],
-        out="__rn",
-        num_partitions=num_partitions,
+    sliced = _value_sliced(df, keys[0], ascending[0], num_partitions)
+    w_local = Window.partitionBy("__slice").orderBy(*order)
+    local = sliced.withColumn("__local_rk", F.rank().over(w_local))
+    w_off = Window.orderBy("__slice").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sliced.groupBy("__slice")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__offset", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .select("__slice", "__offset")
     )
-    firsts = rn.groupBy(*keys).agg(F.min("__rn").alias(out))
-    return rn.join(firsts, keys, "inner").drop("__rn")
+    return (
+        local.join(F.broadcast(offsets), "__slice", "left")
+        .withColumn(
+            out, (F.col("__local_rk").cast("long") + F.col("__offset")).cast("long")
+        )
+        .drop("__slice", "__local_rk", "__offset")
+    )
 
 
 def with_global_ntile(
