@@ -7418,6 +7418,10 @@ def q_eval_qq_normal(spark, sf_dir):
         ).alias("p"),
     )
     qq = pts.select("i", "v", F.round(F.expr(_QQ_PROBIT), 6).alias("m"))
+    # the fit-moment broadcast subquery and the output projection both
+    # read the point table: pin it so the two-pass ranking + probit run
+    # once, not twice (bench/probe harnesses release leftover caches)
+    qq = qq.persist()
     dsum12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
     fit = qq.agg(
         F.count(F.lit(1)).cast("double").alias("fn"),
