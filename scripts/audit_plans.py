@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -83,6 +84,45 @@ ALLOWED_BNLJ = {
     "q_agg_gini": "1-row (n, total-cents) scalar cross-joined as a broadcast over the user rollup",
 }
 
+# Oracle OUTPUT types the driver's pandas-path hasher renders unlike
+# Spark's (the r6 BPE finding): DuckDB HUGEINT — any uncast sum(BIGINT)
+# — lands as float64 ('6.0' vs Spark BIGINT '6') and ALWAYS hash-fails;
+# DECIMAL also lands as float64, which matches a Spark DOUBLE column but
+# is a silent trap if the Spark side is integral or decimal-typed, so a
+# first-appearance DECIMAL fails the audit until it's either cast in the
+# oracle or allowlisted here with driver evidence.
+ALLOWED_DECIMAL_ORACLE = {
+    "q_mm_frames": "driver-green r2+: DECIMAL(21,1) epoch-derived frame_ts matches the Spark DOUBLE through the float64 path",
+    "q_mm_audio_windows": "driver-green r2+: DECIMAL(21,1) epoch-derived start_ts matches the Spark DOUBLE through the float64 path",
+}
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def oracle_type_findings(con, name: str, sql: str) -> list[str]:
+    """Bind (not execute) the oracle in DuckDB and flag output columns
+    whose physical rendering diverges from Spark's in the driver's
+    hasher. Returns audit findings; binding errors surface too — an
+    oracle that cannot even bind can never go green."""
+    try:
+        rel = con.sql(sql)
+        cols = list(zip(rel.columns, (str(t) for t in rel.types)))
+    except Exception as exc:  # noqa: BLE001 - report, don't crash the audit
+        return [f"oracle bind error: {str(exc)[:160]}"]
+    bad = []
+    for col, typ in cols:
+        if "HUGEINT" in typ:
+            bad.append(f"HUGEINT oracle column {col!r} ({typ}) — CAST(... AS BIGINT)")
+        elif typ.startswith("DECIMAL") and name not in ALLOWED_DECIMAL_ORACLE:
+            bad.append(
+                f"DECIMAL oracle column {col!r} ({typ}) — cast to DOUBLE/BIGINT "
+                "or allowlist with driver evidence"
+            )
+    return bad
+
+
 # CartesianProduct is acceptable only when a library's own blocked
 # exhaustive computation plans it by design and the blocks are
 # factor-sized, not data-sized. Same contract as ALLOWED_BNLJ.
@@ -118,23 +158,75 @@ ALLOWED_GLOBAL_WINDOW = {
 }
 
 
+_TREE_NODE = re.compile(r"^([ :+\-*]*)([A-Za-z][A-Za-z .]*\w)\s+\((\d+)\)\s*$")
+
+# Nodes that preserve their child's partitioning: a Window reached from
+# an `Exchange SinglePartition` THROUGH any chain of these still runs
+# its whole input on one task.
+_PARTITION_PRESERVING = {
+    "Sort", "Project", "Filter", "Window", "WindowGroupLimit",
+    "RunningWindowFunction", "Expand", "Generate", "SerializeFromObject",
+}
+
+
 def single_task_windows(plan: str) -> int:
-    """Count Window nodes executing on a single partition: a `Window`
-    whose child (within the next few operator lines — Sort /
-    WindowGroupLimit may intervene) is `Exchange SinglePartition`.
-    Windows ordering on __slice are the two-pass family's bounded
-    offsets pass (one row per slice) and are not counted."""
+    """Count Window nodes executing on a single partition, by walking
+    the FORMATTED plan's tree: a `Window (n)` whose downstream child
+    chain (through partition-preserving nodes only, any depth — the
+    r6 lint's fixed 5-line lookahead missed interposed Project/Filter
+    and, worse, matched the simple-plan `Window [` spelling that never
+    occurs in formatted output, making it a silent no-op) reaches an
+    `Exchange` whose Arguments say `SinglePartition`.
+
+    Exemption: a Window whose ORDER spec references only `__slice` is
+    the two-pass global-ranking family's offsets pass (one row per
+    slice, slice-count-bounded) — checked against the node's detail
+    Arguments, not a substring of the whole line, so a data-sized
+    window that merely mentions __slice elsewhere is still counted."""
     lines = plan.splitlines()
+
+    # Detail blocks: node id -> its "Arguments:" payload.
+    args: dict[int, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"^\((\d+)\)\s+\S", ln)
+        if m:
+            cur = int(m.group(1))
+            continue
+        if cur is not None and ln.startswith("Arguments: "):
+            args.setdefault(cur, ln[len("Arguments: "):])
+
+    # Tree lines (main plan + each subquery tree): (indent, name, id).
+    nodes: list[tuple[int, str, int]] = []
+    for ln in lines:
+        m = _TREE_NODE.match(ln)
+        if m:
+            prefix, name, nid = m.groups()
+            nodes.append((len(prefix), name.strip(), int(nid)))
+
     hits = 0
-    for i, line in enumerate(lines):
-        if "Window [" in line and "__slice" not in line:
-            for j in range(i + 1, min(i + 6, len(lines))):
-                nxt = lines[j]
-                if "Window [" in nxt:
-                    break
-                if "Exchange SinglePartition" in nxt:
+    for i, (ind, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        a = args.get(nid, "")
+        # Window Arguments: [exprs], [partitionSpec]?, [orderSpec] —
+        # take the last bracketed group as the order spec.
+        order = a.rsplit("[", 1)[-1] if "[" in a else ""
+        order_cols = set(re.findall(r"(\w+)#\d+", order))
+        if order_cols and order_cols <= {"__slice"}:
+            continue
+        j = i + 1
+        while j < len(nodes):
+            cind, cname, cid = nodes[j]
+            if cind <= ind:
+                break  # left this Window's subtree
+            if cname == "Exchange":
+                if "SinglePartition" in args.get(cid, ""):
                     hits += 1
-                    break
+                break
+            if cname not in _PARTITION_PRESERVING:
+                break  # aggregation/join/scan/stage boundary re-partitions
+            j += 1
     return hits
 
 
@@ -153,13 +245,17 @@ def nested_output_fields(df) -> list[str]:
     ]
 
 
-def audit_one(name: str, df, plan: str, oracled: bool) -> dict:
+def audit_one(name: str, df, plan: str, oracled: bool, con=None) -> dict:
     """Scale/compat findings for one query's plan + output schema."""
     bad = [node for node in BAD_NODES if node in plan]
     if oracled:
         nested = nested_output_fields(df)
         if nested:
             bad.append(f"non-atomic oracled output: {nested}")
+        if con is not None:
+            from smart_energy_consumption_analytics_using_big_data_spark.plans import ORACLE
+
+            bad.extend(oracle_type_findings(con, name, ORACLE[name]))
     stw = single_task_windows(plan)
     if stw and name not in ALLOWED_GLOBAL_WINDOW:
         bad.append(f"single-task window x{stw}")
@@ -194,6 +290,12 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import duckdb
+
+    con = duckdb.connect()
+    for tbl in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+
     report: dict[str, dict] = {}
     n_bad = 0
     for name, fn in QUERIES.items():
@@ -205,7 +307,7 @@ def main() -> int:
             n_bad += 1
             print(f"ERROR {name}: {str(exc)[:120]}")
             continue
-        row = audit_one(name, df, plan, oracled=name in ORACLE)
+        row = audit_one(name, df, plan, oracled=name in ORACLE, con=con)
         report[name] = row
         if row["bad_nodes"] and not row["allowed"]:
             n_bad += 1

@@ -14,6 +14,14 @@ driver is less forgiving than the local gate:
   values are right (the r3 q_emb_pq_codebook lesson: the driver's hash
   comparator cannot hash list cells, while the stringify-everything
   local gate passes them).
+* PHYSICAL-type oracle hashing (the r6 BPE lesson): the driver fetches
+  the DuckDB side through pandas, where HUGEINT (an uncast sum(BIGINT))
+  and DECIMAL both land as float64 — so a HUGEINT column renders '6.0'
+  against Spark's BIGINT '6' and hash-FAILS even when values match.
+  ``fetchall()`` collapses both to Python ints and cannot see this, so
+  the oracle side is canonicalized from the Arrow table instead, with
+  decimal columns coerced through float exactly like the driver's
+  pandas path.
 
 Usage: python scripts/driver_sim.py [sf_dir] [names...]
 """
@@ -60,6 +68,31 @@ def canon(cols, rows):
     return out
 
 
+def canon_duck(rel):
+    """Canonicalize a DuckDB relation from its Arrow PHYSICAL types.
+
+    HUGEINT exports as decimal128(38,0) and reaches the driver's pandas
+    frame as float64; real DECIMAL columns take the same float64 path.
+    Coercing decimal cells through float here reproduces the driver's
+    rendering ('6.0' for an uncast sum), which plain fetchall() hides.
+    """
+    import pyarrow as pa
+
+    tbl = rel.arrow()
+    cols = list(tbl.column_names)
+    hugeint_cols = [
+        c for c, t in zip(rel.columns, (str(t) for t in rel.types)) if "HUGEINT" in t
+    ]
+    pycols = []
+    for col in tbl.columns:
+        vals = col.to_pylist()
+        if pa.types.is_decimal(col.type):
+            vals = [None if v is None else float(v) for v in vals]
+        pycols.append(vals)
+    rows = list(zip(*pycols)) if pycols and len(pycols[0]) else []
+    return cols, canon(cols, rows), hugeint_cols
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -101,12 +134,14 @@ def main() -> int:
             print(f"rows  {name}: {len(s_canon)} ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_canon = canon([d[0] for d in res.description], res.fetchall())
+            _, d_canon, hugeint_cols = canon_duck(con.sql(oracles[name]))
         except Exception:
             failures.append((name, "DUCKDB ERROR:\n" + traceback.format_exc()))
             print(f"FAIL  {name} (duckdb)")
             continue
+        if hugeint_cols:
+            print(f"WARN  {name}: HUGEINT oracle column(s) {hugeint_cols} — "
+                  "cast to BIGINT or the driver will hash-FAIL")
         if s_canon != d_canon:
             diff = [
                 f"  spark {a}\n  duck  {b}"

@@ -2555,7 +2555,7 @@ def q_corpus_shuffle(spark, sf_dir):
       SELECT substr(w, CAST(i AS INT), 2) AS pair, n_w
       FROM wf, unnest(generate_series(1, len(w) - 1)) AS t(i)
     )
-    SELECT pair, sum(n_w) AS n
+    SELECT pair, CAST(sum(n_w) AS BIGINT) AS n
     FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
     """,
 )
@@ -2869,7 +2869,7 @@ def q_emb_pca_project(spark, sf_dir):
       SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n_w FROM wf
     ),
     p1 AS (
-      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
       FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s0),
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
@@ -2880,7 +2880,7 @@ def q_emb_pca_project(spark, sf_dir):
       FROM s0
     ),
     p2 AS (
-      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
       FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s1),
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
@@ -2891,7 +2891,7 @@ def q_emb_pca_project(spark, sf_dir):
       FROM s1
     ),
     p3 AS (
-      SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n_w) AS n
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
       FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s2),
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
@@ -4476,7 +4476,8 @@ def q_text_pmi(spark, sf_dir):
                        CURRENT ROW)) AS s
       FROM r
     )
-    SELECT t AS duration_min, d AS n_completed, n AS n_at_risk,
+    SELECT t AS duration_min, d AS n_completed,
+           CAST(n AS BIGINT) AS n_at_risk,
            round(s, 6) AS survival
     FROM km WHERE d > 0 AND d < n
     """,
@@ -6814,7 +6815,8 @@ def q_graph_degree_dist(spark, sf_dir):
       SELECT doc_a, doc_b, round(common / (sa.n + sb.n - common), 6) AS jac
       FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
     ),
-    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+    th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+                  AS threshold),
     m AS (
       SELECT th.threshold, j.doc_a, j.doc_b
       FROM th JOIN j ON j.jac >= th.threshold

@@ -107,26 +107,35 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# First driver round that ran on the migrated (r3+) testdata: a green
+# row in this round or later is fresh evidence; r1/r2 rows predate the
+# timestamp migration and are what _STALE_PRIORITY exists to refresh.
+_STALE_FIXED_ROUND = 5
+
+
 def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
-    """(seen, failed_latest, latest_seen) from CORRECTNESS_r*.json.
+    """(seen, failed_latest, reconfirmed) from CORRECTNESS_r*.json.
 
     ``seen``: names with a driver-side row in any round (the driver
     records at most the first N registry entries per round).
     ``failed_latest``: names whose row in the MOST RECENT round was a
     mismatch or error — these need driver re-verification even though
     they are "seen", so rotation must put them back in the window.
-    ``latest_seen``: names with a row in the most recent round — used
-    to retire stale-evidence redos once the driver has re-confirmed
-    them, freeing window slots for newer unseen queries.
+    ``reconfirmed``: names with a GREEN row in any round >=
+    ``_STALE_FIXED_ROUND`` — used to retire stale-evidence redos the
+    moment fresh evidence exists (r6 bug: checking only the newest
+    round re-queued the three r5-reconfirmed redos forever, wasting
+    three window slots per round).
     """
     import glob
     import json
     import os
+    import re as _re
 
     root = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     seen: set[str] = set()
     failed: tuple[str, ...] = ()
-    latest_seen: set[str] = set()
+    reconfirmed: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -134,7 +143,6 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
         except (OSError, ValueError):
             continue
         seen.update(rows.keys())
-        latest_seen = set(rows.keys())
         failed = tuple(
             k
             for k, v in rows.items()
@@ -142,7 +150,16 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
             or v.get("rows_match") is False
             or v.get("hash_match") is False
         )
-    return seen, failed, latest_seen
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= _STALE_FIXED_ROUND:
+            reconfirmed.update(
+                k
+                for k, v in rows.items()
+                if v.get("err") in (None, "no_oracle")
+                and v.get("rows_match") is not False
+                and v.get("hash_match") is not False
+            )
+    return seen, failed, reconfirmed
 
 
 # Queries added in rounds 2-3 with no driver row yet (VERDICT r2,
@@ -245,10 +262,11 @@ _NEVER_RUN_PRIORITY: tuple[str, ...] = (
     "q_approx_topk",
 )
 
-# VERDICT r5 item 1: the four LLM-pipeline flagships among the 122
-# never-driver-run oracled queries go FIRST in the r6 window, ahead of
-# the generic family rotation, so the judge's named checks land even if
-# the driver window shrinks.
+# VERDICT r5 item 1: the four LLM-pipeline flagships go FIRST in the
+# window while unconfirmed, ahead of the generic family rotation, so
+# the judge's named checks land even if the driver window shrinks.
+# All four went driver-green in r6 (CORRECTNESS_r06), so this list is
+# now a no-op guard that re-arms only if a future red unseats one.
 _FLAGSHIP_PRIORITY: tuple[str, ...] = (
     "q_dedup_ppjoin",
     "q_emb_ivfpq_search",
@@ -283,7 +301,7 @@ def _rotate_registry() -> None:
     families flagship -> sqltext -> streamq -> ml -> extensions ->
     core -> analytics so each window spans as many families as possible.
     """
-    seen, failed, latest_seen = _driver_history()
+    seen, failed, reconfirmed = _driver_history()
     family_order = (
         ("q_flagship",)
         + _K_SQL
@@ -317,10 +335,10 @@ def _rotate_registry() -> None:
         and k in ORACLE
         and k not in set(_NEVER_RUN_PRIORITY)
     ]
-    # a stale redo retires once the most recent driver round re-verified
-    # it (its row would land in failed above if that run went red)
+    # a stale redo retires once ANY post-migration driver round has a
+    # green row for it (a red row would land in failed above instead)
     stale = [
-        k for k in _STALE_PRIORITY if k in QUERIES and k not in latest_seen
+        k for k in _STALE_PRIORITY if k in QUERIES and k not in reconfirmed
     ]
     # de-dup while preserving order (priority list overlaps family order)
     head = list(

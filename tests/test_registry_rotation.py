@@ -29,14 +29,37 @@ ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 WINDOW = 50
 
 
-def _driver_seen() -> tuple[set, set]:
+def _driver_seen() -> tuple[set, set, set]:
+    """(seen, failed_latest, reconfirmed) — mirrors the rotation's own
+    computation (registry._driver_history): a query whose row in the
+    MOST RECENT round was a mismatch or error is a sanctioned window
+    repeat, not a wasted slot (r6: the two BPE hash-FAILs correctly led
+    the r7 window and this test red-flagged them until it learned the
+    failure-redo rule); a stale-evidence redo retires the moment ANY
+    post-migration round has a green row for it."""
+    import re
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import (
+        _STALE_FIXED_ROUND,
+    )
+
     seen: set = set()
-    latest: set = set()
+    failed: set = set()
+    reconfirmed: set = set()
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rows = json.load(open(path))
         seen.update(rows.keys())
-        latest = set(rows.keys())
-    return seen, latest
+        failed = {
+            k
+            for k, v in rows.items()
+            if v.get("err") not in (None, "no_oracle")
+            or v.get("rows_match") is False
+            or v.get("hash_match") is False
+        }
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= _STALE_FIXED_ROUND:
+            reconfirmed.update(rows.keys() - failed)
+    return seen, failed, reconfirmed
 
 
 def test_window_has_no_rows_only_queries():
@@ -46,10 +69,13 @@ def test_window_has_no_rows_only_queries():
 
 
 def test_window_prefers_unseen_oracled_backlog():
-    """Every window slot is either never-driver-run or an explicit redo."""
-    seen, latest = _driver_seen()
+    """Every window slot is either never-driver-run or an explicit redo
+    (stale-evidence OR latest-round driver failure)."""
+    seen, failed_latest, reconfirmed = _driver_seen()
     head = list(QUERIES)[:WINDOW]
-    allowed_seen = set(_STALE_PRIORITY)  # explicit stale-evidence redos
+    # a stale redo is only a sanctioned repeat while it still lacks
+    # fresh (post-migration) green evidence
+    allowed_seen = (set(_STALE_PRIORITY) - reconfirmed) | failed_latest
     stale_windowed = [k for k in head if k in seen and k not in allowed_seen]
     backlog = [k for k in QUERIES if k not in seen and k in ORACLE]
     # only flag wasted slots while a backlog exists to fill them
@@ -60,7 +86,7 @@ def test_window_prefers_unseen_oracled_backlog():
 
 
 def test_flagships_lead_window_until_confirmed():
-    seen, _ = _driver_seen()
+    seen, _, _ = _driver_seen()
     pending = [k for k in _FLAGSHIP_PRIORITY if k not in seen]
     head = list(QUERIES)[: len(pending)]
     assert head == pending, f"window head {head} != pending flagships {pending}"
