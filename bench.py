@@ -114,19 +114,28 @@ def main() -> None:
     vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(tiny)
     KMeans(k=2, seed=1, initMode="random").fit(vec)
 
-    # Two-point scale curve: the same suite at a 10x-smaller SF first
-    # (doubles as deep warm-up), so round-over-round regressions can
-    # separate fixed overhead from scaling behavior. The per-query
-    # scale_ratio is time(sf)/time(sf_small); with a 10x data ratio a
-    # value well above 10 means worse-than-linear scaling.
+    # Two-point scale curve: the same suite at a 10x-smaller SF, so
+    # round-over-round regressions can separate fixed overhead from
+    # scaling behavior. The per-query scale_ratio is
+    # time(sf)/time(sf_small); with a 10x data ratio a value well above
+    # 10 means worse-than-linear scaling.
+    #
+    # INTERLEAVED since r7: each query's small-SF run executes
+    # immediately before its measured sf run, so the measured run is
+    # always preceded by its own plan shape's warm-up (codegen, file
+    # listing, broadcast machinery). The r6 driver-vs-local deltas on
+    # the heavy tail (q_graph_bfs +7%, q_dedup_simhash_arrow +13%) were
+    # first-run effects: an n=5 probe showed the first execution of a
+    # heavy query costing 1.5-2.4x its steady state, and the old
+    # two-separate-loops layout let that warmth decay before the
+    # measured pass reached the same query.
     small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    run_small = small_dir != sf_dir and os.path.isdir(small_dir)
     small_timings: dict[str, float] = {}
-    if small_dir != sf_dir and os.path.isdir(small_dir):
-        for name in BENCH_QUERIES:
-            small_timings[name] = round(run_one(spark, small_dir, name), 3)
-
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if run_small:
+            small_timings[name] = round(run_one(spark, small_dir, name), 3)
         timings[name] = round(run_one(spark, sf_dir, name), 3)
 
     total = round(sum(timings.values()), 3)

@@ -348,21 +348,42 @@ def forget_subject(
                     f"erasure failed: partition {part_dir} contains only "
                     "subject rows and could not be deleted"
                 )
+    # Verify the OUTCOME, not the paths we computed: if
+    # _hive_part_value ever diverges from Spark's actual directory
+    # rendering (boolean 'True' vs 'true', timestamp formatting, ...)
+    # the fs.delete above is a silent no-op on a nonexistent path and
+    # the pure-PII partition survives — the exact contract violation
+    # this function exists to close. A subject-filtered re-scan of the
+    # rewritten table (partition-pruned like pass 1) is the ground
+    # truth the directory check cannot give.
     try:
-        after = (
-            spark.read.parquet(path)
-            .filter(cond)
-            .groupBy(*partition_by)
-            .agg(F.count(F.lit(1)).alias("rows_after"))
-        )
-        after = after.localCheckpoint(eager=True)
+        remaining = spark.read.parquet(path)
+        remaining.first()  # force schema/file resolution inside the try
     except Exception:
         # every partition was emptied and deleted: nothing left to read
+        remaining = None
+    if remaining is None:
         after = (
             before.select(*partition_by)
             .limit(0)
             .withColumn("rows_after", F.lit(0).cast("long"))
         )
+    else:
+        residual = remaining.filter(
+            F.col(subject_col).isin(subject_values)
+        ).count()
+        if residual:
+            raise RuntimeError(
+                f"erasure failed: {residual} subject row(s) survive the "
+                "rewrite (partition directory rendering diverged from "
+                "the computed path?)"
+            )
+        after = (
+            remaining.filter(cond)
+            .groupBy(*partition_by)
+            .agg(F.count(F.lit(1)).alias("rows_after"))
+        )
+        after = after.localCheckpoint(eager=True)
     return before.join(after, partition_by, "left").select(
         *[F.col(c).cast("string").alias(c) for c in partition_by],
         "rows_before",

@@ -63,6 +63,19 @@ class _ProtobufAliasFinder(importlib.abc.MetaPathFinder):
             or fullname.startswith("google.protobuf.")
         ):
             return None
+        if fullname == "google":
+            # Claim the bare parent ONLY when no path-based portion
+            # exists at all (r6 advice: claiming it unconditionally
+            # narrowed google.__path__ to the cloudsdk tree, so fresh
+            # imports of genuinely installed distributions like
+            # google.auth / google.cloud.* raised ModuleNotFoundError).
+            # When any real portion resolves — even the vacuous
+            # spark-core.jar resource dir — let the normal machinery
+            # build the parent; `google.protobuf` itself is still
+            # aliased below because this finder sits FIRST in
+            # sys.meta_path, ahead of any parent __path__ search.
+            if importlib.machinery.PathFinder.find_spec("google") is not None:
+                return None
         try:
             mod = importlib.import_module("cloudsdk." + fullname)
         except ModuleNotFoundError:

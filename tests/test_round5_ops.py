@@ -533,6 +533,44 @@ def test_forget_subject_clears_partition_of_only_subject_rows(spark, tmp_path):
     assert final.filter(F.col("date") == "2024-03-03").count() == 2
 
 
+def test_forget_subject_verifies_outcome_not_computed_path(
+    spark, tmp_path, monkeypatch
+):
+    # r6 advice: if _hive_part_value ever diverges from Spark's actual
+    # directory rendering, fs.delete/fs.exists both hit a nonexistent
+    # path, no error is raised, and the pure-PII partition silently
+    # survives. The outcome re-scan must catch this: with a sabotaged
+    # renderer, forget_subject now RAISES instead of reporting success.
+    import pytest
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        (0, base, 7, "view", 1.0, "{}"),
+        (1, base, 7, "view", 2.0, "{}"),  # day 1: all subject rows
+        (2, base + dt.timedelta(days=1), 1, "view", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("date", F.to_date("ts"))
+    path = str(tmp_path / "events_diverged")
+    writers.write_parquet(df, path, partition_by=["date"])
+
+    monkeypatch.setattr(
+        writers, "_hive_part_value", lambda v: f"WRONG_{v}"
+    )
+    with pytest.raises(RuntimeError, match="survive"):
+        writers.forget_subject(spark, path, "user_id", [7])
+    # the orphaned PII rows are still on disk — the raise is honest
+    assert (
+        spark.read.parquet(path).filter(F.col("user_id") == 7).count() > 0
+    )
+
+
 def test_forget_subject_clears_every_partition(spark, tmp_path):
     # degenerate erasure: the subject owns the ENTIRE table. All
     # partition dirs are deleted and the report shows rows_after=0
