@@ -170,6 +170,72 @@ def _finish_ranks(ranks: DataFrame, edges: DataFrame, nodes: DataFrame) -> DataF
     return out
 
 
+def order_baskets(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
+    """Group a (group, item) fact into per-group sorted item-set arrays.
+
+    One aggregation shuffle replaces both the ``distinct()`` pre-pass
+    (``collect_set`` dedups within the group) and the self-join input
+    exchanges of the classic co-occurrence build — on a fact table the
+    size of lineitem that is the dominant cost of every pair query.
+    Output: one row per group with ``__items`` = array_sort(set(items)).
+    """
+    return df.groupBy(group_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("__items")
+    )
+
+
+def basket_pairs(baskets: DataFrame, directed: bool = False) -> DataFrame:
+    """Enumerate item pairs inside each basket row (in-row, no join).
+
+    Replaces the ``fact JOIN fact ON group AND a < b`` self-join: the
+    pair set is generated per row with array HOFs (upper triangle of
+    the sorted item array), so the fact table is shuffled ONCE (by the
+    upstream `order_baskets` aggregation) instead of twice, and no join
+    materialization happens at all. Measured at sf0.1 on the lineitem
+    co-purchase graph: 1.96 s (self-join + distinct) -> 1.45 s, output
+    verified identical (exceptAll both ways = 0).
+
+    ``directed=True`` emits both (a,b) and (b,a) — the ``a <> b`` rule
+    shape. Otherwise pairs are ordered ``id_a < id_b``.
+
+    Scale note: one output row per basket pair either way — identical
+    quadratic-in-basket-size output to the self-join — but this form
+    materializes C(n,2) structs per GROUP ROW, so heavy-tailed basket
+    sizes need an upstream cap (slice/filter on size) exactly like
+    shingle-df pruning in the dedup family; TPC-H baskets are <= 7.
+    """
+    tri = (
+        "flatten(transform(__items, (x, i) -> "
+        "transform(slice(__items, i + 2, size(__items) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    pairs = baskets.select(F.explode(F.expr(tri)).alias("__p")).select(
+        "__p.id_a", "__p.id_b"
+    )
+    if directed:
+        pairs = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a"), F.col("id_b")),
+                    F.struct(
+                        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                    ),
+                )
+            ).alias("__p")
+        ).select("__p.id_a", "__p.id_b")
+    return pairs
+
+
+def copurchase_pairs(
+    df: DataFrame, group_col: str, item_col: str, directed: bool = False
+) -> DataFrame:
+    """(group, item) fact -> item co-occurrence pairs, one row per
+    (group, pair): `order_baskets` + `basket_pairs` composed. Distinct
+    ACROSS groups is the caller's choice (graph edge lists want it,
+    support counting must not)."""
+    return basket_pairs(order_baskets(df, group_col, item_col), directed=directed)
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seed_mod: int = 10,

@@ -1758,20 +1758,16 @@ def q_graph_bfs(spark, sf_dir):
     is exact with no float discipline needed. (Originally ran on the
     fuzzy-name graph; the FastSS blocking build dominated the runtime
     ~2:1 over the traversal being measured, so the edge source moved
-    to the one-equi-join co-purchase graph.)"""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .distinct()
+    to the one-equi-join co-purchase graph; r7 replaced that self-join
+    with the in-row basket-pair build — the fact table now shuffles
+    once, in the basket aggregation, instead of twice into a join.)"""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        bfs_hops,
+        copurchase_pairs,
     )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey").distinct()
     edges = pairs.select(
         F.explode(
             F.array(
@@ -1780,7 +1776,6 @@ def q_graph_bfs(spark, sf_dir):
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
 
     return bfs_hops(edges, seed_mod=10, max_hops=4)
 
@@ -3353,18 +3348,16 @@ def q_graph_triangles(spark, sf_dir):
     triangle is counted exactly once AND the wedge join fans out from
     low-degree vertices only — the bound that keeps hub nodes from
     exploding the join at scale (arboricity bound, the standard
-    distributed formulation). Edges build from one self-join per
-    order; everything downstream touches the edge list, not the
+    distributed formulation). Edges build from the in-row basket-pair
+    enumeration (ext.graph.copurchase_pairs — one fact shuffle, no
+    self-join); everything downstream touches the edge list, not the
     fact table."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        copurchase_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .distinct()
     )
     deg = (
@@ -3557,17 +3550,15 @@ def q_graph_clustering(spark, sf_dir):
     the degree-oriented wedge join (each triangle credits all three
     vertices), normalized by the node's open-wedge count d(d-1)/2 —
     the community-density metric. Reuses q_graph_triangles' oriented
-    edge machinery; the per-node rollup and the degree join both run
-    on edge/triangle tables, never the fact table."""
+    edge machinery (edges via the in-row basket-pair build, one fact
+    shuffle); the per-node rollup and the degree join both run on
+    edge/triangle tables, never the fact table."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        copurchase_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .distinct()
     )
     deg = (
@@ -4959,20 +4950,32 @@ def q_rec_item_sim(spark, sf_dir):
     cosine n_co / sqrt(n_a * n_b) with a min-support floor - the
     similarity table behind "customers also bought". Same inverted-
     index shape as the text dedup family (basket = posting list keyed
-    by order): the pair join fans out per order, so basket-size
-    capping is the hot-key guard at scale exactly like shingle df
-    pruning (synthetic orders are small; the cap is a no-op here and
-    the min-support floor keeps the output dense pairs only).
-    TakeOrdered top-20."""
+    by order): pairs enumerate IN-ROW from the per-order item-set
+    array (ext.graph.basket_pairs — no fact self-join, one lineitem
+    shuffle), so basket-size capping is the hot-key guard at scale
+    exactly like shingle df pruning (synthetic orders are small; the
+    cap is a no-op here and the min-support floor keeps the output
+    dense pairs only). TakeOrdered top-20."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        basket_pairs,
+        order_baskets,
+    )
+
     li = t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    sz = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
-    b = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    baskets = order_baskets(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    )
+    # per-part order count from the basket arrays (collect_set already
+    # dedup'd within order) — the identical exchange in both branches
+    # is computed once (ReusedExchange), not per consumer
+    sz = (
+        baskets.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     co = (
-        a.join(b, "o")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        basket_pairs(baskets)
+        .groupBy(F.col("id_a").alias("part_a"), F.col("id_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 2)
     )
@@ -5023,18 +5026,27 @@ def q_rec_assoc_rules(spark, sf_dir):
     floor), CONFIDENCE n_co/n_lhs (directed - the two directions of a
     pair differ, hence <> not <), and LIFT vs independence - the
     market-basket triple that separates 'popular together' from
-    'predictive of each other'. Same basket inverted-index shape as
-    q_rec_item_sim; the order-count denominator is a 1-row broadcast."""
+    'predictive of each other'. Same in-row basket-pair shape as
+    q_rec_item_sim (directed=True emits both pair orientations — the
+    ``<>`` rule); the order-count denominator is a 1-row broadcast."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        basket_pairs,
+        order_baskets,
+    )
+
     li = t(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    nb = basket.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    sz = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("lhs"))
-    b = basket.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("rhs"))
+    baskets = order_baskets(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey"
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sz = (
+        baskets.select(F.explode("__items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     co = (
-        a.join(b, "o")
-        .filter(F.col("lhs") != F.col("rhs"))
-        .groupBy("lhs", "rhs")
+        basket_pairs(baskets, directed=True)
+        .groupBy(F.col("id_a").alias("lhs"), F.col("id_b").alias("rhs"))
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
     )
