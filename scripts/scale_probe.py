@@ -88,12 +88,21 @@ PROBE = [
     # round-6 D3 closure: global ranking + probit over persistence
     # residuals (events-backed, 100x)
     "q_eval_qq_normal",
+    # round-7 basket-pair migration representative: in-row pair
+    # enumeration + support counts over the 10x lineitem replicas
+    # (q_rec_assoc_rules shares the shape; q_graph_bfs above covers the
+    # graph consumers' edge build)
+    "q_rec_item_sim",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the
-# backing table: ABC/Pareto is lineitem-backed (10x replication), not
-# events-backed.
-RATIO_OVERRIDES = {"q_agg_abc_pareto": REPLICAS_DOCS}
+# backing table: ABC/Pareto and the market-basket pair queries are
+# lineitem-backed (10x replication), not events-backed.
+RATIO_OVERRIDES = {
+    "q_agg_abc_pareto": REPLICAS_DOCS,
+    "q_rec_item_sim": REPLICAS_DOCS,
+    "q_rec_assoc_rules": REPLICAS_DOCS,
+}
 
 
 def build_derived(spark, out_dir: str) -> None:

@@ -6095,9 +6095,12 @@ def q_ts_hampel(spark, sf_dir):
 @q(
     "q_graph_jaccard",
     """
-    WITH pairs AS (
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
       SELECT a.l_partkey AS id_a, b.l_partkey AS id_b
-      FROM lineitem a JOIN lineitem b
+      FROM basket a JOIN basket b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING count(*) >= 2
     ),
@@ -6143,7 +6146,10 @@ def q_graph_jaccard(spark, sf_dir):
     row_number keeps the OUTPUT scale-free (|V| x 3 rows at any data
     size, where a fixed similarity threshold emits everything or
     nothing as density shifts). The graph keeps only pairs CO-BOUGHT
-    IN >= 2 ORDERS — the standard noise-floor prune for co-occurrence
+    IN >= 2 ORDERS — counted over the DISTINCT per-order basket (r7:
+    the raw-row count could reach 2 from a single order with a
+    duplicated part line; both engine and oracle now count orders) —
+    the standard noise-floor prune for co-occurrence
     graphs, and the thing that bounds wedge fan-out: one-off random
     co-purchases grow quadratically with data (measured 298M wedge
     rows at sf0.1) while repeated pairs track true affinity (12k
@@ -6152,17 +6158,12 @@ def q_graph_jaccard(spark, sf_dir):
     100 TB escape hatch is MinHash over adjacency sets
     (q_dedup_minhash_lsh's machinery, swapping shingles for neighbor
     lists)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
+        copurchase_pairs(li, "l_orderkey", "l_partkey")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__m"))
         .where(F.col("__m") >= 2)
         .select("id_a", "id_b")
@@ -6402,19 +6403,10 @@ def q_graph_ppr(spark, sf_dir):
     q_graph_pagerank's global centrality. Same fixed-iteration
     join+shuffle rounds and decimal-exact contribution sums; only the
     restart vector changes."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .distinct()
-    )
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey").distinct()
     edges = pairs.select(
         F.explode(
             F.array(
@@ -6774,19 +6766,10 @@ def q_graph_degree_dist(spark, sf_dir):
     q_graph_triangles orients by degree). Two shrinking aggregations
     over the edge list; the CCDF is one window over the degree-sized
     histogram."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .distinct()
-    )
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey").distinct()
     adj = pairs.select(
         F.explode(
             F.array(
