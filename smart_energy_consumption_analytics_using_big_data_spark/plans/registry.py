@@ -113,8 +113,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STALE_FIXED_ROUND = 5
 
 
-def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
-    """(seen, failed_latest, reconfirmed) from CORRECTNESS_r*.json.
+def _driver_history() -> tuple[set[str], tuple[str, ...], set[str], dict[str, int]]:
+    """(seen, failed_latest, reconfirmed, last_green) from
+    CORRECTNESS_r*.json.
 
     ``seen``: names with a driver-side row in any round (the driver
     records at most the first N registry entries per round).
@@ -126,6 +127,10 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
     moment fresh evidence exists (r6 bug: checking only the newest
     round re-queued the three r5-reconfirmed redos forever, wasting
     three window slots per round).
+    ``last_green``: name -> most recent round with a green row; drives
+    the refresh cycle once the never-run backlog no longer fills the
+    window (r7: without it, post-backlog slots fell to raw family
+    order, which includes rows-only names — wasted slots again).
     """
     import glob
     import json
@@ -136,6 +141,7 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
     seen: set[str] = set()
     failed: tuple[str, ...] = ()
     reconfirmed: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -151,15 +157,19 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str]]:
             or v.get("hash_match") is False
         )
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and int(m.group(1)) >= _STALE_FIXED_ROUND:
-            reconfirmed.update(
-                k
-                for k, v in rows.items()
-                if v.get("err") in (None, "no_oracle")
-                and v.get("rows_match") is not False
-                and v.get("hash_match") is not False
-            )
-    return seen, failed, reconfirmed
+        rnd = int(m.group(1)) if m else 0
+        green = {
+            k
+            for k, v in rows.items()
+            if v.get("err") in (None, "no_oracle")
+            and v.get("rows_match") is not False
+            and v.get("hash_match") is not False
+        }
+        for k in green:
+            last_green[k] = max(rnd, last_green.get(k, 0))
+        if rnd >= _STALE_FIXED_ROUND:
+            reconfirmed.update(green)
+    return seen, failed, reconfirmed, last_green
 
 
 # Queries added in rounds 2-3 with no driver row yet (VERDICT r2,
@@ -288,9 +298,30 @@ _STALE_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _order_rest(
+    rest: list[str], oracled: set[str], last_green: dict[str, int]
+) -> list[str]:
+    """Order the post-head remainder of the registry.
+
+    Oracled queries first, cycled by OLDEST driver evidence (ascending
+    last-green round; never-green-but-seen sorts first) so once the
+    never-run backlog no longer fills the bounded window, the spare
+    slots refresh the stalest driver rows instead of falling to raw
+    family order.  Rows-only queries always sort last: they can only
+    ever return ``err: no_oracle`` and must never occupy a window slot
+    (the r5 q_approx_topk lesson, re-armed for the post-backlog era).
+    Sort is stable, so equal-staleness queries keep registry order.
+    """
+    rest_oracled = sorted(
+        (k for k in rest if k in oracled), key=lambda k: last_green.get(k, 0)
+    )
+    return rest_oracled + [k for k in rest if k not in oracled]
+
+
 def _rotate_registry() -> None:
     """Reorder QUERIES: last round's failures first, then never-driver-
-    verified queries, then everything else.
+    verified queries, then everything else (oracled by staleness,
+    rows-only last — see _order_rest).
 
     The correctness driver checks a bounded prefix of the registry each
     round; rotating the order guarantees every query eventually gets a
@@ -301,7 +332,7 @@ def _rotate_registry() -> None:
     families flagship -> sqltext -> streamq -> ml -> extensions ->
     core -> analytics so each window spans as many families as possible.
     """
-    seen, failed, reconfirmed = _driver_history()
+    seen, failed, reconfirmed, last_green = _driver_history()
     family_order = (
         ("q_flagship",)
         + _K_SQL
@@ -344,7 +375,9 @@ def _rotate_registry() -> None:
     head = list(
         dict.fromkeys(redo + flagship_priority + stale + unseen_priority + unseen_new)
     )
-    rest = [k for k in QUERIES if k not in set(head)]
+    rest = _order_rest(
+        [k for k in QUERIES if k not in set(head)], set(ORACLE), last_green
+    )
     snapshot = dict(QUERIES)
     QUERIES.clear()
     for key in head + rest:

@@ -92,3 +92,20 @@ def test_flagships_lead_window_until_confirmed():
     assert head == pending, f"window head {head} != pending flagships {pending}"
     for name in _FLAGSHIP_PRIORITY:
         assert name in QUERIES and name in ORACLE
+
+
+def test_rest_orders_oracled_by_staleness_rows_only_last():
+    """Post-backlog window slots refresh the STALEST driver evidence:
+    `_order_rest` cycles oracled queries by ascending last-green round
+    (seen-but-never-green first), with rows-only names always last —
+    they can never produce a hash verdict, so they must never reach
+    the bounded window once the backlog stops filling it (the state
+    every round after the backlog clears)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import _order_rest
+
+    rest = ["a", "b", "c", "d", "e", "f"]
+    oracled = {"a", "b", "c", "e"}
+    last_green = {"a": 6, "b": 1, "e": 3}  # c seen-but-never-green; d/f rows-only
+    assert _order_rest(rest, oracled, last_green) == ["c", "b", "e", "a", "d", "f"]
+    # stability: equal staleness keeps registry order
+    assert _order_rest(["x", "y"], {"x", "y"}, {}) == ["x", "y"]
