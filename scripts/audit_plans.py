@@ -56,6 +56,7 @@ ALLOWED_BNLJ = {
     "q_text_bm25": "1-row corpus stats (N, avgdl, per-term df) cross-joined as a broadcast",
     "q_emb_ivfpq_search": "coarse-quantizer assignment + query probe: centroid set and 1-row query broadcast, corpus scanned once per stage",
     "q_text_bpe_merges": "per merge round, the LIMIT-1 winning pair cross-joins back as a 1-row broadcast",
+    "q_text_bpe_encode": "same merge iteration as q_text_bpe_merges: per round, the LIMIT-1 winning pair cross-joins back as a 1-row broadcast",
     "q_approx_overlap_kmv": "C(n_types,2)-row pair table broadcast; the OR-of-equalities membership join is bounded by the dimension-sized pair side",
     "q_text_search": "1-row corpus doc count cross-joined as a broadcast (postings join is an equi-join)",
     "q_text_pmi": "1-row unigram/bigram totals cross-joined as broadcasts (component joins are word-key equi-joins)",

@@ -129,6 +129,32 @@ def bpe_pair_counts(docs, text_col: str = "text", top_n: int | None = None):
     return out.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
 
 
+def _bpe_top_pair(state):
+    """Deterministic top-1 adjacent symbol pair of a (sym, n_w) vocab
+    table: frequency-weighted counts, ties broken lexicographically —
+    the BPE merge-selection step shared by the trainer and encoder."""
+    arr = F.split("sym", " ")
+    # single-symbol words contribute no pairs; sequence(1, 0) would
+    # DESCEND ([1, 0]) and element_at would go out of bounds, so
+    # gate on size and explode an empty array instead (drops the row)
+    pair_list = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = state.select("n_w", F.explode(pair_list).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_w").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+    )
+
+
 def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
     """Learn the first ``n_merges`` BPE merge rules (Sennrich et al.
     2016) fully declaratively — no driver round-trips.
@@ -155,31 +181,9 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
     )
 
-    def top_pair(state):
-        arr = F.split("sym", " ")
-        # single-symbol words contribute no pairs; sequence(1, 0) would
-        # DESCEND ([1, 0]) and element_at would go out of bounds, so
-        # gate on size and explode an empty array instead (drops the row)
-        pair_list = F.when(
-            F.size(arr) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(arr, i), F.element_at(arr, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        pairs = state.select("n_w", F.explode(pair_list).alias("pair"))
-        return (
-            pairs.groupBy("pair")
-            .agg(F.sum("n_w").alias("n"))
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
-        )
-
     state, rounds = sym, []
     for r in range(1, n_merges + 1):
-        win = top_pair(state)
+        win = _bpe_top_pair(state)
         rounds.append(win.select(F.lit(r).alias("merge_round"), "pair", "n"))
         state = state.crossJoin(
             F.broadcast(win.select(F.col("pair").alias("__p")))
@@ -191,3 +195,48 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
     for r_df in rounds[1:]:
         out = out.unionByName(r_df)
     return out
+
+
+def bpe_encode_vocab(
+    docs, n_merges: int = 3, top_n: int = 100, text_col: str = "text"
+):
+    """Apply the learned BPE merges back to the vocabulary — the ENCODE
+    half of the tokenizer loop (`bpe_learn_merges` is the trainer; a
+    trained tokenizer is useless until it tokenizes).
+
+    Runs the identical merge-learning iteration but carries the
+    original word through the rounds, so the final state IS the
+    encoded vocabulary: (word, space-joined symbol string, token
+    count, corpus frequency). Encoding happens on the DISTINCT-word
+    table (the same vocab compaction the trainer uses), which is how a
+    real corpus tokenization pass works at scale — encode each vocab
+    entry once, join the token count back to the corpus by word.
+    Output: top ``top_n`` words by (frequency desc, word) — bounded
+    and deterministic at any corpus size.
+    """
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    state = wf.select(
+        "w", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
+    )
+    for _ in range(n_merges):
+        win = _bpe_top_pair(state)
+        state = state.crossJoin(
+            F.broadcast(win.select(F.col("pair").alias("__p")))
+        ).select(
+            "w",
+            F.expr("replace(sym, __p, replace(__p, ' ', ''))").alias("sym"),
+            "n_w",
+        )
+    return (
+        state.select(
+            "w",
+            F.col("sym").alias("encoded"),
+            F.size(F.split("sym", " ")).alias("n_tokens"),
+            "n_w",
+        )
+        .orderBy(F.desc("n_w"), F.asc("w"))
+        .limit(top_n)
+    )

@@ -2914,6 +2914,73 @@ def q_text_bpe_merges(spark, sf_dir):
 
 
 @q(
+    "q_text_bpe_encode",
+    r"""
+    WITH wf AS (
+      SELECT w, count(*) AS n_w
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) >= 2 GROUP BY w
+    ),
+    s0 AS (
+      SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n_w FROM wf
+    ),
+    p1 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s0),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    ),
+    s1 AS (
+      SELECT w, replace(sym, (SELECT pair FROM p1),
+                        replace((SELECT pair FROM p1), ' ', '')) AS sym, n_w
+      FROM s0
+    ),
+    p2 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s1),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    ),
+    s2 AS (
+      SELECT w, replace(sym, (SELECT pair FROM p2),
+                        replace((SELECT pair FROM p2), ' ', '')) AS sym, n_w
+      FROM s1
+    ),
+    p3 AS (
+      SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
+      FROM (SELECT string_split(sym, ' ') AS s, n_w FROM s2),
+           unnest(generate_series(1, len(s) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
+    ),
+    s3 AS (
+      SELECT w, replace(sym, (SELECT pair FROM p3),
+                        replace((SELECT pair FROM p3), ' ', '')) AS sym, n_w
+      FROM s2
+    )
+    SELECT w, sym AS encoded,
+           CAST(len(string_split(sym, ' ')) AS INTEGER) AS n_tokens, n_w
+    FROM s3 ORDER BY n_w DESC, w LIMIT 100
+    """,
+)
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE ENCODING — the other half of the tokenizer loop (the trainer
+    above learns merges; this applies them). Same declarative merge
+    iteration carrying the original word through, so the final vocab
+    state is the encoding: (word, symbol string, token count, corpus
+    frequency), top-100 by frequency. Encoding runs on the DISTINCT-
+    word table — the vocab compaction that makes corpus tokenization
+    sublinear in corpus growth (encode each vocab entry once, join
+    token counts back by word). Oracle replays the identical rounds as
+    nested CTEs and carries the vocab through the same replaces; all
+    counts cast to BIGINT/INTEGER (the r6 HUGEINT lesson)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+        bpe_encode_vocab,
+    )
+
+    return bpe_encode_vocab(t(spark, sf_dir, "documents"), n_merges=3, top_n=100)
+
+
+@q(
     "q_emb_covariance_by_label",
     """
     WITH flat AS (
