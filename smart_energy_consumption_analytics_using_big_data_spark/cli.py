@@ -244,6 +244,18 @@ def cmd_corpus(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_tokenize(args) -> None:
+    """BPE tokenizer build: learn merges on the corpus, export the
+    ordered merge table + encoded vocabulary + summary JSON."""
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.corpus import build_tokenizer
+
+    spark = _spark(args)
+    summary = build_tokenizer(
+        spark, args.docs, args.out, n_merges=args.merges, vocab_top_n=args.vocab
+    )
+    print(json.dumps(summary))
+
+
 def cmd_embaudit(args) -> None:
     """Embedding-space audit: distributed covariance -> PCA scree ->
     per-class Mahalanobis outliers, one JSON summary + optional
@@ -318,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
     p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
+    p = sub.add_parser("tokenize"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--merges", type=int, default=3); p.add_argument("--vocab", type=int, default=1000); p.set_defaults(fn=cmd_tokenize)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
     p = sub.add_parser("curate"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--threshold", type=float, default=0.4); p.add_argument("--k", type=int, default=6); p.add_argument("--shards", type=int, default=8); p.add_argument("--seed", type=int, default=42); p.set_defaults(fn=cmd_curate)
     p = sub.add_parser("all")

@@ -151,3 +151,48 @@ def build_corpus(
     }
     (out / "corpus_summary.json").write_text(json.dumps(summary))
     return summary
+
+
+def build_tokenizer(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_merges: int = 3,
+    vocab_top_n: int = 1000,
+) -> dict:
+    """Train a BPE tokenizer on the corpus and export its artifacts
+    (`cli.py tokenize`): the ordered merge table and the encoded
+    vocabulary — the two files a downstream tokenization job actually
+    consumes (apply merges in order; look token counts up by word).
+
+    Both derive from the same declarative merge iteration the registry
+    oracles individually (q_text_bpe_merges / q_text_bpe_encode); this
+    stage just persists them. Artifacts are single-file parquet (they
+    are vocab-sized by construction — the corpus compaction happened
+    inside the plans), plus a JSON summary with the compression ratio
+    the merges bought on the exported vocabulary slice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn_merges(docs, n_merges=n_merges)
+    vocab = TX.bpe_encode_vocab(docs, n_merges=n_merges, top_n=vocab_top_n)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    merges.coalesce(1).write.mode("overwrite").parquet(str(out / "merges.parquet"))
+    vocab.coalesce(1).write.mode("overwrite").parquet(str(out / "vocab.parquet"))
+    v = spark.read.parquet(str(out / "vocab.parquet"))
+    n_vocab, chars, toks = (
+        v.agg(
+            F.count(F.lit(1)),
+            F.sum(F.length("w") * F.col("n_w")).cast("bigint"),
+            F.sum(F.col("n_tokens") * F.col("n_w")).cast("bigint"),
+        ).collect()[0]
+    )
+    summary = {
+        "n_merges": spark.read.parquet(str(out / "merges.parquet")).count(),
+        "vocab_rows": n_vocab,
+        "chars_encoded": chars,
+        "tokens_encoded": toks,
+        "chars_per_token": round(chars / toks, 4) if toks else None,
+    }
+    (out / "tokenizer_summary.json").write_text(json.dumps(summary))
+    return summary

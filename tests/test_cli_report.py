@@ -154,3 +154,37 @@ def test_emb_audit_summary_and_artifacts(spark, tmp_path, capsys):
     assert proj.count() == 500 and scores.count() == 500
     assert set(proj.columns) == {"vec_id", "pc1", "pc2"}
     assert set(scores.columns) == {"vec_id", "label", "maha2"}
+
+
+def test_cli_tokenize_exports_merges_vocab_and_summary(spark, tmp_path, capsys):
+    """tokenize: merge table ordered and sized, vocab reconstructs its
+    words, summary consistent with the artifacts, rebuild deterministic."""
+    import json
+
+    from tests.conftest import SF_SMOKE
+
+    out = tmp_path / "tok"
+    capsys.readouterr()
+    cli.main(["tokenize", "--docs", SF_SMOKE, "--out", str(out), "--merges", "3"])
+    lines = [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")]
+    summary = json.loads(lines[-1])
+    disk = json.loads((out / "tokenizer_summary.json").read_text())
+    assert disk == summary
+    merges = spark.read.parquet(str(out / "merges.parquet")).orderBy("merge_round").collect()
+    assert [m["merge_round"] for m in merges] == [1, 2, 3]
+    assert summary["n_merges"] == 3
+    vocab = spark.read.parquet(str(out / "vocab.parquet"))
+    rows = vocab.collect()
+    assert 0 < len(rows) == summary["vocab_rows"] <= 1000
+    for r in rows:
+        assert r["encoded"].replace(" ", "") == r["w"]
+    # the merges bought real compression on the encoded slice
+    assert summary["chars_per_token"] > 1.0
+    # rebuild is bit-identical
+    again = tmp_path / "tok2"
+    capsys.readouterr()
+    cli.main(["tokenize", "--docs", SF_SMOKE, "--out", str(again), "--merges", "3"])
+    summary2 = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary2 == summary
