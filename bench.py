@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "q_graph_bfs",
     "q_text_textrank",
     "q_feature_quantile_norm",
+    # round-7: the tokenizer loop's encode half (iterative vocab-table
+    # merge application — the declarative-recurrence shape's cost).
+    "q_text_bpe_encode",
 ]
 
 
