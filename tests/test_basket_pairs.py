@@ -77,3 +77,25 @@ def test_order_baskets_sorted_and_deduped(spark):
     assert rows == {1: [1, 3], 2: [7]}
     # singleton baskets yield no pairs rather than erroring on slice()
     assert basket_pairs(order_baskets(df, "g", "i")).filter("id_a = 7").count() == 0
+
+
+def test_property_random_multisets_match_join(spark):
+    """Hypothesis: random (group, item) multisets — with duplicate rows,
+    singleton groups, and shared items across groups — always match the
+    distinct'd self-join, both undirected and directed."""
+    from hypothesis import given, settings, strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 8)), min_size=1, max_size=40
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, ["g", "i"])
+        for directed in (False, True):
+            got = _multiset(copurchase_pairs(df, "g", "i", directed=directed))
+            want = _multiset(_join_pairs(df.distinct(), "g", "i", directed=directed))
+            assert got == want
+
+    check()
