@@ -99,3 +99,24 @@ def test_property_random_multisets_match_join(spark):
             assert got == want
 
     check()
+
+
+def test_pair_build_plan_has_no_join(spark):
+    """The whole point of the in-row build: the pair relation's plan is
+    scan -> one aggregation -> generate, with NO join operator — pin it
+    so a refactor can't silently reintroduce the fact self-join."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    df = copurchase_pairs(li, "l_orderkey", "l_partkey")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # exactly one exchange node: the basket aggregation shuffle
+    # (formatted output repeats each node in the details section, so
+    # count distinct "(id) Exchange" headers, not substring hits)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Generate" in plan  # the in-row explode
