@@ -102,12 +102,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warm-up so q1 doesn't pay session startup: exercise
-    # the same plan shapes (agg+window+sort, md5/explode) at the
-    # smallest scale factor.
+    # JVM/codegen warm-up so q1 doesn't pay session startup: one full
+    # pass of the suite at the smallest scale factor. This is what the
+    # r6 layout provided implicitly (all small runs preceded the
+    # measured loop, so every measured query ran in a deep-warm JVM);
+    # the r7 interleaving lost that for the EARLY suite positions
+    # (measured +0.3 s of C2-compilation cost on the first three SQL
+    # shapes, converging to r6 values after ~4 isolated reps). A tiny
+    # full-suite pass restores steady-state measurement for every
+    # position while keeping the per-query interleaved warm-up.
     warm_dir = "/root/testdata/sf0.001"
-    for warm in ("q_count", "q_flagship", "q_dedup_exact"):
+    for warm in BENCH_QUERIES:
         QUERIES[warm](spark, warm_dir).count()
+        spark.catalog.clearCache()
     # Load MLlib (class loading + codegen is ~3s once per JVM) so the ML
     # entry in the suite measures the operator, not first-use JIT.
     from pyspark.ml.clustering import KMeans
