@@ -129,6 +129,65 @@ def bpe_pair_counts(docs, text_col: str = "text", top_n: int | None = None):
     return out.orderBy(F.desc("n"), F.asc("pair")).limit(top_n)
 
 
+def _bpe_merge_expr(pair_ref: str) -> str:
+    """SQL expression applying one BPE merge rule to the space-joined
+    symbol string ``sym``, with TOKEN-DELIMITED matching and greedy
+    left-to-right non-overlapping application — the textbook Sennrich
+    et al. (2016) semantics.
+
+    ``pair_ref`` is a SQL expression yielding the merge pattern
+    ("x y"): the ``__p`` column on the declarative path, a quoted
+    literal on the materialized-ladder path.
+
+    Shape: fold over the symbol ARRAY, merging the accumulator's LAST
+    symbol with the current one when the two equal the pair. Two
+    rejected alternatives, both wrong:
+
+    - ``replace(sym, pair, merged)`` (the pre-r9 code) matches
+      SUBSTRINGS, so a pair whose left symbol is the SUFFIX of a
+      longer symbol also fires (state "xa b" wrongly merged by pair
+      "a b") — counting in ``_bpe_top_pair`` is whole-symbol, so the
+      two halves of the algorithm disagreed.
+    - sentinel-padding (``replace(' '||sym||' ', ' '||pair||' ',
+      ...)``) fixes that but breaks ADJACENT repeats: in " a b a b "
+      the two occurrences of " a b " SHARE the middle delimiter, and
+      left-to-right replace consumes it with the first match, so the
+      second pair never merges (should be "ab ab").
+
+    The fold has neither defect: matching is whole-symbol (the last
+    accumulator token, delimiter-checked via ``endswith(' '||left)``),
+    and a merged token (left||right, always strictly longer than
+    ``left``) can never re-match as either side of the same rule, so
+    greedy non-overlapping application falls out of the scan order.
+    """
+    left = f"element_at(split({pair_ref}, ' '), 1)"
+    right = f"element_at(split({pair_ref}, ' '), 2)"
+    merged = f"replace({pair_ref}, ' ', '')"
+    return (
+        "aggregate("
+        " slice(split(sym, ' '), 2, greatest(size(split(sym, ' ')) - 1, 0)),"
+        " element_at(split(sym, ' '), 1),"
+        f" (acc, x) -> CASE WHEN x = {right}"
+        f"   AND (acc = {left} OR endswith(acc, ' ' || {left}))"
+        f"  THEN left(acc, length(acc) - length({left})) || {merged}"
+        "  ELSE acc || ' ' || x END"
+        ")"
+    )
+
+
+def _bpe_pair_literal(pair: str) -> str:
+    """Quote a collected merge pair as a SQL string literal."""
+    return "'" + pair.replace("'", "''") + "'"
+
+
+# Above this many merge rounds the declarative one-DAG form switches
+# to the materialized per-round ladder: each lazy round references the
+# previous round's state TWICE (top-pair agg + merge application), so
+# the unpersisted plan recomputes O(2^n_merges) vocab passes — fine at
+# the registry's n_merges=3, unusable at a real tokenizer's 10k+.
+_BPE_LAZY_MAX_ROUNDS = 4
+
+
 def _bpe_top_pair(state):
     """Deterministic top-1 adjacent symbol pair of a (sym, n_w) vocab
     table: frequency-weighted counts, ties broken lexicographically —
@@ -157,21 +216,32 @@ def _bpe_top_pair(state):
 
 def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
     """Learn the first ``n_merges`` BPE merge rules (Sennrich et al.
-    2016) fully declaratively — no driver round-trips.
+    2016). Merge application is token-delimited greedy left-to-right
+    (see ``_bpe_merge_expr``).
 
     State is the word-frequency table (vocab-sized, the standard BPE
     compaction) with each word as a SPACE-JOINED symbol string
     ("hello" -> "h e l l o"). Per round: adjacent-pair counts weighted
     by word frequency -> deterministic top-1 (ties: lexicographic) ->
-    the 1-row winner CROSS-JOINs back broadcast and a literal
-    string replace applies the merge (left-to-right non-overlapping —
-    the greedy BPE application order). The n rounds chain as ONE lazy
-    DAG; each round re-derives the previous round's vocab table, an
-    O(n_merges) recompute over VOCAB-sized (not corpus-sized) data,
-    which is the right trade against materializing per-round state.
+    apply the winning merge to every vocab entry.
+
+    Two execution shapes, same results:
+
+    - ``n_merges <= _BPE_LAZY_MAX_ROUNDS``: the rounds chain as ONE
+      lazy DAG with no driver round-trips (the 1-row winner broadcast
+      CROSS-JOINs back). Each lazy round references the previous
+      round's state TWICE, so the unpersisted recompute is
+      O(2^n_merges) vocab passes — cheap at small n, exponential
+      beyond it.
+    - larger ``n_merges``: the per-round persist-count-unpersist
+      ladder (the ``ext/graph.py`` BFS pattern), with the 1-row winner
+      collected driver-side (k-bounded: one row per round — a real BPE
+      trainer is inherently sequential in the merge list). Total work
+      O(n_merges) vocab-sized passes, constant memory.
 
     Returns (merge_round, pair, n): the learned merge table — a BPE
-    trainer's actual output artifact.
+    trainer's actual output artifact. Rounds past pair exhaustion
+    (every word a single symbol) produce no row on either path.
     """
     words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
         F.length("w") >= 2
@@ -181,20 +251,52 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
     )
 
+    if n_merges > _BPE_LAZY_MAX_ROUNDS:
+        return _bpe_learn_merges_ladder(docs.sparkSession, sym, n_merges)
+
     state, rounds = sym, []
     for r in range(1, n_merges + 1):
         win = _bpe_top_pair(state)
         rounds.append(win.select(F.lit(r).alias("merge_round"), "pair", "n"))
         state = state.crossJoin(
             F.broadcast(win.select(F.col("pair").alias("__p")))
-        ).select(
-            F.expr("replace(sym, __p, replace(__p, ' ', ''))").alias("sym"),
-            "n_w",
-        )
+        ).select(F.expr(_bpe_merge_expr("__p")).alias("sym"), "n_w")
     out = rounds[0]
     for r_df in rounds[1:]:
         out = out.unionByName(r_df)
     return out
+
+
+def _bpe_learn_merges_ladder(spark, sym, n_merges: int):
+    """Materialized-per-round BPE trainer: persist the vocab state,
+    collect the 1-row winner, apply it as a literal, unpersist the
+    previous round. Lineage depth stays constant, so ``n_merges`` can
+    be tokenizer-scale (10k+) without the lazy DAG's exponential
+    recompute."""
+    state = sym.persist()
+    state.count()
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for r in range(1, n_merges + 1):
+            top = _bpe_top_pair(state).collect()
+            if not top:
+                break
+            pair, n = top[0]["pair"], top[0]["n"]
+            merges.append((r, pair, n))
+            nxt = state.select(
+                F.expr(
+                    _bpe_merge_expr(_bpe_pair_literal(pair))
+                ).alias("sym"),
+                "n_w",
+            ).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, n bigint"
+    )
 
 
 def bpe_encode_vocab(
@@ -213,6 +315,11 @@ def bpe_encode_vocab(
     entry once, join the token count back to the corpus by word.
     Output: top ``top_n`` words by (frequency desc, word) — bounded
     and deterministic at any corpus size.
+
+    Merge application is token-delimited (``_bpe_merge_expr``); like
+    the trainer, ``n_merges`` beyond ``_BPE_LAZY_MAX_ROUNDS`` switches
+    from the one-lazy-DAG form (O(2^n) recompute) to the materialized
+    persist ladder (O(n), constant lineage depth).
     """
     words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
         F.length("w") >= 2
@@ -221,15 +328,16 @@ def bpe_encode_vocab(
     state = wf.select(
         "w", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
     )
-    for _ in range(n_merges):
-        win = _bpe_top_pair(state)
-        state = state.crossJoin(
-            F.broadcast(win.select(F.col("pair").alias("__p")))
-        ).select(
-            "w",
-            F.expr("replace(sym, __p, replace(__p, ' ', ''))").alias("sym"),
-            "n_w",
-        )
+    if n_merges > _BPE_LAZY_MAX_ROUNDS:
+        state = _bpe_encode_ladder(state, n_merges)
+    else:
+        for _ in range(n_merges):
+            win = _bpe_top_pair(state)
+            state = state.crossJoin(
+                F.broadcast(win.select(F.col("pair").alias("__p")))
+            ).select(
+                "w", F.expr(_bpe_merge_expr("__p")).alias("sym"), "n_w"
+            )
     return (
         state.select(
             "w",
@@ -240,3 +348,31 @@ def bpe_encode_vocab(
         .orderBy(F.desc("n_w"), F.asc("w"))
         .limit(top_n)
     )
+
+
+def _bpe_encode_ladder(state, n_merges: int):
+    """Materialized-per-round encode iteration: persist the vocab
+    state, collect each round's 1-row winner, apply it as a literal.
+    The final round's state is pinned with an eager localCheckpoint so
+    every intermediate persist can be released before returning — the
+    caller gets a lineage-free, still-lazy-composable DataFrame."""
+    state = state.persist()
+    state.count()
+    try:
+        for _ in range(n_merges):
+            top = _bpe_top_pair(state).collect()
+            if not top:
+                break
+            nxt = state.select(
+                "w",
+                F.expr(
+                    _bpe_merge_expr(_bpe_pair_literal(top[0]["pair"]))
+                ).alias("sym"),
+                "n_w",
+            ).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+        return state.localCheckpoint(eager=True)
+    finally:
+        state.unpersist()

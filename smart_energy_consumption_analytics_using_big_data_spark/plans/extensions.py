@@ -2869,10 +2869,16 @@ def q_emb_pca_project(spark, sf_dir):
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
     ),
+    m1 AS (
+      SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+             replace(pair, ' ', '') AS m FROM p1
+    ),
     s1 AS (
-      SELECT replace(sym, (SELECT pair FROM p1),
-                     replace((SELECT pair FROM p1), ' ', '')) AS sym, n_w
-      FROM s0
+      SELECT list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                THEN left(acc, len(acc) - len(l)) || m
+                ELSE acc || ' ' || x END) AS sym, n_w
+      FROM s0, m1
     ),
     p2 AS (
       SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
@@ -2880,10 +2886,16 @@ def q_emb_pca_project(spark, sf_dir):
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
     ),
+    m2 AS (
+      SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+             replace(pair, ' ', '') AS m FROM p2
+    ),
     s2 AS (
-      SELECT replace(sym, (SELECT pair FROM p2),
-                     replace((SELECT pair FROM p2), ' ', '')) AS sym, n_w
-      FROM s1
+      SELECT list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                THEN left(acc, len(acc) - len(l)) || m
+                ELSE acc || ' ' || x END) AS sym, n_w
+      FROM s1, m2
     ),
     p3 AS (
       SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
@@ -2899,13 +2911,17 @@ def q_emb_pca_project(spark, sf_dir):
 def q_text_bpe_merges(spark, sf_dir):
     """BPE TRAINING, not just pair counting: the first three merge
     rules learned iteratively — each round's top pair is applied to the
-    vocab-sized symbol table (broadcast 1-row winner + literal replace,
-    left-to-right greedy) before the next round counts again. Fully
-    declarative: the rounds chain as one lazy DAG with no driver
-    round-trips, so the same shape runs unchanged on a cluster; per-
-    round work stays vocab-sized (the corpus compaction happens once).
-    The oracle replays the identical iteration as nested CTEs with
-    scalar subqueries."""
+    vocab-sized symbol table (broadcast 1-row winner + token-delimited
+    greedy fold, Sennrich 2016 semantics — see functions/textfns.py
+    `_bpe_merge_expr` for why substring replace is wrong) before the
+    next round counts again. Fully declarative at this n_merges: the
+    rounds chain as one lazy DAG with no driver round-trips, so the
+    same shape runs unchanged on a cluster; per-round work stays
+    vocab-sized (the corpus compaction happens once); beyond
+    `_BPE_LAZY_MAX_ROUNDS` the library switches to the materialized
+    persist ladder. The oracle replays the identical iteration as
+    nested CTEs whose list_reduce fold mirrors the engine expression
+    symbol-for-symbol."""
     from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
         bpe_learn_merges,
     )
@@ -2930,10 +2946,16 @@ def q_text_bpe_merges(spark, sf_dir):
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
     ),
+    m1 AS (
+      SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+             replace(pair, ' ', '') AS m FROM p1
+    ),
     s1 AS (
-      SELECT w, replace(sym, (SELECT pair FROM p1),
-                        replace((SELECT pair FROM p1), ' ', '')) AS sym, n_w
-      FROM s0
+      SELECT w, list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                THEN left(acc, len(acc) - len(l)) || m
+                ELSE acc || ' ' || x END) AS sym, n_w
+      FROM s0, m1
     ),
     p2 AS (
       SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
@@ -2941,10 +2963,16 @@ def q_text_bpe_merges(spark, sf_dir):
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
     ),
+    m2 AS (
+      SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+             replace(pair, ' ', '') AS m FROM p2
+    ),
     s2 AS (
-      SELECT w, replace(sym, (SELECT pair FROM p2),
-                        replace((SELECT pair FROM p2), ' ', '')) AS sym, n_w
-      FROM s1
+      SELECT w, list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                THEN left(acc, len(acc) - len(l)) || m
+                ELSE acc || ' ' || x END) AS sym, n_w
+      FROM s1, m2
     ),
     p3 AS (
       SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n_w) AS BIGINT) AS n
@@ -2952,10 +2980,16 @@ def q_text_bpe_merges(spark, sf_dir):
            unnest(generate_series(1, len(s) - 1)) AS t(i)
       GROUP BY 1 ORDER BY n DESC, pair LIMIT 1
     ),
+    m3 AS (
+      SELECT string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r,
+             replace(pair, ' ', '') AS m FROM p3
+    ),
     s3 AS (
-      SELECT w, replace(sym, (SELECT pair FROM p3),
-                        replace((SELECT pair FROM p3), ' ', '')) AS sym, n_w
-      FROM s2
+      SELECT w, list_reduce(string_split(sym, ' '),
+               (acc, x) -> CASE WHEN x = r AND (acc = l OR ends_with(acc, ' ' || l))
+                THEN left(acc, len(acc) - len(l)) || m
+                ELSE acc || ' ' || x END) AS sym, n_w
+      FROM s2, m3
     )
     SELECT w, sym AS encoded,
            CAST(len(string_split(sym, ' ')) AS INTEGER) AS n_tokens, n_w
@@ -2970,9 +3004,11 @@ def q_text_bpe_encode(spark, sf_dir):
     frequency), top-100 by frequency. Encoding runs on the DISTINCT-
     word table — the vocab compaction that makes corpus tokenization
     sublinear in corpus growth (encode each vocab entry once, join
-    token counts back by word). Oracle replays the identical rounds as
-    nested CTEs and carries the vocab through the same replaces; all
-    counts cast to BIGINT/INTEGER (the r6 HUGEINT lesson)."""
+    token counts back by word). Merge application is the token-
+    delimited greedy fold (`_bpe_merge_expr`). Oracle replays the
+    identical rounds as nested CTEs carrying the vocab through the
+    same list_reduce fold; all counts cast to BIGINT/INTEGER (the r6
+    HUGEINT lesson)."""
     from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
         bpe_encode_vocab,
     )

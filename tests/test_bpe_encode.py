@@ -1,19 +1,29 @@
-"""BPE encoder (`functions/textfns.bpe_encode_vocab`) invariants.
+"""BPE trainer/encoder (`functions/textfns`) invariants.
 
-The encoder applies the same merge iteration as the trainer
-(`bpe_learn_merges`) while carrying the word through, so its output is
-checked against an in-test Python reference that replicates the ENGINE
-mechanics exactly: space-joined symbols, frequency-weighted adjacent
-pair counts with lexicographic tie-break, and left-to-right
-non-overlapping string replace per merge (the same `replace()` both
-Spark and the DuckDB oracle run — parity with the oracle is the
-query-level gate; this pins the function against a second independent
-implementation plus the reconstruction invariant).
+The engine's merge application is TOKEN-DELIMITED greedy left-to-right
+(Sennrich et al. 2016): a merge rule (l, r) fires only where l and r
+are whole adjacent SYMBOLS, never where the pattern happens to occur
+as a substring of a longer symbol. The in-test Python reference below
+is a textbook implementation over symbol lists — deliberately NOT the
+engine's fold mechanics — so the Spark expression is pinned against an
+independent formulation (parity with the DuckDB oracle is the
+query-level gate; this file is the second witness).
+
+Regression anchors:
+- r9 boundary-collision corpus: a merged symbol whose SUFFIX equals a
+  later merge's left side ("xa" then pair "a b") must NOT re-fire —
+  the pre-r9 substring `replace()` wrongly merged state "xa b".
+- adjacent repeats ("a b a b") must BOTH merge — the naive
+  sentinel-padded replace loses the second occurrence to the shared
+  delimiter.
+- the materialized persist-ladder path (n_merges > _BPE_LAZY_MAX_ROUNDS)
+  must agree with the lazy one-DAG path.
 """
 
 from __future__ import annotations
 
 from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
+    _BPE_LAZY_MAX_ROUNDS,
     bpe_encode_vocab,
     bpe_learn_merges,
 )
@@ -24,21 +34,46 @@ CORPUS = [
     "low newest it it it",
 ]
 
+# Engineered so merge 1 = ("x", "a") -> symbol "xa", and merge 2 =
+# ("a", "b") whose pattern is a SUFFIX-substring of the state "xa b"
+# for word "xab": whole-symbol semantics must leave "xa b" alone.
+#   "xa" x10  -> (x a):10
+#   "cab" x6  -> (c a):6, (a b):6
+#   "xab" x3  -> (x a):3, (a b):3
+# round 1: (x a):13 wins; round 2: (a b):6 ties (c a):6, lexicographic
+# tie-break picks "a b"; round 3: (c ab):6.
+BOUNDARY_CORPUS = ["xa " * 10 + "cab " * 6 + "xab " * 3]
+
+
+def _merge_syms(syms: list[str], left: str, right: str) -> list[str]:
+    """Textbook greedy left-to-right non-overlapping symbol merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
 
 def _py_bpe_encode(docs, n_merges):
-    """Engine-mechanics reference: same compaction, same tie-break,
-    same string-replace merge application."""
+    """Independent Sennrich-style reference: symbol-list state,
+    frequency-weighted whole-symbol pair counts, lexicographic
+    tie-break, token-delimited greedy merge application."""
     freq: dict[str, int] = {}
     for line in docs:
         for w in line.split(" "):
             if len(w) >= 2:
                 freq[w] = freq.get(w, 0) + 1
-    state = {w: " ".join(w) for w in freq}
+    state = {w: list(w) for w in freq}
     merges = []
     for _ in range(n_merges):
         counts: dict[str, int] = {}
         for w, n in freq.items():
-            syms = state[w].split(" ")
+            syms = state[w]
             for a, b in zip(syms, syms[1:]):
                 p = f"{a} {b}"
                 counts[p] = counts.get(p, 0) + n
@@ -46,15 +81,21 @@ def _py_bpe_encode(docs, n_merges):
             break
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
         merges.append(top)
-        state = {w: s.replace(top, top.replace(" ", "")) for w, s in state.items()}
-    return freq, state, merges
+        left, right = top.split(" ")
+        state = {w: _merge_syms(s, left, right) for w, s in state.items()}
+    return freq, {w: " ".join(s) for w, s in state.items()}, merges
+
+
+def _docs(spark, corpus):
+    return spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
 
 
 def test_encoder_matches_python_reference(spark):
-    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
     got = {
         r["w"]: (r["encoded"], r["n_tokens"], r["n_w"])
-        for r in bpe_encode_vocab(docs, n_merges=3, top_n=100).collect()
+        for r in bpe_encode_vocab(_docs(spark, CORPUS), n_merges=3, top_n=100).collect()
     }
     freq, state, _ = _py_bpe_encode(CORPUS, 3)
     want = {w: (s, len(s.split(" ")), freq[w]) for w, s in state.items()}
@@ -62,15 +103,77 @@ def test_encoder_matches_python_reference(spark):
 
 
 def test_encoder_applies_the_trainers_merges(spark):
-    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
-    learned = [r["pair"] for r in bpe_learn_merges(docs, n_merges=3).collect()]
+    learned = [
+        r["pair"] for r in bpe_learn_merges(_docs(spark, CORPUS), n_merges=3).collect()
+    ]
     _, _, merges = _py_bpe_encode(CORPUS, 3)
     assert learned == merges and len(merges) == 3
 
 
 def test_encoding_reconstructs_word_and_counts_tokens(spark):
-    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
-    for r in bpe_encode_vocab(docs, n_merges=2, top_n=100).collect():
+    for r in bpe_encode_vocab(_docs(spark, CORPUS), n_merges=2, top_n=100).collect():
         assert r["encoded"].replace(" ", "") == r["w"]
         assert r["n_tokens"] == len(r["encoded"].split(" "))
         assert r["n_tokens"] >= 1
+
+
+def test_merge_is_token_delimited_not_substring(spark):
+    """The r9 fidelity fix: after merge 1 creates symbol "xa", merge 2
+    ("a b") must not fire inside state "xa b" even though the pattern
+    occurs there as a substring (the pre-r9 replace() bug)."""
+    docs = _docs(spark, BOUNDARY_CORPUS)
+    learned = bpe_learn_merges(docs, n_merges=3).orderBy("merge_round").collect()
+    assert [(r["merge_round"], r["pair"], r["n"]) for r in learned] == [
+        (1, "x a", 13),
+        (2, "a b", 6),
+        (3, "c ab", 6),
+    ]
+    enc = {r["w"]: (r["encoded"], r["n_tokens"]) for r in
+           bpe_encode_vocab(docs, n_merges=3, top_n=100).collect()}
+    # textbook result: "xab" stays two tokens ("xa","b") because pair
+    # ("a","b") matches whole symbols only; substring replace gave "xab".
+    assert enc["xab"] == ("xa b", 2)
+    assert enc["cab"] == ("cab", 1)
+    assert enc["xa"] == ("xa", 1)
+    # and the independent Python reference agrees end-to-end
+    freq, state, merges = _py_bpe_encode(BOUNDARY_CORPUS, 3)
+    assert merges == ["x a", "a b", "c ab"]
+    assert state["xab"] == "xa b"
+
+
+def test_adjacent_repeats_both_merge(spark):
+    """Greedy left-to-right must merge BOTH pairs of "a b a b" — the
+    shared-delimiter case a sentinel-padded replace would get wrong."""
+    docs = _docs(spark, ["abab abab abab ab"])
+    enc = {r["w"]: r["encoded"] for r in
+           bpe_encode_vocab(docs, n_merges=1, top_n=10).collect()}
+    assert enc["abab"] == "ab ab"
+    assert enc["ab"] == "ab"
+
+
+def test_ladder_path_matches_lazy_path(spark):
+    """n_merges above _BPE_LAZY_MAX_ROUNDS takes the materialized
+    persist-ladder path; both trainer paths must produce the same
+    merge table, including stopping early when pairs are exhausted."""
+    docs = _docs(spark, BOUNDARY_CORPUS)
+    n = _BPE_LAZY_MAX_ROUNDS + 1
+    ladder = bpe_learn_merges(docs, n_merges=n).orderBy("merge_round").collect()
+    lazy = bpe_learn_merges(docs, n_merges=_BPE_LAZY_MAX_ROUNDS).orderBy(
+        "merge_round"
+    ).collect()
+    # the corpus exhausts after 4 merges, so both lists are the full
+    # merge history: x a, a b, c ab, then (xa b):3
+    got_ladder = [(r["merge_round"], r["pair"], r["n"]) for r in ladder]
+    got_lazy = [(r["merge_round"], r["pair"], r["n"]) for r in lazy]
+    assert got_ladder == got_lazy == [
+        (1, "x a", 13),
+        (2, "a b", 6),
+        (3, "c ab", 6),
+        (4, "xa b", 3),
+    ]
+    enc_ladder = {
+        r["w"]: r["encoded"]
+        for r in bpe_encode_vocab(docs, n_merges=n, top_n=100).collect()
+    }
+    assert enc_ladder["xab"] == "xab"  # merge 4 joins ("xa","b")
+    assert enc_ladder["cab"] == "cab"

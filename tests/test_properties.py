@@ -353,8 +353,8 @@ def test_bpe_pair_counts_equal_bruteforce(spark, texts):
 )
 def test_bpe_merge_rounds_equal_bruteforce(spark, texts):
     """The declarative 3-round merge DAG == a sequential Python BPE
-    trainer (word-freq compaction, greedy left-to-right merge apply,
-    ties broken lexicographically)."""
+    trainer (word-freq compaction, TOKEN-DELIMITED greedy left-to-right
+    merge apply per Sennrich 2016, ties broken lexicographically)."""
     from collections import Counter
 
     from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
@@ -368,6 +368,21 @@ def test_bpe_merge_rounds_equal_bruteforce(spark, texts):
         r["merge_round"]: (r["pair"], r["n"])
         for r in bpe_learn_merges(docs, n_merges=3).collect()
     }
+
+    def apply_merge(sym: str, left: str, right: str) -> str:
+        # whole-symbol greedy non-overlapping merge — a substring
+        # replace would also fire where `left` is the suffix of a
+        # longer symbol (the pre-r9 engine bug this test now rejects)
+        parts = sym.split(" ")
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == left and parts[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        return " ".join(out)
 
     # reference: same vocab-compacted greedy trainer in plain Python
     wf = Counter(w for t in texts for w in t.split(" ") if len(w) >= 2)
@@ -387,8 +402,9 @@ def test_bpe_merge_rounds_equal_bruteforce(spark, texts):
             break
         top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         want[rnd] = top
+        lft, rgt = top[0].split(" ")
         nxt: Counter = Counter()
         for sym, n in merged_state.items():
-            nxt[sym.replace(top[0], top[0].replace(" ", ""))] += n
+            nxt[apply_merge(sym, lft, rgt)] += n
         merged_state = nxt
     assert got == want
