@@ -149,14 +149,37 @@ def main() -> None:
         timings[name] = round(run_one(spark, sf_dir, name), 3)
 
     total = round(sum(timings.values()), 3)
+
+    # End-to-end 5-stage pipeline anchor (ingest -> preprocess ->
+    # features -> forecast -> anomaly with parquet handoff between
+    # stages), apples-to-apples with BASELINE.md's stage table — the
+    # headline suite above is a query-shaped proxy, this is the
+    # pipeline the reference actually timed (114.05 min, 167.9M rows).
+    # Fixture generation is outside the timed stages.
+    import tempfile
+
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.energy_bench import (
+        HOUSEHOLDS_PER_SF,
+        run_pipeline_bench,
+    )
+
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else 0.1
+    with tempfile.TemporaryDirectory() as workdir:
+        pipeline = run_pipeline_bench(
+            spark, workdir, households=max(10, int(HOUSEHOLDS_PER_SF * sf_num))
+        )
+    spark.catalog.clearCache()
+
     out = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "energy_pipeline_total": pipeline["total"],
     }
     full = dict(out)
+    full["energy_pipeline"] = pipeline
     if small_timings:
         small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
         full["sf_small"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf

@@ -186,13 +186,24 @@ def single_task_windows(plan: str) -> int:
     window that merely mentions __slice elsewhere is still counted."""
     lines = plan.splitlines()
 
-    # Detail blocks: node id -> its "Arguments:" payload.
+    # Detail blocks: node id -> its "Arguments:" payload. ReusedExchange
+    # nodes carry no Arguments; their detail HEADER names the operator
+    # they alias ("(13) ReusedExchange [Reuses operator id: 8]") — map
+    # them so the walk below can resolve the reused Exchange's
+    # partitioning (ADVICE r8: a ReusedExchange standing in for an
+    # `Exchange SinglePartition` was a lint false-negative).
     args: dict[int, str] = {}
+    reuse: dict[int, int] = {}
     cur = None
     for ln in lines:
         m = re.match(r"^\((\d+)\)\s+\S", ln)
         if m:
             cur = int(m.group(1))
+            r = re.match(
+                r"^\((\d+)\)\s+ReusedExchange\s+\[Reuses operator id: (\d+)\]", ln
+            )
+            if r:
+                reuse[int(r.group(1))] = int(r.group(2))
             continue
         if cur is not None and ln.startswith("Arguments: "):
             args.setdefault(cur, ln[len("Arguments: "):])
@@ -221,8 +232,10 @@ def single_task_windows(plan: str) -> int:
             cind, cname, cid = nodes[j]
             if cind <= ind:
                 break  # left this Window's subtree
-            if cname == "Exchange":
-                if "SinglePartition" in args.get(cid, ""):
+            if cname in ("Exchange", "ReusedExchange"):
+                # a ReusedExchange has the same partitioning as the
+                # Exchange it aliases — resolve and check that one
+                if "SinglePartition" in args.get(reuse.get(cid, cid), ""):
                     hits += 1
                 break
             if cname not in _PARTITION_PRESERVING:

@@ -142,7 +142,16 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str], dict[str, in
     failed: tuple[str, ...] = ()
     reconfirmed: set[str] = set()
     last_green: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # "latest round" must come from the PARSED round number, not the
+    # filename sort: lexicographic order happens to work for the
+    # zero-padded r01..r99 names but would seed failed_latest from the
+    # wrong artifact the moment an unpadded or 3-digit round name
+    # appears (ADVICE r8: CORRECTNESS_r100 < CORRECTNESS_r99 lexically).
+    parsed: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        parsed.append((int(m.group(1)) if m else 0, path))
+    for rnd, path in sorted(parsed):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -156,8 +165,6 @@ def _driver_history() -> tuple[set[str], tuple[str, ...], set[str], dict[str, in
             or v.get("rows_match") is False
             or v.get("hash_match") is False
         )
-        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        rnd = int(m.group(1)) if m else 0
         green = {
             k
             for k, v in rows.items()
@@ -297,6 +304,18 @@ _STALE_PRIORITY: tuple[str, ...] = (
     "q_window_range_7d",
 )
 
+# Queries whose IMPLEMENTATION changed in a given round: pinned to the
+# window head until the driver re-verifies them in that round or later
+# (local green is not driver green — the r7 BPE lesson, generalized).
+# Entries: (query, min_round_of_fresh_evidence).
+_REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
+    # r9: merge application rewritten token-delimited (Sennrich
+    # fidelity fix) in both engine and oracle — parity must be
+    # re-proven under the driver, not just the local gate.
+    ("q_text_bpe_merges", 9),
+    ("q_text_bpe_encode", 9),
+)
+
 
 def _order_rest(
     rest: list[str], oracled: set[str], last_green: dict[str, int]
@@ -319,9 +338,11 @@ def _order_rest(
 
 
 def _rotate_registry() -> None:
-    """Reorder QUERIES: last round's failures first, then never-driver-
-    verified queries, then everything else (oracled by staleness,
-    rows-only last — see _order_rest).
+    """Reorder QUERIES: last round's failures first, then code-changed
+    re-verifications, then never-driver-verified queries (oracled
+    backlog, then one-shot rows-only row-count evidence), then
+    everything else (oracled by staleness, rows-only last — see
+    _order_rest).
 
     The correctness driver checks a bounded prefix of the registry each
     round; rotating the order guarantees every query eventually gets a
@@ -371,9 +392,33 @@ def _rotate_registry() -> None:
     stale = [
         k for k in _STALE_PRIORITY if k in QUERIES and k not in reconfirmed
     ]
+    # code-changed queries stay pinned until driver-green AT OR AFTER
+    # the round that changed them
+    reverify = [
+        k
+        for k, min_rnd in _REVERIFY_PRIORITY
+        if k in QUERIES and last_green.get(k, 0) < min_rnd
+    ]
+    # One-shot driver evidence for never-run ROWS-ONLY queries (VERDICT
+    # r8 item 2): they can only ever record `err: no_oracle` + a row
+    # count, but that is still driver evidence pytest cannot give.
+    # Unlike the standing exclusion below (seen rows-only queries never
+    # re-occupy a slot), a never-seen one takes exactly one slot, gets
+    # its row-count row, becomes "seen", and drops out for good.
+    rows_only_never_run = [
+        k for k in QUERIES if k not in seen and k not in ORACLE
+    ]
     # de-dup while preserving order (priority list overlaps family order)
     head = list(
-        dict.fromkeys(redo + flagship_priority + stale + unseen_priority + unseen_new)
+        dict.fromkeys(
+            redo
+            + reverify
+            + flagship_priority
+            + stale
+            + unseen_priority
+            + unseen_new
+            + rows_only_never_run
+        )
     )
     rest = _order_rest(
         [k for k in QUERIES if k not in set(head)], set(ORACLE), last_green

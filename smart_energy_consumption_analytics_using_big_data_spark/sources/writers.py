@@ -354,8 +354,13 @@ def forget_subject(
     # the fs.delete above is a silent no-op on a nonexistent path and
     # the pure-PII partition survives — the exact contract violation
     # this function exists to close. A subject-filtered re-scan of the
-    # rewritten table (partition-pruned like pass 1) is the ground
-    # truth the directory check cannot give.
+    # rewritten table is the ground truth the directory check cannot
+    # give. The re-scan restricts itself to the AFFECTED partition
+    # values (`cond`, a partition-column predicate, so it prunes at
+    # the scan like pass 1): complete, because subject rows can only
+    # exist where pass 1 found them — untouched partitions were proven
+    # subject-free and their files were not rewritten, and a surviving
+    # pure-PII directory keeps its original (affected) partition value.
     try:
         remaining = spark.read.parquet(path)
         remaining.first()  # force schema/file resolution inside the try
@@ -369,9 +374,11 @@ def forget_subject(
             .withColumn("rows_after", F.lit(0).cast("long"))
         )
     else:
-        residual = remaining.filter(
-            F.col(subject_col).isin(subject_values)
-        ).count()
+        residual = (
+            remaining.filter(cond)
+            .filter(F.col(subject_col).isin(subject_values))
+            .count()
+        )
         if residual:
             raise RuntimeError(
                 f"erasure failed: {residual} subject row(s) survive the "

@@ -135,6 +135,26 @@ def test_single_task_window_walker(spark):
     assert single_task_windows(formatted_plan(mixed)) == 1
 
 
+def test_single_task_window_sees_through_reused_exchange(spark):
+    """ADVICE r8: with exchange reuse (static planner, AQE off), the
+    second global window sits on a `ReusedExchange [Reuses operator
+    id: N]` whose own detail has no Arguments — the walker must resolve
+    the aliased Exchange's SinglePartition instead of treating the node
+    as a walk-terminating stranger (the old false-negative)."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.range(100).select("id", (F.col("id") % 7).alias("v"))
+        left = df.select(F.row_number().over(W.orderBy("v")).alias("rn"), "id")
+        right = left.select("rn", F.col("id").alias("id2"))
+        plan = formatted_plan(left.join(right, "rn"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, "construction no longer reuses — update test"
+    assert single_task_windows(plan) == 2
+
+
 def test_registry_has_no_nested_oracled_outputs(spark):
     """Every ORACLED query's registered output schema is atomic — the
     full-plan audit enforces this at sf0.001; here we pin the one query

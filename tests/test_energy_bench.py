@@ -1,0 +1,49 @@
+"""End-to-end pipeline bench (`pipeline/energy_bench.py`) contract:
+the five reference stages run as one chain on the deterministic
+fixture, every stage is timed, and the result record carries the
+fields BENCH_r*.json publishes against BASELINE.md's stage table."""
+
+from __future__ import annotations
+
+import os
+
+from smart_energy_consumption_analytics_using_big_data_spark.pipeline.energy_bench import (
+    make_readings_csv,
+    run_pipeline_bench,
+)
+
+STAGES = ("ingest", "preprocess", "features", "forecast", "anomaly")
+
+
+def test_fixture_is_deterministic_and_sharded(tmp_path):
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    n1 = make_readings_csv(d1, households=2, shards=3)
+    n2 = make_readings_csv(d2, households=2, shards=3)
+    assert n1 == n2 > 0
+    assert sorted(os.listdir(d1)) == ["block_0.csv", "block_1.csv", "block_2.csv"]
+    with open(os.path.join(d1, "block_0.csv")) as a, open(
+        os.path.join(d2, "block_0.csv")
+    ) as b:
+        assert a.read() == b.read()
+
+
+def test_pipeline_bench_runs_all_stages(spark, tmp_path):
+    res = run_pipeline_bench(spark, str(tmp_path), households=2, shards=3)
+    assert tuple(res["stages"]) == STAGES
+    assert all(v > 0 for v in res["stages"].values())
+    assert res["total"] >= max(res["stages"].values())
+    assert res["raw_rows"] > 30_000  # 2 households x full-year half-hourly
+    assert res["flagged"] >= 0
+    assert res["best_model"] in ("lr", "rf")
+    # stage handoff artifacts exist on disk, like the reference's
+    # per-process parquet handoff
+    out = tmp_path / "out"
+    for artifact in (
+        "raw_energy_data",
+        "hourly",
+        "daily",
+        "energy_features",
+        "forecasting_results",
+        "anomalies",
+    ):
+        assert (out / artifact).is_dir()
