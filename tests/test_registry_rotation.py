@@ -114,3 +114,40 @@ def test_rest_orders_oracled_by_staleness_rows_only_last():
     assert _order_rest(rest, oracled, last_green) == ["c", "b", "e", "a", "d", "f"]
     # stability: equal staleness keeps registry order
     assert _order_rest(["x", "y"], {"x", "y"}, {}) == ["x", "y"]
+
+
+def test_reverify_pins_lead_until_driver_green_at_min_round():
+    """Code-changed queries (`_REVERIFY_PRIORITY`) pin to the window
+    head until the driver re-verifies them AT OR AFTER the round that
+    changed them — local green is not driver green. r9: the two BPE
+    rewrites must lead the window (behind any failure redos) while
+    their newest driver evidence predates round 9; a green row in
+    round >= 9 retires the pin."""
+    import re
+
+    from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import (
+        _REVERIFY_PRIORITY,
+    )
+
+    last_green: dict = {}
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        for k, v in rows.items():
+            ok = (
+                v.get("err") in (None, "no_oracle")
+                and v.get("rows_match") is not False
+                and v.get("hash_match") is not False
+            )
+            if ok:
+                last_green[k] = max(rnd, last_green.get(k, 0))
+    pending = [
+        k for k, mr in _REVERIFY_PRIORITY if last_green.get(k, 0) < mr
+    ]
+    _, failed, _ = _driver_seen()
+    redo = [k for k in failed if k in QUERIES]
+    head = list(QUERIES)[len(redo) : len(redo) + len(pending)]
+    assert head == pending, f"window head {head} != pending reverify {pending}"
+    for k, _mr in _REVERIFY_PRIORITY:
+        assert k in QUERIES and k in ORACLE
