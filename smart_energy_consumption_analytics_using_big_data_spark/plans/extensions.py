@@ -1760,14 +1760,18 @@ def q_graph_bfs(spark, sf_dir):
     ~2:1 over the traversal being measured, so the edge source moved
     to the one-equi-join co-purchase graph; r7 replaced that self-join
     with the in-row basket-pair build — the fact table now shuffles
-    once, in the basket aggregation, instead of twice into a join.)"""
+    once, in the basket aggregation, instead of twice into a join;
+    r9 fused pair dedup into bfs_hops' own id-repartition
+    (dedupe=True), dropping the dedicated distinct exchange — BFS
+    min-relaxation is duplicate-insensitive, so results are identical
+    and the edge build is one exchange shorter.)"""
     from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
         bfs_hops,
         copurchase_pairs,
     )
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey").distinct()
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
     edges = pairs.select(
         F.explode(
             F.array(
@@ -1777,7 +1781,7 @@ def q_graph_bfs(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst")
 
-    return bfs_hops(edges, seed_mod=10, max_hops=4)
+    return bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True)
 
 
 @q(

@@ -314,6 +314,9 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # re-proven under the driver, not just the local gate.
     ("q_text_bpe_merges", 9),
     ("q_text_bpe_encode", 9),
+    # r9: edge dedup fused into bfs_hops' repartition (plan-only,
+    # results hash-identical locally) — pinned on the same protocol.
+    ("q_graph_bfs", 9),
 )
 
 

@@ -74,3 +74,29 @@ def test_bfs_result_unchanged_by_lifecycle(spark):
     a.unpersist()
     b.unpersist()
     assert ra == rb and len(ra) > 0
+
+
+def test_bfs_dedupe_matches_distinct_edges_with_no_extra_exchange(spark):
+    """r9: `dedupe=True` drops duplicate edges INSIDE bfs_hops' own
+    id-repartition (HashPartitioning(id) satisfies the (id,dst) dedup's
+    clustering requirement — no extra exchange), and BFS min-relaxation
+    is duplicate-insensitive, so results equal the pre-deduped run."""
+    import re
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    dup_edges = _edges(spark).unionAll(_edges(spark).limit(100))  # real dupes
+    a = bfs_hops(dup_edges, seed_mod=10, max_hops=3, dedupe=True)
+    b = bfs_hops(_edges(spark).distinct(), seed_mod=10, max_hops=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    a.unpersist()
+    b.unpersist()
+    # plan property: the fused dedup adds no exchange beyond the
+    # repartition (count hashpartitioning exchanges in the edge prep)
+    prep = (
+        dup_edges.select(F.col("src").alias("id"), F.col("dst").alias("__dst"))
+        .repartition("id")
+        .dropDuplicates(["id", "__dst"])
+    )
+    plan = prep._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
