@@ -177,3 +177,36 @@ def test_ladder_path_matches_lazy_path(spark):
     }
     assert enc_ladder["xab"] == "xab"  # merge 4 joins ("xa","b")
     assert enc_ladder["cab"] == "cab"
+
+
+def test_incremental_ladder_matches_reference_on_random_corpus(spark):
+    """The incremental-pair-count ladder (r9) must agree with the
+    textbook reference over many rounds on a corpus big enough that
+    every round actually exercises the affected/untouched split and
+    the count-delta math (negative old pairs + positive folded pairs)."""
+    import random
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 9)))
+        for _ in range(400)
+    ]
+    corpus = [" ".join(rng.choices(words, k=40)) for _ in range(30)]
+    n = 8  # > _BPE_LAZY_MAX_ROUNDS -> ladder path
+    learned = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in bpe_learn_merges(_docs(spark, corpus), n_merges=n)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    freq, state, merges = _py_bpe_encode(corpus, n)
+    # reference merge list with counts: recompute counts per round
+    assert [p for _, p, _ in learned] == merges
+    enc = {
+        r["w"]: (r["encoded"], r["n_w"])
+        for r in bpe_encode_vocab(
+            _docs(spark, corpus), n_merges=n, top_n=10_000
+        ).collect()
+    }
+    want = {w: (s, freq[w]) for w, s in state.items()}
+    assert enc == want
