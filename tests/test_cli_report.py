@@ -188,3 +188,41 @@ def test_cli_tokenize_exports_merges_vocab_and_summary(spark, tmp_path, capsys):
         [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
     )
     assert summary2 == summary
+
+
+def test_cli_all_runs_whole_chain_in_one_invocation(
+    readings_fixture, tariffs_fixture, tmp_path_factory, capsys
+):
+    """The `all` subcommand — the reference's run_pipeline.ps1 analogue
+    (one process, all seven stages, shared SparkSession) — must emit
+    every stage's JSON line and leave every stage artifact on disk."""
+    out = str(tmp_path_factory.mktemp("cli_all"))
+    tariffs_csv = str(tmp_path_factory.mktemp("tariffs_all") / "tariffs.csv")
+    tariffs_fixture.to_csv(tariffs_csv, index=False)
+    capsys.readouterr()
+    rc = cli.main(
+        [
+            "all",
+            "--readings", readings_fixture,
+            "--tariffs", tariffs_csv,
+            "--out", out,
+            "--test-cutoff", "2013-02-20",
+            "--val-cutoff", "2013-02-10",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    stages = [rec["stage"] for rec in lines if "stage" in rec]
+    assert stages == ["ingest", "preprocess", "features", "forecast", "anomaly", "export"]
+    assert any("kpi" in rec for rec in lines)  # report tail
+    import os
+
+    for artifact in (
+        "raw_energy_data", "hourly", "daily", "energy_features",
+        "forecasting_results", "anomalies", "models/best",
+    ):
+        assert os.path.isdir(f"{out}/{artifact}"), artifact
