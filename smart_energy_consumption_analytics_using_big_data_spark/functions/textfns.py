@@ -332,8 +332,17 @@ def bpe_encode_vocab(
     else:
         for _ in range(n_merges):
             win = _bpe_top_pair(state)
-            state = state.crossJoin(
-                F.broadcast(win.select(F.col("pair").alias("__p")))
+            # LEFT join on TRUE, not crossJoin: past pair exhaustion the
+            # 1-row winner is EMPTY, and a cross join with an empty side
+            # would empty the whole vocab (the ladder path just stops
+            # merging). With a left join the exhausted round carries a
+            # NULL __p, the fold's CASE condition evaluates to NULL ->
+            # ELSE on every symbol, and sym is rebuilt unchanged — the
+            # same no-op the ladder's early break produces.
+            state = state.join(
+                F.broadcast(win.select(F.col("pair").alias("__p"))),
+                F.lit(True),
+                "left",
             ).select(
                 "w", F.expr(_bpe_merge_expr("__p")).alias("sym"), "n_w"
             )

@@ -179,11 +179,45 @@ def test_ladder_path_matches_lazy_path(spark):
     assert enc_ladder["cab"] == "cab"
 
 
+def test_lazy_encoder_survives_pair_exhaustion(spark):
+    """Pair exhaustion on the LAZY encoder path (ADVICE r9, medium):
+    once every word is a single symbol the round's top-pair winner is
+    EMPTY, and the pre-r10 crossJoin emptied the whole vocab (n_merges=4
+    on 'ab ab ab cd' returned [] while n_merges=5 — the ladder path —
+    returned the correct 2 rows). The left-join fix makes the exhausted
+    round a no-op, so every n_merges at or past exhaustion returns the
+    identical fully-merged encoding on BOTH paths."""
+    docs = _docs(spark, ["ab ab ab cd"])
+    # exhaustion after 2 merges: (a b):3 then (c d):1
+    want = {"ab": ("ab", 3), "cd": ("cd", 1)}
+
+    def enc(n):
+        return {
+            r["w"]: (r["encoded"], r["n_w"])
+            for r in bpe_encode_vocab(docs, n_merges=n, top_n=100).collect()
+        }
+
+    assert enc(2) == want  # exactly at exhaustion
+    assert enc(3) == want  # one exhausted lazy round (the repro)
+    assert enc(_BPE_LAZY_MAX_ROUNDS) == want  # deepest lazy path
+    assert enc(_BPE_LAZY_MAX_ROUNDS + 1) == want  # ladder path
+    # the trainer's merge table agrees across paths too: both stop at 2
+    learned = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in bpe_learn_merges(docs, n_merges=_BPE_LAZY_MAX_ROUNDS)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert learned == [(1, "a b", 3), (2, "c d", 1)]
+
+
 def test_incremental_ladder_matches_reference_on_random_corpus(spark):
-    """The incremental-pair-count ladder (r9) must agree with the
-    textbook reference over many rounds on a corpus big enough that
-    every round actually exercises the affected/untouched split and
-    the count-delta math (negative old pairs + positive folded pairs)."""
+    """Pins the shipped full-recount localCheckpoint ladder
+    (`_bpe_learn_merges_ladder` re-derives pair counts from the whole
+    vocab each round — per the r9 negative result, the count-delta
+    incremental trainer was rejected as 7x slower) against the textbook
+    reference over many rounds on a corpus big enough that every round
+    does real merge work."""
     import random
 
     rng = random.Random(42)
