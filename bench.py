@@ -44,8 +44,6 @@ BENCH_QUERIES = [
     "q_rollup",
     "q_dedup_minhash_lsh",
     "q_dedup_minhash_arrow",
-    "q_dedup_winnow",
-    "q_dedup_winnow_fast",
     "q_dedup_winnow_arrow",
     "q_dedup_semantic",
     "q_dedup_simhash",
@@ -75,6 +73,22 @@ BENCH_QUERIES = [
     # merge application — the declarative-recurrence shape's cost).
     "q_text_bpe_encode",
 ]
+
+# Superseded-baseline diagnostics (VERDICT r9 item 3): deliberately
+# retained SLOW variants whose shipped path is q_dedup_winnow_arrow
+# (measured ~5x faster). They stay registered, oracled, and timed every
+# round so the speedup claim remains a measurement — but OUT of the
+# headline total, which should track the engine's shipped plans.
+DIAGNOSTIC_QUERIES = [
+    "q_dedup_winnow",
+    "q_dedup_winnow_fast",
+]
+
+# Median-of-N measured suite passes (VERDICT r9 item 2): single-run
+# timings showed ±8% total / 1.5x per-query swings indistinguishable
+# from load noise; three warmed passes with a per-query median make
+# round-over-round deltas attributable to code again.
+SUITE_REPS = 3
 
 
 def run_one(spark, sf_dir: str, name: str) -> float:
@@ -112,7 +126,7 @@ def main() -> None:
     # full-suite pass restores steady-state measurement for every
     # position while keeping the per-query interleaved warm-up.
     warm_dir = "/root/testdata/sf0.001"
-    for warm in BENCH_QUERIES:
+    for warm in BENCH_QUERIES + DIAGNOSTIC_QUERIES:
         QUERIES[warm](spark, warm_dir).count()
         spark.catalog.clearCache()
     # Load MLlib (class loading + codegen is ~3s once per JVM) so the ML
@@ -141,13 +155,28 @@ def main() -> None:
     # measured pass reached the same query.
     small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
     run_small = small_dir != sf_dir and os.path.isdir(small_dir)
+    all_queries = BENCH_QUERIES + DIAGNOSTIC_QUERIES
     small_timings: dict[str, float] = {}
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if run_small:
-            small_timings[name] = round(run_one(spark, small_dir, name), 3)
-        timings[name] = round(run_one(spark, sf_dir, name), 3)
+    samples: dict[str, list[float]] = {name: [] for name in all_queries}
+    # SUITE_REPS full measured passes; pass 1 keeps the interleaved
+    # small-SF run before each query (plan-shape warm-up — the r7
+    # lesson), passes 2+ are pure repeats. The reported figure is the
+    # per-query MEDIAN across passes, so a single cold/loaded execution
+    # can no longer masquerade as a regression (VERDICT r9: the r8->r9
+    # q_agg_multikey/q_flagship "regressions" were single-run noise).
+    for rep in range(SUITE_REPS):
+        for name in all_queries:
+            if rep == 0 and run_small:
+                small_timings[name] = round(run_one(spark, small_dir, name), 3)
+            samples[name].append(round(run_one(spark, sf_dir, name), 3))
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(samples[name]) for name in BENCH_QUERIES}
+    diagnostics = {name: median(samples[name]) for name in DIAGNOSTIC_QUERIES}
     total = round(sum(timings.values()), 3)
 
     # End-to-end 5-stage pipeline anchor (ingest -> preprocess ->
@@ -184,17 +213,27 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "energy_pipeline_total": pipeline["total"],
+        # headline/diagnostics split (VERDICT r9 item 3): `value` is the
+        # shipped-path total ONLY; the superseded winnow baselines are
+        # timed separately here. The ~10 s headline drop vs BENCH_r09 is
+        # this reclassification, not an optimization (PERFORMANCE.md).
+        "diagnostics": diagnostics,
+        "value_diagnostics": round(sum(diagnostics.values()), 3),
+        "suite_reps": SUITE_REPS,
     }
     full = dict(out)
     full["energy_pipeline"] = pipeline
+    full["samples"] = samples
     if small_timings:
         small_sf = small_dir.rstrip("/").rsplit("sf", 1)[-1]
         full["sf_small"] = float(small_sf) if small_sf.replace(".", "").isdigit() else small_sf
-        full["value_small"] = round(sum(small_timings.values()), 3)
+        full["value_small"] = round(
+            sum(small_timings[n] for n in BENCH_QUERIES if n in small_timings), 3
+        )
         full["queries_small"] = small_timings
         full["scale_ratio"] = {
-            name: round(timings[name] / small_timings[name], 2)
-            for name in BENCH_QUERIES
+            name: round(median(samples[name]) / small_timings[name], 2)
+            for name in all_queries
             if small_timings.get(name)
         }
         # stdout carries only the compact headline record: the driver

@@ -179,10 +179,46 @@ def train_rf_forecast(
     test_cutoff,
     num_trees: int = 20,
     max_depth: int = 5,
+    grid: tuple[tuple[int, int], ...] | None = None,
+    val_cutoff=None,
 ) -> ForecastResult:
-    """RandomForestRegressor path (M4; `forecasting_model.py:350-393`)."""
+    """RandomForestRegressor path (M4; `forecasting_model.py:350-393`).
+
+    ``grid``: optional ((numTrees, maxDepth), ...) searched with the
+    same inner time-split validation as the LR path (the reference's RF
+    grid is {50,100}x{5,10}, `forecasting_model.py:350-355`); requires
+    ``val_cutoff``. Grid points fit concurrently over the shared cached
+    inner split; selection keeps grid order (first minimum wins), so it
+    is deterministic. ``grid=None`` keeps the single-point fit."""
     train = features.filter(F.col("date") < F.lit(test_cutoff))
     test = features.filter(F.col("date") >= F.lit(test_cutoff))
+    if grid:
+        if val_cutoff is None:
+            raise ValueError("grid search needs val_cutoff for the inner split")
+        from concurrent.futures import ThreadPoolExecutor
+
+        inner_train = train.filter(F.col("date") < F.lit(val_cutoff))
+        inner_val = train.filter(F.col("date") >= F.lit(val_cutoff))
+        inner_train.cache()
+        inner_val.cache()
+
+        def fit_point(point):
+            n_t, depth = point
+            cand = RandomForestRegressor(
+                featuresCol="features", labelCol="label_value",
+                numTrees=n_t, maxDepth=depth, seed=SEED,
+            )
+            m = _pipeline(cand).fit(inner_train)
+            rmse = RegressionEvaluator(
+                labelCol="label_value", predictionCol="prediction", metricName="rmse"
+            ).evaluate(m.transform(inner_val))
+            return rmse, point
+
+        with ThreadPoolExecutor(max_workers=min(4, len(grid))) as ex:
+            results = list(ex.map(fit_point, grid))
+        num_trees, max_depth = min(results, key=lambda r: r[0])[1]
+        inner_train.unpersist()
+        inner_val.unpersist()
     rf = RandomForestRegressor(
         featuresCol="features", labelCol="label_value",
         numTrees=num_trees, maxDepth=max_depth, seed=SEED,

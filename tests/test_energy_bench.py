@@ -27,9 +27,30 @@ def test_fixture_is_deterministic_and_sharded(tmp_path):
         assert a.read() == b.read()
 
 
+def test_pipeline_bench_rejects_unknown_grid(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown grid"):
+        run_pipeline_bench(spark, str(tmp_path), households=2, grid="huge")
+
+
+def test_pipeline_bench_reference_grid(spark, tmp_path):
+    """--grid reference reproduces the reference's stage-4 search shape
+    (9-point LR grid + RF {50,100}x{5,10} with inner validation) and
+    still completes the five-stage chain with valid artifacts."""
+    res = run_pipeline_bench(
+        spark, str(tmp_path), households=2, shards=3, grid="reference"
+    )
+    assert tuple(res["stages"]) == STAGES
+    assert res["grid"] == "reference"
+    assert res["best_model"] in ("lr", "rf")
+    assert res["rmse"] > 0
+
+
 def test_pipeline_bench_runs_all_stages(spark, tmp_path):
     res = run_pipeline_bench(spark, str(tmp_path), households=2, shards=3)
     assert tuple(res["stages"]) == STAGES
+    assert res["grid"] == "default"
     assert all(v > 0 for v in res["stages"].values())
     assert res["total"] >= max(res["stages"].values())
     assert res["raw_rows"] > 30_000  # 2 households x full-year half-hourly
