@@ -2856,6 +2856,51 @@ def q_emb_pca_project(spark, sf_dir):
     return E.pca_project(emb, comps)
 
 
+from smart_energy_consumption_analytics_using_big_data_spark.ext.pca_artifact import (  # noqa: E402
+    FROZEN_PCA_COMPONENTS_K2,
+    duckdb_weight_literal,
+)
+
+
+@q(
+    "q_emb_pca_score",
+    """
+    WITH comp AS (SELECT {w1} AS w1, {w2} AS w2)
+    SELECT vec_id,
+           round(list_reduce(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * w1[i]), (a, b) -> a + b), 6) + 0.0 AS pc1,
+           round(list_reduce(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * w2[i]), (a, b) -> a + b), 6) + 0.0 AS pc2
+    FROM embeddings, comp
+    """.format(
+        w1=duckdb_weight_literal(FROZEN_PCA_COMPONENTS_K2[0]),
+        w2=duckdb_weight_literal(FROZEN_PCA_COMPONENTS_K2[1]),
+    ),
+)
+def q_emb_pca_score(spark, sf_dir):
+    """PCA SCORING with a frozen model artifact — the oracled half of
+    the train-small/score-big split (`q_emb_pca_project` trains and
+    scores in one plan and stays rows-only because eigendecomposition
+    is not SQL). The components are shipped literals
+    (`ext/pca_artifact.py`, provably the sf0.01-trained model via
+    tests/test_embeddings_pca.py), so the scoring plan is the real
+    production shape: literal weight arrays broadcast in the plan
+    itself, projection as a JVM zip_with/aggregate ordered fold inside
+    whole-stage codegen, no Python and no shuffle at any corpus size.
+    The oracle folds the identical literals in the identical order, so
+    both engines agree bit-exactly before the 6-decimal rounding
+    (+0.0 canonicalizes IEEE -0.0 on both sides)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext import embeddings as E
+
+    emb = t(spark, sf_dir, "embeddings")
+    proj = E.pca_project(emb, [list(c) for c in FROZEN_PCA_COMPONENTS_K2])
+    return proj.select(
+        "vec_id",
+        (F.col("pc1") + F.lit(0.0)).alias("pc1"),
+        (F.col("pc2") + F.lit(0.0)).alias("pc2"),
+    )
+
+
 @q(
     "q_text_bpe_merges",
     r"""

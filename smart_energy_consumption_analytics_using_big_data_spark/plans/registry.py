@@ -317,6 +317,11 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # r9: edge dedup fused into bfs_hops' repartition (plan-only,
     # results hash-identical locally) — pinned on the same protocol.
     ("q_graph_bfs", 9),
+    # r10: lazy-path encoder crossJoin -> broadcast left join (pair-
+    # exhaustion fix; results identical when merges don't exhaust,
+    # which the registered n_merges=3 query never does — but the plan
+    # changed, so the driver re-proves it).
+    ("q_text_bpe_encode", 10),
 )
 
 

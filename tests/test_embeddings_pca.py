@@ -56,6 +56,27 @@ def test_pca_components_match_numpy_and_are_sign_fixed(spark):
         assert np.allclose(got, v, atol=1e-4), c_idx
 
 
+def test_frozen_pca_artifact_is_the_trained_model(spark):
+    """The q_emb_pca_score literals (`ext/pca_artifact.py`) must BE the
+    model `pca_components` trains on the sf0.01 snapshot — the freeze
+    that makes the scoring path oracled is only honest if the artifact
+    provably matches the live trainer. Tolerance 1e-6, not exact: the
+    snapshot's eigengap is ~1.3% (lambda1=0.027568, lambda2=0.027221),
+    so partition-order float summation in the covariance pass perturbs
+    the eigenvectors by O(ulp/eigengap) ~ 1e-12 — far below both the
+    pin and the query's 6-decimal rounding."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.pca_artifact import (
+        FROZEN_PCA_COMPONENTS_K2,
+        FROZEN_PCA_EIGENVALUES_K2,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    comps, evs = pca_components(emb, k=2)
+    assert np.allclose(evs, FROZEN_PCA_EIGENVALUES_K2, atol=1e-9)
+    for got, frozen in zip(comps, FROZEN_PCA_COMPONENTS_K2):
+        assert np.allclose(got, frozen, atol=1e-6)
+
+
 def test_projection_spectral_properties_and_jvm_plan(spark):
     emb = _emb(spark)
     comps, evs = pca_components(emb, k=2)
