@@ -56,13 +56,12 @@ def _load_tariffs(spark, path: str):
 def cmd_preprocess(args) -> None:
     """clean + tariff join + hourly/daily rollups (`data_preprocessing.py:88-305`)."""
     from smart_energy_consumption_analytics_using_big_data_spark.pipeline import energy
-    from smart_energy_consumption_analytics_using_big_data_spark.sources import writers
 
     spark = _spark(args)
     raw = spark.read.parquet(f"{args.out}/raw_energy_data")
-    hourly, daily = energy.preprocess(raw, _load_tariffs(spark, args.tariffs))
-    writers.write_parquet(hourly, f"{args.out}/hourly")
-    writers.write_parquet(daily, f"{args.out}/daily", num_files=4)
+    energy.preprocess_to_parquet(
+        spark, raw, _load_tariffs(spark, args.tariffs), f"{args.out}/hourly", f"{args.out}/daily"
+    )
     print(json.dumps({"stage": "preprocess", "daily_rows": spark.read.parquet(f"{args.out}/daily").count()}))
 
 

@@ -141,11 +141,13 @@ def run_pipeline_bench(
     # Stage 2 — preprocess: clean + tariff join + hourly/daily rollups
     # (data_preprocessing.py:88-305; baseline 41.72 min)
     t0 = time.time()
-    hourly, daily = energy.preprocess(
-        spark.read.parquet(f"{out}/raw_energy_data"), tariffs
+    energy.preprocess_to_parquet(
+        spark,
+        spark.read.parquet(f"{out}/raw_energy_data"),
+        tariffs,
+        f"{out}/hourly",
+        f"{out}/daily",
     )
-    writers.write_parquet(hourly, f"{out}/hourly")
-    writers.write_parquet(daily, f"{out}/daily", num_files=4)
     stages["preprocess"] = time.time() - t0
 
     # Stage 3 — feature engineering: the 36+-column feature table
