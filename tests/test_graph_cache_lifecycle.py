@@ -14,8 +14,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    """Ids of currently-persistent RDDs.
+
+    Id SETS, not counts: localCheckpoint blocks from OTHER tests (the
+    BPE ladder, incremental dedup) also appear in getPersistentRDDs and
+    are released asynchronously by the ContextCleaner — a count-based
+    baseline races that cleanup (flaked once in the r10 full run when a
+    stale checkpoint block vanished mid-test). Pre-existing ids can
+    only disappear; the contract here is about ids the graph call
+    CREATES, which diffing against the baseline isolates exactly."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
 
 
 def _edges(spark):
@@ -34,14 +44,14 @@ def test_bfs_leaves_only_result_cached(spark):
     from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
 
     spark.catalog.clearCache()
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     for _ in range(3):
         out = bfs_hops(_edges(spark), seed_mod=10, max_hops=4)
         assert out.count() > 0
         # internal caches released: only the returned result remains
-        assert _n_persistent(spark) - base <= 1
+        assert len(_persistent_ids(spark) - base) <= 1
         out.unpersist()
-        assert _n_persistent(spark) == base
+        assert _persistent_ids(spark) - base == set()
 
 
 def test_pagerank_leaves_only_result_cached(spark):
@@ -51,14 +61,14 @@ def test_pagerank_leaves_only_result_cached(spark):
     )
 
     spark.catalog.clearCache()
-    base = _n_persistent(spark)
+    base = _persistent_ids(spark)
     for fn in (pagerank, personalized_pagerank):
         for _ in range(2):
             out = fn(_edges(spark))
             assert out.count() > 0
-            assert _n_persistent(spark) - base <= 1
+            assert len(_persistent_ids(spark) - base) <= 1
             out.unpersist()
-            assert _n_persistent(spark) == base
+            assert _persistent_ids(spark) - base == set()
 
 
 def test_bfs_result_unchanged_by_lifecycle(spark):
