@@ -123,3 +123,28 @@ def test_feature_surface_complete(stages):
     )
     missing = expected - cols
     assert not missing, f"missing feature columns: {missing}"
+
+
+def test_preprocess_to_parquet_matches_lazy_chain(spark, readings_fixture, tariffs_fixture, tmp_path):
+    """The parquet-handoff stage-2 writer (r10: daily derived from the
+    JUST-WRITTEN hourly parquet, avoiding the double execution of
+    clean -> join -> hourly-agg) must be row-identical to deriving both
+    rollups from the one lazy chain."""
+    raw = readers.read_csv(spark, readings_fixture, READINGS_CSV_SCHEMA)
+    tariffs = readers.dim_from_pandas(
+        spark, tariffs_fixture, schema=TARIFFS_SCHEMA, expected_columns=["TariffDateTime", "Tariff"]
+    )
+    energy.preprocess_to_parquet(
+        spark, raw, tariffs, str(tmp_path / "hourly"), str(tmp_path / "daily")
+    )
+    hourly_lazy, daily_lazy = energy.preprocess(raw, tariffs)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    hourly_disk = spark.read.parquet(str(tmp_path / "hourly"))
+    daily_disk = spark.read.parquet(str(tmp_path / "daily"))
+    assert sorted(hourly_disk.columns) == sorted(hourly_lazy.columns)
+    assert sorted(daily_disk.columns) == sorted(daily_lazy.columns)
+    assert rows(hourly_disk.select(*hourly_lazy.columns)) == rows(hourly_lazy)
+    assert rows(daily_disk.select(*daily_lazy.columns)) == rows(daily_lazy)
