@@ -181,3 +181,19 @@ def test_incremental_covariance_equals_full_recompute(spark):
     assert set(inc) == set(full)
     for k in full:
         assert abs(inc[k] - full[k]) <= 1e-6, k
+
+
+def test_pca_score_plan_is_jvm_only_and_shuffle_free(spark):
+    """q_emb_pca_score's scoring plan must be the production shape the
+    frozen-artifact design promises: literal weights folded JVM-side
+    (no Python/Arrow eval node) over a narrow scan with NO exchange —
+    the plan that broadcasts to any executor count at 100 TB."""
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    df = QUERIES["q_emb_pca_score"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for python_node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert python_node not in plan
+    rows = df.collect()
+    assert len(rows) > 0 and set(df.columns) == {"vec_id", "pc1", "pc2"}
