@@ -165,7 +165,14 @@ def cmd_anomaly(args) -> None:
     out_rows = scored.count()
     writers.write_parquet(scored, f"{args.out}/anomalies",
                           num_files=max(20, out_rows // 50_000) if out_rows else 1)
-    flagged = scored.filter(F.col("is_anomaly") == 1).count()
+    # flagged count from the WRITTEN parquet: counting the lazy `scored`
+    # would run the K-Means transform + join DAG a third time (the
+    # energy_bench stage-5 lesson, ADVICE r9)
+    flagged = (
+        spark.read.parquet(f"{args.out}/anomalies")
+        .filter(F.col("is_anomaly") == 1)
+        .count()
+    )
     print(json.dumps({"stage": "anomaly", "rows": out_rows, "flagged": flagged}))
 
 
@@ -188,7 +195,11 @@ def cmd_export(args) -> None:
     merged = merge_for_export(anomalies, preds.select("user_id", "date", "prediction"),
                               daily, keys=("user_id", "date"))
     writers.write_csv(merged, f"{args.out}/export_csv", num_files=1)
-    print(json.dumps({"stage": "export", "rows": merged.count()}))
+    # row count from the written CSV, not the lazy 3-way join
+    exported = (
+        spark.read.option("header", True).csv(f"{args.out}/export_csv").count()
+    )
+    print(json.dumps({"stage": "export", "rows": exported}))
 
 
 def cmd_report(args) -> None:
