@@ -244,3 +244,41 @@ def test_incremental_ladder_matches_reference_on_random_corpus(spark):
     }
     want = {w: (s, freq[w]) for w, s in state.items()}
     assert enc == want
+
+
+def test_randomized_exhaustion_parity_across_paths(spark):
+    """Random tiny corpora driven PAST pair exhaustion: the lazy path,
+    the ladder path, and the textbook Python reference must agree on
+    the final encoding (the reference's state after its early break is
+    the fixed point both engine paths must reach)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(2, 4)))
+            for _ in range(rng.randint(2, 5))
+        ]
+        corpus = [" ".join(rng.choices(words, k=12))]
+        docs = _docs(spark, corpus)
+        # enough merges to exhaust every 2-4 char word over a 3-letter
+        # alphabet, on both paths
+        n_lazy = _BPE_LAZY_MAX_ROUNDS
+        n_ladder = _BPE_LAZY_MAX_ROUNDS + 8
+        freq, state, _merges = _py_bpe_encode(corpus, n_ladder)
+        want = {w: (s, freq[w]) for w, s in state.items()}
+
+        def enc(n):
+            return {
+                r["w"]: (r["encoded"], r["n_w"])
+                for r in bpe_encode_vocab(docs, n_merges=n, top_n=1000).collect()
+            }
+
+        got_ladder = enc(n_ladder)
+        assert got_ladder == want, (trial, corpus)
+        # the lazy path may stop short of full exhaustion (only
+        # n_lazy rounds) — compare against the reference at the same
+        # round budget instead
+        freq_l, state_l, _ = _py_bpe_encode(corpus, n_lazy)
+        want_lazy = {w: (s, freq_l[w]) for w, s in state_l.items()}
+        assert enc(n_lazy) == want_lazy, (trial, corpus)
