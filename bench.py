@@ -251,7 +251,15 @@ def main() -> None:
         full["value_small"] = round(
             sum(small_timings[n] for n in BENCH_QUERIES if n in small_timings), 3
         )
-        full["queries_small"] = small_timings
+        # Same headline/diagnostics split as the sf-target record, so
+        # sum(queries_small) == value_small holds for downstream
+        # consumers comparing totals (ADVICE r10).
+        full["queries_small"] = {
+            n: v for n, v in small_timings.items() if n in BENCH_QUERIES
+        }
+        full["diagnostics_small"] = {
+            n: v for n, v in small_timings.items() if n in DIAGNOSTIC_QUERIES
+        }
         full["scale_ratio"] = {
             name: round(median(samples[name]) / small_timings[name], 2)
             for name in all_queries

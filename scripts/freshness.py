@@ -12,10 +12,11 @@ Exit code 0 always (reporting tool, not a gate).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import Counter
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from smart_energy_consumption_analytics_using_big_data_spark.plans import ORACLE, QUERIES
 from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import (

@@ -195,9 +195,14 @@ def cmd_export(args) -> None:
     merged = merge_for_export(anomalies, preds.select("user_id", "date", "prediction"),
                               daily, keys=("user_id", "date"))
     writers.write_csv(merged, f"{args.out}/export_csv", num_files=1)
-    # row count from the written CSV, not the lazy 3-way join
+    # Row count from the written CSV, not the lazy 3-way join.  multiLine
+    # matches the writer's default quoting: a quoted field with an embedded
+    # newline is one record, not two (ADVICE r10).
     exported = (
-        spark.read.option("header", True).csv(f"{args.out}/export_csv").count()
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .csv(f"{args.out}/export_csv")
+        .count()
     )
     print(json.dumps({"stage": "export", "rows": exported}))
 

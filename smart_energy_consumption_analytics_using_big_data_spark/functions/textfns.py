@@ -180,14 +180,6 @@ def _bpe_pair_literal(pair: str) -> str:
     return "'" + pair.replace("'", "''") + "'"
 
 
-# Above this many merge rounds the declarative one-DAG form switches
-# to the materialized per-round ladder: each lazy round references the
-# previous round's state TWICE (top-pair agg + merge application), so
-# the unpersisted plan recomputes O(2^n_merges) vocab passes — fine at
-# the registry's n_merges=3, unusable at a real tokenizer's 10k+.
-_BPE_LAZY_MAX_ROUNDS = 4
-
-
 def _bpe_top_pair(state):
     """Deterministic top-1 adjacent symbol pair of a (sym, n_w) vocab
     table: frequency-weighted counts, ties broken lexicographically —
@@ -225,23 +217,20 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
     by word frequency -> deterministic top-1 (ties: lexicographic) ->
     apply the winning merge to every vocab entry.
 
-    Two execution shapes, same results:
-
-    - ``n_merges <= _BPE_LAZY_MAX_ROUNDS``: the rounds chain as ONE
-      lazy DAG with no driver round-trips (the 1-row winner broadcast
-      CROSS-JOINs back). Each lazy round references the previous
-      round's state TWICE, so the unpersisted recompute is
-      O(2^n_merges) vocab passes — cheap at small n, exponential
-      beyond it.
-    - larger ``n_merges``: the per-round persist-count-unpersist
-      ladder (the ``ext/graph.py`` BFS pattern), with the 1-row winner
-      collected driver-side (k-bounded: one row per round — a real BPE
-      trainer is inherently sequential in the merge list). Total work
-      O(n_merges) vocab-sized passes, constant memory.
+    Single execution shape: the materialized per-round ladder
+    (``_bpe_learn_merges_ladder``), with the 1-row winner collected
+    driver-side (k-bounded: one row per round — a real BPE trainer is
+    inherently sequential in the merge list). Total work O(n_merges)
+    vocab-sized passes, constant memory/lineage. An alternate "one
+    lazy DAG" shape existed through r10; it was retired after two
+    parity bugs (r7 vocab-emptying, r10 pair-exhaustion) and an A/B
+    showing no warm-path win (PERFORMANCE.md r10) — it also recomputed
+    O(2^n_merges) vocab passes, unusable at a real tokenizer's 10k+
+    merges.
 
     Returns (merge_round, pair, n): the learned merge table — a BPE
     trainer's actual output artifact. Rounds past pair exhaustion
-    (every word a single symbol) produce no row on either path.
+    (every word a single symbol) produce no row.
     """
     words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
         F.length("w") >= 2
@@ -250,21 +239,7 @@ def bpe_learn_merges(docs, n_merges: int = 3, text_col: str = "text"):
     sym = wf.select(
         F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
     )
-
-    if n_merges > _BPE_LAZY_MAX_ROUNDS:
-        return _bpe_learn_merges_ladder(docs.sparkSession, sym, n_merges)
-
-    state, rounds = sym, []
-    for r in range(1, n_merges + 1):
-        win = _bpe_top_pair(state)
-        rounds.append(win.select(F.lit(r).alias("merge_round"), "pair", "n"))
-        state = state.crossJoin(
-            F.broadcast(win.select(F.col("pair").alias("__p")))
-        ).select(F.expr(_bpe_merge_expr("__p")).alias("sym"), "n_w")
-    out = rounds[0]
-    for r_df in rounds[1:]:
-        out = out.unionByName(r_df)
-    return out
+    return _bpe_learn_merges_ladder(docs.sparkSession, sym, n_merges)
 
 
 def _bpe_learn_merges_ladder(spark, sym, n_merges: int):
@@ -316,9 +291,10 @@ def bpe_encode_vocab(
     and deterministic at any corpus size.
 
     Merge application is token-delimited (``_bpe_merge_expr``); like
-    the trainer, ``n_merges`` beyond ``_BPE_LAZY_MAX_ROUNDS`` switches
-    from the one-lazy-DAG form (O(2^n) recompute) to the materialized
-    persist ladder (O(n), constant lineage depth).
+    the trainer, the single execution shape is the materialized
+    per-round ladder (``_bpe_encode_ladder``) — O(n_merges) passes,
+    constant lineage depth. The one-lazy-DAG alternate was retired
+    with the trainer's (see ``bpe_learn_merges``).
     """
     words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
         F.length("w") >= 2
@@ -327,25 +303,7 @@ def bpe_encode_vocab(
     state = wf.select(
         "w", F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n_w"
     )
-    if n_merges > _BPE_LAZY_MAX_ROUNDS:
-        state = _bpe_encode_ladder(state, n_merges)
-    else:
-        for _ in range(n_merges):
-            win = _bpe_top_pair(state)
-            # LEFT join on TRUE, not crossJoin: past pair exhaustion the
-            # 1-row winner is EMPTY, and a cross join with an empty side
-            # would empty the whole vocab (the ladder path just stops
-            # merging). With a left join the exhausted round carries a
-            # NULL __p, the fold's CASE condition evaluates to NULL ->
-            # ELSE on every symbol, and sym is rebuilt unchanged — the
-            # same no-op the ladder's early break produces.
-            state = state.join(
-                F.broadcast(win.select(F.col("pair").alias("__p"))),
-                F.lit(True),
-                "left",
-            ).select(
-                "w", F.expr(_bpe_merge_expr("__p")).alias("sym"), "n_w"
-            )
+    state = _bpe_encode_ladder(state, n_merges)
     return (
         state.select(
             "w",

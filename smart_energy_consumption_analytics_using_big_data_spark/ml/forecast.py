@@ -212,7 +212,11 @@ def train_rf_forecast(
             rmse = RegressionEvaluator(
                 labelCol="label_value", predictionCol="prediction", metricName="rmse"
             ).evaluate(m.transform(inner_val))
-            return rmse, point
+            # NaN rmse (empty/degenerate inner_val) compares false against
+            # everything, which would make min() return a position-dependent
+            # grid point; treat it as worst-possible so first-minimum-wins
+            # selection stays deterministic.
+            return (rmse if rmse == rmse else float("inf")), point
 
         with ThreadPoolExecutor(max_workers=min(4, len(grid))) as ex:
             results = list(ex.map(fit_point, grid))

@@ -2963,12 +2963,11 @@ def q_text_bpe_merges(spark, sf_dir):
     vocab-sized symbol table (broadcast 1-row winner + token-delimited
     greedy fold, Sennrich 2016 semantics — see functions/textfns.py
     `_bpe_merge_expr` for why substring replace is wrong) before the
-    next round counts again. Fully declarative at this n_merges: the
-    rounds chain as one lazy DAG with no driver round-trips, so the
-    same shape runs unchanged on a cluster; per-round work stays
-    vocab-sized (the corpus compaction happens once); beyond
-    `_BPE_LAZY_MAX_ROUNDS` the library switches to the materialized
-    persist ladder. The oracle replays the identical iteration as
+    next round counts again. Single execution shape since r11: the
+    materialized localCheckpoint ladder (one k-bounded 1-row collect
+    per round — a BPE trainer is inherently sequential in its merge
+    list); per-round work stays vocab-sized (the corpus compaction
+    happens once). The oracle replays the identical iteration as
     nested CTEs whose list_reduce fold mirrors the engine expression
     symbol-for-symbol."""
     from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (

@@ -322,6 +322,34 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # which the registered n_merges=3 query never does — but the plan
     # changed, so the driver re-proves it).
     ("q_text_bpe_encode", 10),
+    # r11: the BPE lazy one-DAG path was RETIRED (VERDICT r10 item 6);
+    # the registered n_merges=3 queries now execute the ladder, a
+    # different physical plan than every prior driver-green row.
+    ("q_text_bpe_merges", 11),
+    ("q_text_bpe_encode", 11),
+)
+
+# One-time liveness refresh of rows-only queries whose ONLY driver row
+# predates the round-2 testdata timestamp migration (VERDICT r10
+# item 3): a rows-only row is just `err: no_oracle` + a row count, but
+# a fresh one on the migrated data is liveness evidence pytest cannot
+# give. Each entry takes exactly one window slot, gets its new row,
+# and self-retires (last_green >= _ROWS_ONLY_REFRESH_ROUND). This is
+# a deliberate exception to the standing seen-rows-only exclusion in
+# `_order_rest` — bounded to this fixed list, not a standing re-queue.
+_ROWS_ONLY_REFRESH_ROUND = 3
+_ROWS_ONLY_REFRESH: tuple[str, ...] = (
+    "q_approx_distinct",
+    "q_approx_distinct_merge",
+    "q_approx_quantile",
+    "q_sample",
+    "q_sample_stratified",
+    "q_ml_anomaly_kmeans",
+    "q_ml_forecast_linear",
+    "q_ml_forecast_rf",
+    "q_ml_rf_importance",
+    "q_mm_decode",
+    "q_stream_stateful",
 )
 
 
@@ -407,6 +435,14 @@ def _rotate_registry() -> None:
         for k, min_rnd in _REVERIFY_PRIORITY
         if k in QUERIES and last_green.get(k, 0) < min_rnd
     ]
+    # one-time rows-only liveness refresh (see _ROWS_ONLY_REFRESH):
+    # pinned until a post-migration driver row exists, then gone
+    rows_only_refresh = [
+        k
+        for k in _ROWS_ONLY_REFRESH
+        if k in QUERIES and k in seen
+        and last_green.get(k, 0) < _ROWS_ONLY_REFRESH_ROUND
+    ]
     # One-shot driver evidence for never-run ROWS-ONLY queries (VERDICT
     # r8 item 2): they can only ever record `err: no_oracle` + a row
     # count, but that is still driver evidence pytest cannot give.
@@ -423,6 +459,7 @@ def _rotate_registry() -> None:
             + reverify
             + flagship_priority
             + stale
+            + rows_only_refresh
             + unseen_priority
             + unseen_new
             + rows_only_never_run

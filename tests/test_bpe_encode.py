@@ -16,14 +16,18 @@ Regression anchors:
 - adjacent repeats ("a b a b") must BOTH merge — the naive
   sentinel-padded replace loses the second occurrence to the shared
   delimiter.
-- the materialized persist-ladder path (n_merges > _BPE_LAZY_MAX_ROUNDS)
-  must agree with the lazy one-DAG path.
+- pair exhaustion (every word a single symbol) must be a no-op for
+  any surplus merge rounds, on trainer and encoder alike.
+
+r11: the lazy one-DAG execution path was retired (two parity bugs,
+no measured win — VERDICT r10 item 6); the materialized
+localCheckpoint ladder is the single path, so the old lazy-vs-ladder
+A/B tests collapsed into direct reference-parity checks.
 """
 
 from __future__ import annotations
 
 from smart_energy_consumption_analytics_using_big_data_spark.functions.textfns import (
-    _BPE_LAZY_MAX_ROUNDS,
     bpe_encode_vocab,
     bpe_learn_merges,
 )
@@ -151,42 +155,32 @@ def test_adjacent_repeats_both_merge(spark):
     assert enc["ab"] == "ab"
 
 
-def test_ladder_path_matches_lazy_path(spark):
-    """n_merges above _BPE_LAZY_MAX_ROUNDS takes the materialized
-    persist-ladder path; both trainer paths must produce the same
-    merge table, including stopping early when pairs are exhausted."""
+def test_trainer_stops_at_pair_exhaustion(spark):
+    """BOUNDARY_CORPUS exhausts after 4 merges; surplus rounds must
+    produce no extra merge-table rows and the encoder must reach the
+    fully-merged fixed point."""
     docs = _docs(spark, BOUNDARY_CORPUS)
-    n = _BPE_LAZY_MAX_ROUNDS + 1
-    ladder = bpe_learn_merges(docs, n_merges=n).orderBy("merge_round").collect()
-    lazy = bpe_learn_merges(docs, n_merges=_BPE_LAZY_MAX_ROUNDS).orderBy(
-        "merge_round"
-    ).collect()
-    # the corpus exhausts after 4 merges, so both lists are the full
-    # merge history: x a, a b, c ab, then (xa b):3
-    got_ladder = [(r["merge_round"], r["pair"], r["n"]) for r in ladder]
-    got_lazy = [(r["merge_round"], r["pair"], r["n"]) for r in lazy]
-    assert got_ladder == got_lazy == [
+    full = [
         (1, "x a", 13),
         (2, "a b", 6),
         (3, "c ab", 6),
         (4, "xa b", 3),
     ]
-    enc_ladder = {
+    for n in (4, 5, 9):
+        learned = bpe_learn_merges(docs, n_merges=n).orderBy("merge_round").collect()
+        assert [(r["merge_round"], r["pair"], r["n"]) for r in learned] == full
+    enc = {
         r["w"]: r["encoded"]
-        for r in bpe_encode_vocab(docs, n_merges=n, top_n=100).collect()
+        for r in bpe_encode_vocab(docs, n_merges=5, top_n=100).collect()
     }
-    assert enc_ladder["xab"] == "xab"  # merge 4 joins ("xa","b")
-    assert enc_ladder["cab"] == "cab"
+    assert enc["xab"] == "xab"  # merge 4 joins ("xa","b")
+    assert enc["cab"] == "cab"
 
 
-def test_lazy_encoder_survives_pair_exhaustion(spark):
-    """Pair exhaustion on the LAZY encoder path (ADVICE r9, medium):
-    once every word is a single symbol the round's top-pair winner is
-    EMPTY, and the pre-r10 crossJoin emptied the whole vocab (n_merges=4
-    on 'ab ab ab cd' returned [] while n_merges=5 — the ladder path —
-    returned the correct 2 rows). The left-join fix makes the exhausted
-    round a no-op, so every n_merges at or past exhaustion returns the
-    identical fully-merged encoding on BOTH paths."""
+def test_encoder_noop_past_exhaustion(spark):
+    """Pair exhaustion must be a no-op for the encoder at ANY surplus
+    round budget (the r10 lazy-path regression class, kept as a
+    behavioral pin even though the lazy path itself is gone)."""
     docs = _docs(spark, ["ab ab ab cd"])
     # exhaustion after 2 merges: (a b):3 then (c d):1
     want = {"ab": ("ab", 3), "cd": ("cd", 1)}
@@ -197,21 +191,17 @@ def test_lazy_encoder_survives_pair_exhaustion(spark):
             for r in bpe_encode_vocab(docs, n_merges=n, top_n=100).collect()
         }
 
-    assert enc(2) == want  # exactly at exhaustion
-    assert enc(3) == want  # one exhausted lazy round (the repro)
-    assert enc(_BPE_LAZY_MAX_ROUNDS) == want  # deepest lazy path
-    assert enc(_BPE_LAZY_MAX_ROUNDS + 1) == want  # ladder path
-    # the trainer's merge table agrees across paths too: both stop at 2
+    for n in (2, 3, 4, 7):
+        assert enc(n) == want, n
+    # the trainer's merge table agrees: it stops at 2
     learned = [
         (r["merge_round"], r["pair"], r["n"])
-        for r in bpe_learn_merges(docs, n_merges=_BPE_LAZY_MAX_ROUNDS)
-        .orderBy("merge_round")
-        .collect()
+        for r in bpe_learn_merges(docs, n_merges=6).orderBy("merge_round").collect()
     ]
     assert learned == [(1, "a b", 3), (2, "c d", 1)]
 
 
-def test_incremental_ladder_matches_reference_on_random_corpus(spark):
+def test_ladder_matches_reference_on_random_corpus(spark):
     """Pins the shipped full-recount localCheckpoint ladder
     (`_bpe_learn_merges_ladder` re-derives pair counts from the whole
     vocab each round — per the r9 negative result, the count-delta
@@ -226,7 +216,7 @@ def test_incremental_ladder_matches_reference_on_random_corpus(spark):
         for _ in range(400)
     ]
     corpus = [" ".join(rng.choices(words, k=40)) for _ in range(30)]
-    n = 8  # > _BPE_LAZY_MAX_ROUNDS -> ladder path
+    n = 8
     learned = [
         (r["merge_round"], r["pair"], r["n"])
         for r in bpe_learn_merges(_docs(spark, corpus), n_merges=n)
@@ -246,11 +236,11 @@ def test_incremental_ladder_matches_reference_on_random_corpus(spark):
     assert enc == want
 
 
-def test_randomized_exhaustion_parity_across_paths(spark):
-    """Random tiny corpora driven PAST pair exhaustion: the lazy path,
-    the ladder path, and the textbook Python reference must agree on
-    the final encoding (the reference's state after its early break is
-    the fixed point both engine paths must reach)."""
+def test_randomized_exhaustion_parity(spark):
+    """Random tiny corpora driven PAST pair exhaustion: the engine and
+    the textbook Python reference must agree on the final encoding
+    (the reference's state after its early break is the fixed point
+    the engine must reach), and on a mid-exhaustion round budget."""
     import random
 
     rng = random.Random(7)
@@ -262,11 +252,8 @@ def test_randomized_exhaustion_parity_across_paths(spark):
         corpus = [" ".join(rng.choices(words, k=12))]
         docs = _docs(spark, corpus)
         # enough merges to exhaust every 2-4 char word over a 3-letter
-        # alphabet, on both paths
-        n_lazy = _BPE_LAZY_MAX_ROUNDS
-        n_ladder = _BPE_LAZY_MAX_ROUNDS + 8
-        freq, state, _merges = _py_bpe_encode(corpus, n_ladder)
-        want = {w: (s, freq[w]) for w, s in state.items()}
+        # alphabet
+        n_full, n_mid = 12, 4
 
         def enc(n):
             return {
@@ -274,11 +261,9 @@ def test_randomized_exhaustion_parity_across_paths(spark):
                 for r in bpe_encode_vocab(docs, n_merges=n, top_n=1000).collect()
             }
 
-        got_ladder = enc(n_ladder)
-        assert got_ladder == want, (trial, corpus)
-        # the lazy path may stop short of full exhaustion (only
-        # n_lazy rounds) — compare against the reference at the same
-        # round budget instead
-        freq_l, state_l, _ = _py_bpe_encode(corpus, n_lazy)
-        want_lazy = {w: (s, freq_l[w]) for w, s in state_l.items()}
-        assert enc(n_lazy) == want_lazy, (trial, corpus)
+        freq, state, _merges = _py_bpe_encode(corpus, n_full)
+        want = {w: (s, freq[w]) for w, s in state.items()}
+        assert enc(n_full) == want, (trial, corpus)
+        freq_m, state_m, _ = _py_bpe_encode(corpus, n_mid)
+        want_mid = {w: (s, freq_m[w]) for w, s in state_m.items()}
+        assert enc(n_mid) == want_mid, (trial, corpus)
