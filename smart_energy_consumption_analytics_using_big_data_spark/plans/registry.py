@@ -327,6 +327,11 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # different physical plan than every prior driver-green row.
     ("q_text_bpe_merges", 11),
     ("q_text_bpe_encode", 11),
+    # r11: BFS relax rewritten frontier-delta (probe side = nodes
+    # first settled last round, not the full distance table) — results
+    # hash-identical locally (driver-sim sf0.01), plan still one
+    # exchange per round, measured 6.3 -> 3.3 s at sf0.1.
+    ("q_graph_bfs", 11),
 )
 
 # One-time liveness refresh of rows-only queries whose ONLY driver row
