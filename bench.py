@@ -184,6 +184,26 @@ def main() -> None:
     diagnostics = {name: median(samples[name]) for name in DIAGNOSTIC_QUERIES}
     total = round(sum(timings.values()), 3)
 
+    # Suite-only mode for measurement harnesses (scripts/drift_probe.py):
+    # skip the three pipeline passes so a session costs ~1/3 the wall
+    # time — drift attribution needs many same-build sessions, and the
+    # suite total is the drifting statistic being probed.
+    if os.environ.get("SPARK_GRAFT_SUITE_ONLY"):
+        out = {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "diagnostics": diagnostics,
+            "suite_reps": SUITE_REPS,
+            "suite_only": True,
+            "samples": samples,
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     # End-to-end 5-stage pipeline anchor (ingest -> preprocess ->
     # features -> forecast -> anomaly with parquet handoff between
     # stages), apples-to-apples with BASELINE.md's stage table — the
@@ -241,6 +261,18 @@ def main() -> None:
         "value_diagnostics": round(sum(diagnostics.values()), 3),
         "suite_reps": SUITE_REPS,
     }
+    # Full-scale pipeline anchor (5,566 households / ~167.9M raw rows,
+    # reference grid — scripts/pipeline_fullscale.py): measured once
+    # per build that touches the pipeline (a ~20-min run, too slow for
+    # every bench invocation) and recorded in PIPELINE_FULLSCALE.json;
+    # embedded here so BENCH_r*.json carries the BASELINE.md-comparable
+    # number with its provenance.
+    fullscale_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "PIPELINE_FULLSCALE.json"
+    )
+    if os.path.exists(fullscale_path):
+        with open(fullscale_path) as fh:
+            out["energy_pipeline_fullscale"] = json.load(fh)
     full = dict(out)
     full["energy_pipeline"] = pipeline
     full["energy_pipeline_reference_grid"] = pipeline_ref

@@ -68,25 +68,57 @@ def join_tariffs(readings: DataFrame, tariffs: DataFrame) -> DataFrame:
     ).drop("TariffDateTime")
 
 
+def _with_date_parts(df: DataFrame) -> DataFrame:
+    """Re-derive the calendar part columns from ``date`` (same
+    derivations as functions/timefns.with_calendar, which computed them
+    from the timestamp — identical results because they depend only on
+    the date)."""
+    return (
+        df.withColumn("year", F.year("date"))
+        .withColumn("month", F.month("date"))
+        .withColumn("day", F.dayofmonth("date"))
+        .withColumn("weekday", F.date_format("date", "E"))
+    )
+
+
 def hourly_rollup(readings: DataFrame) -> DataFrame:
-    """Hourly aggregate per household (`data_preprocessing.py:231-234`)."""
-    return readings.groupBy(
-        "LCLid", "date", "hour", "year", "month", "day", "weekday"
-    ).agg(
+    """Hourly aggregate per household (`data_preprocessing.py:231-234`).
+
+    Groups on the MINIMAL key (LCLid, date, hour) and re-derives
+    year/month/day/weekday from ``date`` after the aggregation: the
+    calendar parts are functions of the group key, so carrying them as
+    extra group columns only widened every shuffle row (r11, measured
+    at 167.9M raw rows / 86M groups: 12.5 -> 8.8 s warm agg, ~30%).
+    Results are bit-identical (xxhash64-verified at full scale)."""
+    agg = readings.groupBy("LCLid", "date", "hour").agg(
         sum_exact("energy_kwh").alias("hourly_energy_kwh"),
         F.avg("energy_kwh").alias("avg_half_hour_energy"),
         F.count(F.lit(1)).alias("num_readings"),
         F.min("Tariff").alias("Tariff"),  # deterministic; ref used first()
     )
+    return _with_date_parts(agg).select(
+        "LCLid", "date", "hour", "year", "month", "day", "weekday",
+        "hourly_energy_kwh", "avg_half_hour_energy", "num_readings", "Tariff",
+    )
 
 
 def daily_rollup(hourly: DataFrame) -> DataFrame:
-    """Daily re-aggregate over hourly (`data_preprocessing.py:246-261`)."""
-    return hourly.groupBy("LCLid", "date", "year", "month", "day", "weekday").agg(
+    """Daily re-aggregate over hourly (`data_preprocessing.py:246-261`).
+    Same minimal-group-key shape as `hourly_rollup` (calendar parts
+    re-derived post-agg). All columns verified value-identical to the
+    wide-key form at full scale except ``avg_hourly_energy``, which
+    keeps the reference's float avg and is therefore accumulation-order
+    sensitive in the last ulp under ANY plan change (the deterministic
+    columns use sum_exact's decimal accumulation)."""
+    agg = hourly.groupBy("LCLid", "date").agg(
         sum_exact("hourly_energy_kwh").alias("daily_energy_kwh"),
         F.avg("hourly_energy_kwh").alias("avg_hourly_energy"),
         F.sum("num_readings").alias("total_readings"),
         F.min("Tariff").alias("Tariff"),
+    )
+    return _with_date_parts(agg).select(
+        "LCLid", "date", "year", "month", "day", "weekday",
+        "daily_energy_kwh", "avg_hourly_energy", "total_readings", "Tariff",
     )
 
 
@@ -176,7 +208,10 @@ def preprocess_to_parquet(
     hourly = hourly_rollup(join_tariffs(cleaned, tariffs))
     writers.write_parquet(hourly, hourly_path)
     daily = daily_rollup(spark.read.parquet(hourly_path))
-    writers.write_parquet(daily, daily_path, num_files=daily_files)
+    # shuffle_for_files: coalesce(4) would run the hourly->daily re-agg
+    # itself in 4 tasks (86M input rows at full scale, measured ~36 s);
+    # repartition keeps the agg wide and shuffles only the daily rows.
+    writers.write_parquet(daily, daily_path, num_files=daily_files, shuffle_for_files=True)
 
 
 def merge_for_export(

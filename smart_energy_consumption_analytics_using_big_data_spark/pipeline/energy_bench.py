@@ -40,13 +40,15 @@ TEST_CUTOFF = "2013-10-01"
 VAL_CUTOFF = "2013-08-01"
 
 
-def make_readings_csv(out_dir: str, households: int, shards: int = 12) -> int:
+def make_readings_csv(
+    out_dir: str, households: int, shards: int = 12, range_start: str = RANGE_START
+) -> int:
     """Write the deterministic multi-shard readings fixture; returns
     the raw row count. Column quirks are load-bearing (FIXTURES.md SS1):
     the kWh column name ends in a space, ~0.5% literal "Null" sentinels,
     ~0.2% empties, ~3% of grid rows missing."""
     rng = np.random.default_rng(SEED)
-    times = pd.date_range(RANGE_START, RANGE_END, freq="30min")
+    times = pd.date_range(range_start, RANGE_END, freq="30min")
     tstr = times.strftime("%Y-%m-%d %H:%M:%S")
     intraday = 0.5 + 0.5 * np.sin(
         2 * np.pi * (times.hour * 2 + times.minute // 30) / 48
@@ -76,11 +78,77 @@ def make_readings_csv(out_dir: str, households: int, shards: int = 12) -> int:
     return len(pdf)
 
 
-def make_tariffs_pdf() -> pd.DataFrame:
-    """Half-hourly ToU tariff dimension over the full fixture year
+def _gen_readings_shard(args: tuple) -> int:
+    """One shard of the full-scale fixture (module-level for process
+    pool pickling): generate its contiguous household block with an rng
+    seeded [SEED, shard index], apply the SS1 quirk masks shard-locally,
+    write one CSV. Same distributions and quirk rates as
+    `make_readings_csv`; the random stream differs (per-shard seeding is
+    what makes generation parallel and memory-bounded), which is fine
+    for a NEW scale point — recorded curve points keep the sequential
+    generator so their flag counts stay reproducible."""
+    out_dir, shard_i, house_lo, house_hi, range_start = args
+    rng = np.random.default_rng([SEED, shard_i])
+    times = pd.date_range(range_start, RANGE_END, freq="30min")
+    tstr = times.strftime("%Y-%m-%d %H:%M:%S")
+    intraday = 0.5 + 0.5 * np.sin(
+        2 * np.pi * (times.hour * 2 + times.minute // 30) / 48
+    )
+    frames = []
+    for i in range(house_lo, house_hi):
+        level = rng.lognormal(mean=-1.0, sigma=0.3)
+        kwh = level * intraday * rng.lognormal(mean=0, sigma=0.2, size=len(times))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "LCLid": f"MAC{i + 1:06d}",
+                    "stdorToU": "Std" if i % 10 < 7 else "ToU",
+                    "DateTime": tstr,
+                    "KWH/hh (per half hour) ": np.round(kwh, 4).astype(str),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    keep = rng.random(len(pdf)) > 0.03
+    pdf = pdf[keep].reset_index(drop=True)
+    pdf.loc[rng.random(len(pdf)) < 0.005, "KWH/hh (per half hour) "] = "Null"
+    pdf.loc[rng.random(len(pdf)) < 0.002, "KWH/hh (per half hour) "] = ""
+    pdf.to_csv(os.path.join(out_dir, f"block_{shard_i}.csv"), index=False)
+    return len(pdf)
+
+
+def make_readings_csv_sharded(
+    out_dir: str,
+    households: int,
+    shards: int = 112,
+    range_start: str = RANGE_START,
+    workers: int | None = None,
+) -> int:
+    """Full-scale variant of `make_readings_csv`: shards generate in
+    parallel OS processes with per-shard rngs, so driver memory is
+    bounded by one shard's frame instead of the whole corpus (the
+    sequential generator concatenates every household — fine to ~34M
+    rows, hopeless at the reference's 167.9M). 112 shards mirrors the
+    LCL dataset's own block-CSV layout. Generation is an UNTIMED
+    fixture step either way."""
+    os.makedirs(out_dir, exist_ok=True)
+    from concurrent.futures import ProcessPoolExecutor
+
+    bounds = np.linspace(0, households, shards + 1).astype(int)
+    jobs = [
+        (out_dir, i, int(bounds[i]), int(bounds[i + 1]), range_start)
+        for i in range(shards)
+        if bounds[i + 1] > bounds[i]
+    ]
+    with ProcessPoolExecutor(max_workers=workers or min(16, len(jobs))) as ex:
+        return sum(ex.map(_gen_readings_shard, jobs))
+
+
+def make_tariffs_pdf(range_start: str = RANGE_START) -> pd.DataFrame:
+    """Half-hourly ToU tariff dimension over the full fixture window
     (FIXTURES.md SS2): daily blocks, Normal-dominant."""
     rng = np.random.default_rng(SEED)
-    times = pd.date_range(RANGE_START, RANGE_END, freq="30min")
+    times = pd.date_range(range_start, RANGE_END, freq="30min")
     blocks = rng.choice(
         ["Normal", "Low", "High"], size=(len(times) // 48) + 1, p=[0.85, 0.1, 0.05]
     )
@@ -97,6 +165,8 @@ def run_pipeline_bench(
     test_cutoff: str = TEST_CUTOFF,
     val_cutoff: str = VAL_CUTOFF,
     grid: str = "default",
+    range_start: str = RANGE_START,
+    generator: str = "driver",
 ) -> dict:
     """Generate the fixture (untimed), then time the reference's five
     stages with parquet handoff between them. Returns
@@ -120,12 +190,21 @@ def run_pipeline_bench(
         TARIFFS_SCHEMA,
     )
 
+    if generator not in ("driver", "sharded"):
+        raise ValueError(f"unknown generator {generator!r}")
     csv_dir = os.path.join(work_dir, "readings_csv")
     out = os.path.join(work_dir, "out")
-    raw_rows = make_readings_csv(csv_dir, households, shards)
+    gen = make_readings_csv_sharded if generator == "sharded" else make_readings_csv
+    raw_rows = gen(csv_dir, households, shards, range_start=range_start)
+    # Drain the fixture's dirty pages before the timed window opens:
+    # at the 11 GB full-scale fixture, background writeback otherwise
+    # competes with stage 1-2 I/O for minutes and lands generation cost
+    # inside the measured stages (r11: a warm preprocess measured 107 s
+    # solo but 329 s when stage 2 started right behind generation).
+    os.sync()
     tariffs = readers.dim_from_pandas(
         spark,
-        make_tariffs_pdf(),
+        make_tariffs_pdf(range_start),
         schema=TARIFFS_SCHEMA,
         expected_columns=["TariffDateTime", "Tariff"],
     )
@@ -227,6 +306,8 @@ def run_pipeline_bench(
         "raw_rows": raw_rows,
         "households": households,
         "grid": grid,
+        "range_start": range_start,
+        "generator": generator,
         "flagged": flagged,
         "best_model": "lr" if best is lr else "rf",
         "rmse": round(best.metrics["rmse"], 4),

@@ -61,6 +61,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # Session-drift lever (PERFORMANCE.md r11): extra driver-JVM flags
+    # (GC choice, -Xms pinning, pre-touch) injected by measurement
+    # harnesses without a code change. Local mode = one JVM, so driver
+    # flags are the whole story; only effective at JVM launch.
+    java_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()

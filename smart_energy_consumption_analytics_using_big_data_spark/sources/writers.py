@@ -28,12 +28,23 @@ def write_parquet(
     compression: str = "snappy",
     num_files: int | None = None,
     partition_by: list[str] | None = None,
+    shuffle_for_files: bool = False,
 ) -> None:
     """Parquet sink (S6/S7). `partition_by` adds hive-style partition
     pruning for downstream scans - the scale-path replacement for the
-    reference's flat directories."""
+    reference's flat directories.
+
+    `num_files` controls the output file count. Default is coalesce
+    (no extra shuffle) — right when the upstream stage is cheap or
+    already narrow. `shuffle_for_files=True` uses repartition instead:
+    one extra exchange of the FINAL rows, but the upstream stage keeps
+    its full parallelism — right when a wide aggregation feeds a small
+    output (coalesce propagates the small task count INTO the agg:
+    the full-scale daily rollup ran its 86M-row re-agg in 4 tasks,
+    ~36 s; repartitioned, the agg runs wide and only the 3.6M result
+    rows pay the extra exchange)."""
     if num_files is not None:
-        df = df.coalesce(num_files)
+        df = df.repartition(num_files) if shuffle_for_files else df.coalesce(num_files)
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -577,3 +577,24 @@ def test_audited_csv_captures_corrupt_rows_and_schema_merge(spark, tmp_path):
     assert set(evo.columns) == {"id", "a", "b"}
     assert evo.count() == 6
     assert evo.filter("b IS NULL").count() == 3
+
+
+def test_write_parquet_shuffle_for_files(spark, tmp_path):
+    """shuffle_for_files=True produces exactly num_files output files
+    (repartition is exact, unlike coalesce's upper bound) and identical
+    rows; the plan difference (extra exchange, upstream stays wide) is
+    the documented contract in sources/writers.py."""
+    import os as _os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.writers import write_parquet
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    agg = df.groupBy("k").count()
+    p1, p2 = str(tmp_path / "coal"), str(tmp_path / "repart")
+    write_parquet(agg, p1, num_files=2)
+    write_parquet(agg, p2, num_files=2, shuffle_for_files=True)
+    files = [f for f in _os.listdir(p2) if f.endswith(".parquet")]
+    assert len(files) == 2
+    a = {(r["k"], r["count"]) for r in spark.read.parquet(p1).collect()}
+    b = {(r["k"], r["count"]) for r in spark.read.parquet(p2).collect()}
+    assert a == b and len(a) == 7
