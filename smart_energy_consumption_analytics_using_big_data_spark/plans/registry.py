@@ -332,6 +332,16 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # hash-identical locally (driver-sim sf0.01), plan still one
     # exchange per round, measured 6.3 -> 3.3 s at sf0.1.
     ("q_graph_bfs", 11),
+    # r11: PPJoin candidate dedup now counts shared prefix shingles in
+    # the same groupBy shuffle and applies the suffix bound
+    # overlap <= cp + max(alpha)-1 BEFORE verification (lossless by the
+    # canonical-order argument in ext/dedup.py step 3; differential
+    # tests + sf0.01 oracle parity green locally; 193k -> 7.5k
+    # verification pairs at sf0.1). All three consumers of
+    # prefix_filtered_pairs changed physical plan.
+    ("q_dedup_ppjoin", 11),
+    ("q_dedup_ppjoin_groups", 11),
+    ("q_dedup_source_overlap", 11),
 )
 
 # One-time liveness refresh of rows-only queries whose ONLY driver row
