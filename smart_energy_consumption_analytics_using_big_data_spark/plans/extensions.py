@@ -5922,20 +5922,27 @@ def q_text_textrank(spark, sf_dir):
     a simple graph), ranked by the same fixed-iteration PageRank as
     q_graph_pagerank — high-rank words sit at the center of the
     corpus's collocation structure, the unsupervised keyword-extraction
-    stage of a text pipeline. The pair build is one explode + distinct;
-    each rank round is a word-keyed equi-join + shuffle, so the whole
-    thing scales with |vocab edges|, not |corpus|^2."""
+    stage of a text pipeline. The pair build is MAP-SIDE: adjacency is
+    a property of each document's own token array, so the bigrams come
+    from zip_with over the array and its shift (slice 1.. with slice
+    2..) — no posexplode + lead window, whose partitionBy(doc_id)
+    shuffled the entire tokenized corpus just to look one element
+    ahead inside a row. The only corpus-sized exchange left is the
+    distinct's partial-aggregated shuffle; each rank round then joins
+    on the word key, so the whole thing scales with |vocab edges|,
+    not |corpus|^2."""
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(TX.tokens_ws(F.col("text"))).alias("pos", "w")
+    toks = TX.tokens_ws(F.col("text"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), m),
+        F.slice(toks, F.lit(2), m),
+        lambda x, y: F.struct(F.least(x, y).alias("a"), F.greatest(x, y).alias("b")),
     )
-    w2 = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
     pairs = (
-        tok.withColumn("w2", w2)
-        .where(F.col("w2").isNotNull() & (F.col("w") != F.col("w2")))
-        .select(
-            F.least("w", "w2").alias("a"), F.greatest("w", "w2").alias("b")
-        )
+        docs.select(F.explode(bigrams).alias("p"))
+        .where(F.col("p.a") != F.col("p.b"))
+        .select("p.a", "p.b")
         .distinct()
     )
     edges = pairs.select(

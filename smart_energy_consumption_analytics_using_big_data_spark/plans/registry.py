@@ -342,6 +342,11 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     ("q_dedup_ppjoin", 11),
     ("q_dedup_ppjoin_groups", 11),
     ("q_dedup_source_overlap", 11),
+    # r11: textrank's bigram build moved map-side (zip_with over the
+    # token array and its shift, replacing posexplode + lead window =
+    # a full corpus shuffle). Values identical at sf0.1 (set-equal
+    # collect) and sf0.01 driver-sim; median 3.57 -> 2.93 s solo.
+    ("q_text_textrank", 11),
 )
 
 # One-time liveness refresh of rows-only queries whose ONLY driver row
