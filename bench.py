@@ -96,6 +96,55 @@ DIAGNOSTIC_QUERIES = [
 SUITE_REPS = 3
 
 
+def run_calibration(spark, reps: int = 3) -> dict:
+    """Ambient-throughput probe, independent of the repo's code and data.
+
+    The r11 drift probe showed same-build suite totals swinging 36.5 ->
+    66.3 s across sessions on an otherwise idle guest (PSI flat, zero
+    steal, 17.5 MB of data fully page-cached) — hour-scale host-level
+    throughput regimes, concentrated multiplicatively on Python-worker
+    (Arrow) and many-small-job queries. Two fixed probes measured with
+    the suite make every bench record self-normalizing:
+
+    * ``jvm``: a synthetic range -> hash-mod groupBy aggregation (one
+      shuffle, whole-stage codegen, zero I/O) — tracks JVM-side
+      throughput;
+    * ``arrow``: an identity mapInPandas over a 32-partition range —
+      tracks the Python-worker fork + Arrow IPC path, the part that
+      swung 5x between regimes.
+
+    Compare `value / calibration` across rounds, not raw `value`.
+    """
+    from pyspark.sql import functions as F
+
+    def jvm_probe() -> None:
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v"), F.avg("v"), F.max("v"))
+            .count()
+        )
+
+    def arrow_probe() -> None:
+        df = spark.range(0, 2_000_000, 1, 32)
+        df.mapInPandas(lambda it: it, "id long").count()
+
+    out = {}
+    for name, fn in (("jvm", jvm_probe), ("arrow", arrow_probe)):
+        fn()  # plan/codegen warm-up, not measured
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        out[name] = round(sorted(ts)[len(ts) // 2], 3)
+    return out
+
+
 def run_one(spark, sf_dir: str, name: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
@@ -143,6 +192,11 @@ def main() -> None:
     vec = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(tiny)
     KMeans(k=2, seed=1, initMode="random").fit(vec)
 
+    # Ambient-throughput calibration, measured twice (post-warm-up and
+    # suite end) so a record carries both the regime level AND whether
+    # it shifted mid-session. See run_calibration.
+    calibration = run_calibration(spark)
+
     # Two-point scale curve: the same suite at a 10x-smaller SF, so
     # round-over-round regressions can separate fixed overhead from
     # scaling behavior. The per-query scale_ratio is
@@ -183,6 +237,9 @@ def main() -> None:
     timings = {name: median(samples[name]) for name in BENCH_QUERIES}
     diagnostics = {name: median(samples[name]) for name in DIAGNOSTIC_QUERIES}
     total = round(sum(timings.values()), 3)
+    calibration["jvm_end"], calibration["arrow_end"] = (
+        lambda c: (c["jvm"], c["arrow"])
+    )(run_calibration(spark))
 
     # Suite-only mode for measurement harnesses (scripts/drift_probe.py):
     # skip the three pipeline passes so a session costs ~1/3 the wall
@@ -198,6 +255,7 @@ def main() -> None:
             "diagnostics": diagnostics,
             "suite_reps": SUITE_REPS,
             "suite_only": True,
+            "calibration": calibration,
             "samples": samples,
         }
         print(json.dumps(out))
@@ -260,6 +318,7 @@ def main() -> None:
         "diagnostics": diagnostics,
         "value_diagnostics": round(sum(diagnostics.values()), 3),
         "suite_reps": SUITE_REPS,
+        "calibration": calibration,
     }
     # Full-scale pipeline anchor (5,566 households / ~167.9M raw rows,
     # reference grid — scripts/pipeline_fullscale.py): measured once

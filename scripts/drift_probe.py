@@ -94,7 +94,12 @@ def main() -> None:
             records.append(rec)
             print(
                 json.dumps(
-                    {"config": config, "rep": rep, "value": rec["value"]}
+                    {
+                        "config": config,
+                        "rep": rep,
+                        "value": rec["value"],
+                        "calibration": rec.get("calibration"),
+                    }
                 )
             )
     summary = {}
@@ -108,6 +113,20 @@ def main() -> None:
             "mean": round(mean, 2),
             "spread_pct": round(100 * (max(vals) - min(vals)) / mean, 2),
         }
+        # regime-normalized totals (bench.run_calibration): if the
+        # normalized spread is much tighter than the raw spread, the
+        # variance is ambient host throughput, not the code
+        norm = [
+            round(r["value"] / (r["calibration"]["jvm"] + r["calibration"]["arrow"]), 2)
+            for r in records
+            if r["config"] == config and r.get("calibration")
+        ]
+        if norm:
+            nmean = statistics.mean(norm)
+            summary[config]["normalized"] = {
+                "values": norm,
+                "spread_pct": round(100 * (max(norm) - min(norm)) / nmean, 2),
+            }
     with open(os.path.join(ROOT, "drift_probe_out.json"), "w") as fh:
         json.dump({"summary": summary, "sessions": records}, fh, indent=1)
     print(json.dumps({"summary": summary}))
