@@ -56,7 +56,7 @@ PROBE = [
     "q_dedup_ppjoin",
     # round-5 additions: attribution (user-keyed join + windows),
     # closed-form smoothing windows, text-graph pagerank, the global
-    # quantile transform, and BFS over the 10x customer graph
+    # quantile transform, and BFS (since r7: over the 10x lineitem co-purchase graph)
     "q_attribution",
     "q_ts_holt",
     "q_ts_croston",
