@@ -115,9 +115,22 @@ def main() -> None:
         }
         # regime-normalized totals (bench.run_calibration): if the
         # normalized spread is much tighter than the raw spread, the
-        # variance is ambient host throughput, not the code
+        # variance is ambient host throughput, not the code. The
+        # denominator averages the START and END probe pairs — a single
+        # probe pair carries enough sampling noise to make the division
+        # WORSE within a stable regime (measured r11: raw 6.5% vs
+        # start-only-normalized 9.8% vs start+end-normalized 4.8%);
+        # calibration exists to correct regime-SCALE shifts (>=1.3x),
+        # not to polish single-digit-percent noise.
+        def _denom(c: dict) -> float:
+            probes = [c["jvm"], c["arrow"]]
+            if "jvm_end" in c and "arrow_end" in c:
+                probes += [c["jvm_end"], c["arrow_end"]]
+                return sum(probes) / 2
+            return sum(probes)
+
         norm = [
-            round(r["value"] / (r["calibration"]["jvm"] + r["calibration"]["arrow"]), 2)
+            round(r["value"] / _denom(r["calibration"]), 2)
             for r in records
             if r["config"] == config and r.get("calibration")
         ]
