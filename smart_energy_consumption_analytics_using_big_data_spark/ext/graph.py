@@ -70,9 +70,26 @@ def bfs_hops(
         ed = ed.dropDuplicates(["id", "__dst"])
     ed = ed.persist()
     ed.count()
+    # Seeds are GRAPH nodes (either endpoint) with id % seed_mod == 0.
+    # The src side alone misses sink-only seeds on directed inputs: a
+    # seed with no outgoing edges must still report dist 0 (and must
+    # beat any relaxed distance other seeds reach it at — the min-agg
+    # handles that once the 0-row exists). Found by the randomized
+    # differential (tests/test_bfs_differential.py); invisible on the
+    # symmetric co-purchase graph, where every node appears as src.
+    # Cost discipline: the src side's distinct is exchange-free over
+    # the id-partitioned cache; the dst side filters BEFORE its
+    # distinct, so its exchange carries only the ~|E|/seed_mod seed
+    # candidates, and the final dedup shuffles the seed set only.
     dist = (
         ed.select("id")
         .filter(F.col("id") % seed_mod == 0)
+        .distinct()
+        .unionByName(
+            ed.select(F.col("__dst").alias("id"))
+            .filter(F.col("id") % seed_mod == 0)
+            .distinct()
+        )
         .distinct()
         .select("id", F.lit(0).alias("dist"))
     )

@@ -1,0 +1,105 @@
+"""Randomized differential test for the frontier-delta BFS.
+
+bfs_hops (ext/graph.py) relaxes round k by probing the cached edge
+table with only the nodes FIRST settled at k-1 — an optimization over
+the naive full-distance-table relax. The BPE lazy-path history (two
+parity bugs between a clever path and the simple path it replaced,
+PERFORMANCE.md rounds 7/10) is the reason this clever path gets a
+randomized differential against an independent pure-Python BFS, not
+just the fixed hand graphs in test_round5_ops.
+
+Graph generator deliberately covers the shapes that distinguish the
+frontier-delta relax from the full relax:
+- multiple seeds with overlapping neighborhoods (min must win);
+- duplicate edges and self-loops (relax must be insensitive);
+- nodes reachable at several path lengths (shortest must survive);
+- components with no seed (must be absent from the result);
+- graphs whose frontier exhausts before max_hops (early exit must
+  not truncate settled distances).
+"""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+from hypothesis import given, settings, strategies as st
+
+
+def _python_bfs(edge_list, seed_mod: int, max_hops: int) -> dict[int, int]:
+    """Independent reference: textbook multi-source BFS over an
+    adjacency dict, bounded at max_hops."""
+    adj: dict[int, set[int]] = {}
+    nodes: set[int] = set()
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        nodes.add(s)
+        nodes.add(d)
+    dist = {n: 0 for n in nodes if n % seed_mod == 0}
+    frontier = deque(dist)
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] == max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                frontier.append(v)
+    return dist
+
+
+def _random_graph(rng: random.Random) -> list[tuple[int, int]]:
+    n_nodes = rng.randint(2, 40)
+    node_ids = rng.sample(range(0, 200), n_nodes)
+    n_edges = rng.randint(1, 80)
+    edges = []
+    for _ in range(n_edges):
+        a, b = rng.choice(node_ids), rng.choice(node_ids)
+        edges.append((a, b))
+        if rng.random() < 0.7:  # mostly symmetric, like the co-purchase graph
+            edges.append((b, a))
+        if rng.random() < 0.15:  # duplicate edges
+            edges.append((a, b))
+    return edges
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from([3, 5, 10]),
+)
+def test_bfs_matches_python_reference(spark, seed, max_hops, seed_mod):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    rng = random.Random(seed)
+    edge_list = _random_graph(rng)
+    # guarantee at least one seed node exists so the result is non-degenerate
+    # in most examples (seedless graphs are themselves a covered case)
+    expected = _python_bfs(edge_list, seed_mod, max_hops)
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.id: r.dist
+        for r in bfs_hops(edges, seed_mod=seed_mod, max_hops=max_hops).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_bfs_dedupe_path_matches_reference(spark, seed):
+    """dedupe=True (the q_graph_bfs production path: raw pairs, dedup
+    fused into the edge repartition) must agree with the reference too."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    rng = random.Random(seed)
+    edge_list = _random_graph(rng)
+    expected = _python_bfs(edge_list, 10, 4)
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.id: r.dist
+        for r in bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True).collect()
+    }
+    assert got == expected
