@@ -75,7 +75,7 @@ def bfs_hops(
     # seed with no outgoing edges must still report dist 0 (and must
     # beat any relaxed distance other seeds reach it at — the min-agg
     # handles that once the 0-row exists). Found by the randomized
-    # differential (tests/test_bfs_differential.py); invisible on the
+    # differential (tests/test_graph_differential.py); invisible on the
     # symmetric co-purchase graph, where every node appears as src.
     # Cost discipline: the src side's distinct is exchange-free over
     # the id-partitioned cache; the dst side filters BEFORE its

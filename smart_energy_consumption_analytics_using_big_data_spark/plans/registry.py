@@ -332,7 +332,7 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # hash-identical locally (driver-sim sf0.01), plan still one
     # exchange per round, measured 6.3 -> 3.3 s at sf0.1. Also r11:
     # seed derivation now includes sink-only nodes (directed-input
-    # correctness fix found by tests/test_bfs_differential.py; the
+    # correctness fix found by tests/test_graph_differential.py; the
     # symmetric co-purchase result is unchanged, driver-sim re-PASSed
     # after the fix) — same pin covers both plan changes.
     ("q_graph_bfs", 11),

@@ -1,4 +1,4 @@
-"""Randomized differential test for the frontier-delta BFS.
+"""Randomized differentials for the graph operators (BFS, PageRank).
 
 bfs_hops (ext/graph.py) relaxes round k by probing the cached edge
 table with only the nodes FIRST settled at k-1 — an optimization over
@@ -84,6 +84,49 @@ def test_bfs_matches_python_reference(spark, seed, max_hops, seed_mod):
         for r in bfs_hops(edges, seed_mod=seed_mod, max_hops=max_hops).collect()
     }
     assert got == expected
+
+
+def _python_pagerank(edge_list, iters: int, damping: float = 0.85) -> dict[int, float]:
+    """Independent reference replicating ext/graph.pagerank's exact
+    arithmetic: per-edge contribution = HALF_UP-round(rank/out_deg, 12)
+    summed EXACTLY in decimal (Spark side: decimal(28,12) sum), then
+    the damped update in double, rounded 12; final ranks rounded 6.
+    Duplicate edges contribute per-row; dangling mass is dropped."""
+    import decimal
+
+    def r(x: float, n: int) -> float:
+        q = decimal.Decimal(1).scaleb(-n)
+        return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+    nodes = sorted({v for e in edge_list for v in e})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for s, _ in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: r(1.0 / n, 12) for v in nodes}
+    for _ in range(iters):
+        recv = {v: decimal.Decimal(0) for v in nodes}
+        for s, d in edge_list:
+            recv[d] += decimal.Decimal(repr(r(rank[s] / deg[s], 12)))
+        rank = {
+            v: r((1.0 - damping) / n + damping * float(recv[v]), 12) for v in nodes
+        }
+    return {v: r(x, 6) for v, x in rank.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from([1, 2, 3]),
+)
+def test_pagerank_matches_python_reference(spark, seed, iters):
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import pagerank
+
+    rng = random.Random(seed)
+    edge_list = _random_graph(rng)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(edges, iters=iters).collect()}
+    assert got == _python_pagerank(edge_list, iters)
 
 
 @settings(max_examples=6, deadline=None)
