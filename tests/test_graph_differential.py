@@ -146,3 +146,41 @@ def test_bfs_dedupe_path_matches_reference(spark, seed):
         for r in bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True).collect()
     }
     assert got == expected
+
+
+def _python_components(edge_list) -> dict[int, int]:
+    """Independent union-find reference: component id = min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_connected_components_match_union_find(spark, seed):
+    """Full label differential: the endpoints-agree/min-label property
+    test (test_properties.py) cannot catch OVER-merging — a labeling
+    that wrongly fuses two disjoint components still satisfies both
+    assertions. Comparing the complete label map against union-find
+    closes that hole for the pointer-doubling implementation."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    edge_list = _random_graph(rng)
+    edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == _python_components(edge_list)
