@@ -320,6 +320,15 @@ def personalized_pagerank(
     )
     is_seed = F.col("id") % seed_mod == 0
     ns = nodes.filter(is_seed).count()
+    if ns == 0:
+        # the restart terms divide by the seed count; without this
+        # guard a seedless graph surfaces as an ANSI DIVIDE_BY_ZERO
+        # from constant folding instead of a diagnosable error
+        nodes.unpersist()
+        ed.unpersist()
+        raise ValueError(
+            f"personalized_pagerank: no seed nodes (id % {seed_mod} == 0) in the graph"
+        )
     deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     base = 1.0 - damping
     ranks = nodes.select(

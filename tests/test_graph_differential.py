@@ -184,3 +184,64 @@ def test_connected_components_match_union_find(spark, seed):
     edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == _python_components(edge_list)
+
+
+def _python_personalized_pagerank(
+    edge_list, seed_mod: int, iters: int, damping: float = 0.85
+) -> dict[int, float]:
+    """Independent reference for ext/graph.personalized_pagerank: seeds
+    split the initial and restart mass; non-seeds start (and restart)
+    at zero; contribution arithmetic identical to _python_pagerank."""
+    import decimal
+
+    def r(x: float, n: int) -> float:
+        q = decimal.Decimal(1).scaleb(-n)
+        return float(decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP))
+
+    nodes = sorted({v for e in edge_list for v in e})
+    seeds = [v for v in nodes if v % seed_mod == 0]
+    ns = len(seeds)
+    deg: dict[int, int] = {}
+    for s, _ in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {v: (r(1.0 / ns, 12) if v % seed_mod == 0 else 0.0) for v in nodes}
+    for _ in range(iters):
+        recv = {v: decimal.Decimal(0) for v in nodes}
+        for s, d in edge_list:
+            recv[d] += decimal.Decimal(repr(r(rank[s] / deg[s], 12)))
+        rank = {
+            v: r(
+                ((1.0 - damping) / ns if v % seed_mod == 0 else 0.0)
+                + damping * float(recv[v]),
+                12,
+            )
+            for v in nodes
+        }
+    return {v: r(x, 6) for v, x in rank.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000),
+    st.sampled_from([1, 2, 3]),
+)
+def test_personalized_pagerank_matches_python_reference(spark, seed, iters):
+    import pytest as _pytest
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        personalized_pagerank,
+    )
+
+    rng = random.Random(seed)
+    edge_list = _random_graph(rng)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    has_seeds = any(v % 10 == 0 for e in edge_list for v in e)
+    if not has_seeds:
+        with _pytest.raises(ValueError, match="no seed nodes"):
+            personalized_pagerank(edges, seed_mod=10, iters=iters)
+        return
+    got = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seed_mod=10, iters=iters).collect()
+    }
+    assert got == _python_personalized_pagerank(edge_list, 10, iters)
