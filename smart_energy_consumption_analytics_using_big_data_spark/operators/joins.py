@@ -258,10 +258,26 @@ def range_join_bucketed(
         F.explode(F.sequence(floor_bucket(start_ts), floor_bucket(end_ts), F.lit(bucket_s))),
     )
     keys = list(on or []) + ["__bkt"]
-    out = pts.join(ivs, keys, how).filter(
-        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
-    )
-    return out.drop("__bkt")
+    # Containment goes INTO the join condition, not a post-join filter:
+    # a filter after an outer join evaluates NULL on unmatched rows and
+    # silently degrades how="left" to inner. Catalyst still extracts
+    # the equality conjuncts as hash-join keys (the plan-shape test
+    # pins no-nested-loop), and the range conjuncts ride along as the
+    # join's residual condition — unmatched left rows survive with
+    # NULLs, exactly outer-join semantics. The interval side's join
+    # columns are temp-renamed so both the condition and the output
+    # schema (single key columns, as the old USING-join produced) stay
+    # unambiguous; matched pairs still land in exactly one bucket (the
+    # point's), so no how= variant can duplicate.
+    ren = {k: f"__iv_{k}" for k in keys}
+    ivs = ivs.withColumnsRenamed(ren)
+    cond = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    for k in keys:
+        cond = (pts[k] == ivs[ren[k]]) & cond
+    out = pts.join(ivs, cond, how)
+    # restore the USING-join output shape: one column per key (the
+    # point side's survives; for outer rows it is the non-null one)
+    return out.drop(*[ivs[c] for c in ren.values()]).drop("__bkt")
 
 
 def fuzzy_join_ed1(

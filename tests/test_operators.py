@@ -403,3 +403,80 @@ def test_pagerank_star_graph_hub_dominates(spark):
     assert len(leaf_ranks) == 1  # symmetry
     # no dangling nodes -> total mass stays ~1
     assert abs(sum(ranks.values()) - 1.0) < 1e-5  # each rank rounded at 1e-6
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    # how="left": a point outside every interval must survive with NULL
+    # interval columns. The pre-r11 post-join containment filter
+    # evaluated NULL on those rows and silently degraded left to inner.
+    points = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-05 01:00"]),
+                "pv": [1, 2],
+            }
+        )
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start_ts": pd.to_datetime(["2024-01-01 00:00"]),
+                "end_ts": pd.to_datetime(["2024-01-01 02:00"]),
+                "iv": [7],
+            }
+        )
+    )
+    rows = J.range_join_bucketed(
+        points, intervals, "ts", "start_ts", "end_ts", how="left"
+    ).collect()
+    got = sorted((r["pv"], r["iv"]) for r in rows)
+    assert got == [(1, 7), (2, None)]
+
+
+def test_range_join_random_differential_vs_bruteforce(spark):
+    # seeded random points/intervals straddling bucket boundaries, both
+    # inner and left, vs a pandas brute force — exercises the bucket
+    # explode (intervals longer and shorter than bucket_s) and the
+    # join-condition containment.
+    import random as _random
+
+    rng = _random.Random(7)
+    base = pd.Timestamp("2024-01-01")
+    pts = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(seconds=rng.randint(0, 400_000)) for _ in range(60)],
+            "pv": list(range(60)),
+        }
+    )
+    s = [base + pd.Timedelta(seconds=rng.randint(0, 380_000)) for _ in range(25)]
+    ivs = pd.DataFrame(
+        {
+            "start_ts": s,
+            "end_ts": [t + pd.Timedelta(seconds=rng.randint(0, 30_000)) for t in s],
+            "iv": list(range(25)),
+        }
+    )
+    expect_inner = sorted(
+        (int(p.pv), int(i.iv))
+        for p in pts.itertuples()
+        for i in ivs.itertuples()
+        if i.start_ts <= p.ts <= i.end_ts
+    )
+    matched = {a for a, _ in expect_inner}
+    expect_left = sorted(
+        expect_inner + [(int(p.pv), None) for p in pts.itertuples() if int(p.pv) not in matched],
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    pdf, idf = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    got_inner = sorted(
+        (r["pv"], r["iv"])
+        for r in J.range_join_bucketed(pdf, idf, "ts", "start_ts", "end_ts").collect()
+    )
+    assert got_inner == expect_inner
+    got_left = sorted(
+        ((r["pv"], r["iv"]) for r in J.range_join_bucketed(
+            pdf, idf, "ts", "start_ts", "end_ts", how="left"
+        ).collect()),
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    assert got_left == expect_left
