@@ -358,6 +358,18 @@ def bloom_filtered_join(
     operator refuses fact-sized build inputs instead of silently
     degrading (fp rate -> 1 as the bitmap saturates).
     """
+    # The fact-side pre-prune is lossless ONLY for join types where a
+    # provably-unmatched fact row cannot appear in the output (no false
+    # negatives: a pruned row matches no dim key). For how="left"/"full"
+    # the pruned rows must appear null-extended, and for "left_anti"
+    # they are exactly the wanted rows — the prune would return only
+    # the bloom's false positives. Refuse instead of silently changing
+    # semantics (same contract style as salted_join).
+    if how not in ("inner", "right", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join supports how='inner'|'right'|'left_semi', got {how!r}: "
+            "the bloom pre-prune drops fact rows that outer/anti joins must keep"
+        )
     n_dim = dim.count()
     if n_dim > max_dim_rows:
         raise ValueError(

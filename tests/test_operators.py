@@ -480,3 +480,25 @@ def test_range_join_random_differential_vs_bruteforce(spark):
         key=lambda t: (t[0], -1 if t[1] is None else t[1]),
     )
     assert got_left == expect_left
+
+
+def test_bloom_join_rejects_lossy_how(spark):
+    # the bloom pre-prune has no false negatives but outer/anti joins
+    # must KEEP provably-unmatched fact rows — those hows are refused,
+    # not silently degraded (left would lose null-extended rows;
+    # left_anti would return only the bloom's false positives)
+    import pytest
+
+    fact = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}))
+    dim = spark.createDataFrame(pd.DataFrame({"dk": [1], "d": ["x"]}))
+    for how in ("left", "full", "left_anti"):
+        with pytest.raises(ValueError, match="bloom_filtered_join supports"):
+            J.bloom_filtered_join(fact, dim, "k", "dk", how=how)
+    # the lossless hows still work and match the plain join
+    got = sorted(
+        (r["k"], r["d"])
+        for r in J.bloom_filtered_join(fact, dim, "k", "dk", how="inner").collect()
+    )
+    assert got == [(1, "x")]
+    semi = sorted(r["k"] for r in J.bloom_filtered_join(fact, dim, "k", "dk", how="left_semi").collect())
+    assert semi == [1]
