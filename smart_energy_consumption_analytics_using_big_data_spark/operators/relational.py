@@ -100,14 +100,20 @@ def merge_upsert(
     co-located and shuffle-free.
     """
     value_cols = [c for c in target.columns if c not in key_cols]
-    t_, u_ = target.alias("t"), updates.alias("u")
+    # Row-level matched indicator, not per-column coalesce: MERGE takes
+    # the update row WHOLESALE when the key matches, including columns
+    # the update legitimately sets to NULL. coalesce(u.c, t.c) silently
+    # resurrected the target's old value under a NULL update — a
+    # semantics bug no NULL-free test corpus could see.
+    t_, u_ = target.alias("t"), updates.withColumn("__u", F.lit(True)).alias("u")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"u.{k}")) for k in key_cols]
     joined = t_.join(u_, cond, "full_outer")
+    matched = F.col("u.__u").isNotNull()
     out_cols = [
         F.coalesce(F.col(f"u.{k}"), F.col(f"t.{k}")).alias(k) for k in key_cols
     ] + [
         (
-            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             if c in updates.columns
             else F.col(f"t.{c}").alias(c)
         )

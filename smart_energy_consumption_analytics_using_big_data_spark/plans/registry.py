@@ -327,6 +327,11 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # different physical plan than every prior driver-green row.
     ("q_text_bpe_merges", 11),
     ("q_text_bpe_encode", 11),
+    # r11: merge_upsert rewrote per-column coalesce to a row-level
+    # matched indicator (NULL update values now overwrite — true MERGE
+    # semantics). q_merge_upsert's values are identical (its update set
+    # has no NULLs; driver-sim re-PASSed) but the physical plan changed.
+    ("q_merge_upsert", 11),
     # r11: BFS relax rewritten frontier-delta (probe side = nodes
     # first settled last round, not the full distance table) — results
     # hash-identical locally (driver-sim sf0.01), plan still one

@@ -408,3 +408,19 @@ def test_bpe_merge_rounds_equal_bruteforce(spark, texts):
             nxt[apply_merge(sym, lft, rgt)] += n
         merged_state = nxt
     assert got == want
+
+
+def test_merge_upsert_null_update_overwrites(spark):
+    # MERGE takes the matched update row wholesale: an update that sets
+    # a column to NULL must overwrite, not resurrect the target value
+    # (the coalesce-per-column shape could never express this)
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0], "tag": ["a", "b"]})
+    )
+    updates = spark.createDataFrame([(2, None, "B")], "k long, v double, tag string")
+    out = {r["k"]: (r["v"], r["tag"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: (10.0, "a"), 2: (None, "B")}
