@@ -22,6 +22,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     dedupe: bool = False,
+    symmetric_edges: bool = False,
 ) -> DataFrame:
     """Bounded multi-source BFS: hop distance from a seed set.
 
@@ -77,22 +78,34 @@ def bfs_hops(
     # handles that once the 0-row exists). Found by the randomized
     # differential (tests/test_graph_differential.py); invisible on the
     # symmetric co-purchase graph, where every node appears as src.
-    # Cost discipline: the src side's distinct is exchange-free over
-    # the id-partitioned cache; the dst side filters BEFORE its
-    # distinct, so its exchange carries only the ~|E|/seed_mod seed
-    # candidates, and the final dedup shuffles the seed set only.
-    dist = (
-        ed.select("id")
-        .filter(F.col("id") % seed_mod == 0)
-        .distinct()
-        .unionByName(
-            ed.select(F.col("__dst").alias("id"))
-            .filter(F.col("id") % seed_mod == 0)
-            .distinct()
+    # Cost discipline (the first formulation — a union of two distincts
+    # re-distincted — measured +~1.5 s at sf0.1 because the initial
+    # table is consumed TWICE, as round 1's carry and its frontier):
+    # one explode pass over the cached edges, filter BEFORE the
+    # distinct so its exchange carries only the ~2|E|/seed_mod seed
+    # candidates, then persist the seed table into the round lifecycle
+    # (prev), so round 1 materializes it once and releases it like any
+    # superseded round.
+    #
+    # ``symmetric_edges=True`` is a caller assertion that every edge
+    # appears in both directions (e.g. the co-purchase consumer, which
+    # explodes both orientations itself): then every node appears as a
+    # src and the exchange-FREE src-side distinct over the partitioned
+    # cache is provably complete — the explode pass (~0.5 s at sf0.1)
+    # is skipped. Correct-by-default stays "both endpoints".
+    if symmetric_edges:
+        seed_rows = ed.select("id")
+    else:
+        seed_rows = ed.select(
+            F.explode(F.array(F.col("id"), F.col("__dst"))).alias("id")
         )
+    dist = (
+        seed_rows.filter(F.col("id") % seed_mod == 0)
         .distinct()
         .select("id", F.lit(0).alias("dist"))
+        .persist()
     )
+    dist.count()
     # Frontier-delta relaxation (r11): with unit weights a settled
     # node's distance never improves, so round k only needs the nodes
     # FIRST settled at k-1 on the join's probe side — every edge out
@@ -108,7 +121,7 @@ def bfs_hops(
     # single shuffle. Measured 6.3 -> ~4 s on the sf0.1 co-purchase
     # graph (PERFORMANCE.md r11).
     frontier = dist
-    prev = None
+    prev = dist  # the seed table is released by round 1 like any superseded round
     for k in range(1, max_hops + 1):
         hop = ed.join(frontier, "id").select(
             F.col("__dst").alias("id"), F.lit(k).cast("int").alias("dist")

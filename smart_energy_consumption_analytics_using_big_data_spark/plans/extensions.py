@@ -1781,7 +1781,9 @@ def q_graph_bfs(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst")
 
-    return bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True)
+    # symmetric_edges: this query explodes both orientations itself two
+    # lines up, so the src-only seed scan is provably complete
+    return bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True, symmetric_edges=True)
 
 
 @q(

@@ -245,3 +245,25 @@ def test_personalized_pagerank_matches_python_reference(spark, seed, iters):
         for r in personalized_pagerank(edges, seed_mod=10, iters=iters).collect()
     }
     assert got == _python_personalized_pagerank(edge_list, 10, iters)
+
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_bfs_symmetric_flag_matches_reference_on_symmetrized_graph(spark, seed):
+    """symmetric_edges=True is a caller assertion (src-only seed scan);
+    on an actually-symmetrized graph it must agree with both the
+    default path and the Python reference."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    rng = random.Random(seed)
+    sym = []
+    for a, b in _random_graph(rng):
+        sym += [(a, b), (b, a)]
+    expected = _python_bfs(sym, 10, 4)
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    got = {
+        r.id: r.dist
+        for r in bfs_hops(edges, seed_mod=10, max_hops=4, symmetric_edges=True).collect()
+    }
+    assert got == expected
