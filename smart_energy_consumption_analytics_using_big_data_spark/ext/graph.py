@@ -198,6 +198,10 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    # empty graph -> empty ranks (matches bfs_hops/connected_components
+    # composition behavior), not a DIVIDE_BY_ZERO from the 1/n literals
+    if n == 0:
+        return _finish_ranks(nodes.select("id", F.lit(0.0).alias("rank")), ed, nodes)
     deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
     base = 1.0 - damping
     ranks = nodes.select("id", F.round(F.lit(1.0) / n, 12).alias("rank"))
@@ -334,9 +338,14 @@ def personalized_pagerank(
     is_seed = F.col("id") % seed_mod == 0
     ns = nodes.filter(is_seed).count()
     if ns == 0:
-        # the restart terms divide by the seed count; without this
-        # guard a seedless graph surfaces as an ANSI DIVIDE_BY_ZERO
-        # from constant folding instead of a diagnosable error
+        # an EMPTY graph composes like pagerank/bfs: empty ranks out.
+        # A non-empty graph with no seeds is a caller error — without
+        # this guard it surfaces as an ANSI DIVIDE_BY_ZERO from the
+        # restart terms' constant folding instead of a diagnosable one.
+        if nodes.count() == 0:
+            return _finish_ranks(
+                nodes.select("id", F.lit(0.0).alias("rank")), ed, nodes
+            )
         nodes.unpersist()
         ed.unpersist()
         raise ValueError(

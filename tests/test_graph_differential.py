@@ -267,3 +267,17 @@ def test_bfs_symmetric_flag_matches_reference_on_symmetrized_graph(spark, seed):
         for r in bfs_hops(edges, seed_mod=10, max_hops=4, symmetric_edges=True).collect()
     }
     assert got == expected
+
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    # empty edge list composes like bfs/connected_components: empty
+    # result, not a DIVIDE_BY_ZERO from the 1/n restart literals
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iters=2).count() == 0
+    assert personalized_pagerank(empty, seed_mod=10, iters=2).count() == 0
