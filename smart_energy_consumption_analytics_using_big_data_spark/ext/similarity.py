@@ -604,16 +604,27 @@ def kcenter_select(
         c = lit_vec(center_vals)
         return dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), c) + dot(c, c)
 
-    first = base.orderBy(
+    schema = "sel_rank int, vec_id bigint, radius double"
+    first_rows = base.orderBy(
         F.desc(dot(F.col("v"), F.col("v"))), F.asc("vec_id")
-    ).limit(1).collect()[0]
+    ).limit(1).collect()
+    if not first_rows:
+        # empty corpus -> empty selection (compose like the graph ops),
+        # not an IndexError on the argmax collect
+        return embeddings.sparkSession.createDataFrame([], schema)
+    first = first_rows[0]
     selected = [(1, int(first["vec_id"]), 0.0)]
     cur = base.withColumn("md", d2(first["v"]))
     for rank in range(2, k + 1):
         nxt = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        if float(nxt["md"]) <= 0.0:
+            # the farthest uncovered point is at distance 0: every
+            # remaining row coincides with a selected center (k exceeds
+            # the distinct-point count, or exact duplicates) — further
+            # rounds would emit arbitrary radius-0 "centers" that add
+            # no coverage. Gonzalez's sequence is complete; stop.
+            break
         selected.append((rank, int(nxt["vec_id"]), round(float(nxt["md"]), 6)))
         if rank < k:
             cur = cur.withColumn("md", F.least(F.col("md"), d2(nxt["v"])))
-    return embeddings.sparkSession.createDataFrame(
-        selected, "sel_rank int, vec_id bigint, radius double"
-    )
+    return embeddings.sparkSession.createDataFrame(selected, schema)

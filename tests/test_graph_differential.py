@@ -1,4 +1,5 @@
-"""Randomized differentials for the graph operators (BFS, PageRank).
+"""Randomized differentials and degenerate-input checks for the
+clever-path operators (BFS, PageRank, connected components, k-center).
 
 bfs_hops (ext/graph.py) relaxes round k by probing the cached edge
 table with only the nodes FIRST settled at k-1 — an optimization over
@@ -281,3 +282,27 @@ def test_pagerank_empty_graph_returns_empty(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, iters=2).count() == 0
     assert personalized_pagerank(empty, seed_mod=10, iters=2).count() == 0
+
+
+
+def test_kcenter_degenerate_inputs(spark):
+    # empty corpus -> empty selection; k exceeding the distinct-point
+    # count stops at full coverage instead of emitting arbitrary
+    # radius-0 duplicate "centers"
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import (
+        kcenter_select,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert kcenter_select(empty, k=4, id_col="vec_id", vec_col="embedding").count() == 0
+
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 0.0]), (3, [0.0, 4.0]), (4, [3.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kcenter_select(pts, k=10, id_col="vec_id", vec_col="embedding").collect()
+    # 3 distinct points cover everything (4 duplicates 2); ranks 1..3,
+    # radii strictly positive after rank 1
+    assert [r["sel_rank"] for r in rows] == [1, 2, 3]
+    assert all(r["radius"] > 0 for r in rows if r["sel_rank"] > 1)
+    assert len({r["vec_id"] for r in rows}) == 3
