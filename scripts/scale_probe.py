@@ -93,6 +93,11 @@ PROBE = [
     # (q_rec_assoc_rules shares the shape; q_graph_bfs above covers the
     # graph consumers' edge build)
     "q_rec_item_sim",
+    # round-11: the two join shapes that had never seen a probe pass —
+    # full-outer MERGE on the key and the bucketed range-join rewrite
+    # (both events-backed, 100x; measured 3.87x / 3.78x in r11)
+    "q_merge_upsert",
+    "q_join_range",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the
