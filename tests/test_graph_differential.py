@@ -75,8 +75,8 @@ def test_bfs_matches_python_reference(spark, seed, max_hops, seed_mod):
 
     rng = random.Random(seed)
     edge_list = _random_graph(rng)
-    # guarantee at least one seed node exists so the result is non-degenerate
-    # in most examples (seedless graphs are themselves a covered case)
+    # seedless graphs are themselves a covered case: both sides return
+    # an empty distance map and must agree on that too
     expected = _python_bfs(edge_list, seed_mod, max_hops)
 
     edges = spark.createDataFrame(edge_list, "src long, dst long")
