@@ -617,12 +617,18 @@ def kcenter_select(
     cur = base.withColumn("md", d2(first["v"]))
     for rank in range(2, k + 1):
         nxt = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
-        if float(nxt["md"]) <= 0.0:
-            # the farthest uncovered point is at distance 0: every
-            # remaining row coincides with a selected center (k exceeds
-            # the distinct-point count, or exact duplicates) — further
-            # rounds would emit arbitrary radius-0 "centers" that add
-            # no coverage. Gonzalez's sequence is complete; stop.
+        if float(nxt["md"]) <= 1e-9:
+            # the farthest uncovered point is at (numerically) zero
+            # distance: every remaining row coincides with a selected
+            # center (k exceeds the distinct-point count, or exact
+            # duplicates) — further rounds would emit arbitrary
+            # radius-0 "centers" that add no coverage. The epsilon
+            # matters: d2 = v.v - 2v.c + c.c in floating point leaves
+            # a tiny positive residual for duplicates whose coordinates
+            # aren't exactly representable, so an exact <= 0.0 test
+            # would keep emitting those duplicates as centers. The
+            # reported radius is rounded to 6 dp, so 1e-9 is far below
+            # anything observable. Gonzalez's sequence is complete; stop.
             break
         selected.append((rank, int(nxt["vec_id"]), round(float(nxt["md"]), 6)))
         if rank < k:

@@ -263,12 +263,21 @@ def range_join_bucketed(
     # silently degrades how="left" to inner. Catalyst still extracts
     # the equality conjuncts as hash-join keys (the plan-shape test
     # pins no-nested-loop), and the range conjuncts ride along as the
-    # join's residual condition — unmatched left rows survive with
-    # NULLs, exactly outer-join semantics. The interval side's join
-    # columns are temp-renamed so both the condition and the output
-    # schema (single key columns, as the old USING-join produced) stay
-    # unambiguous; matched pairs still land in exactly one bucket (the
-    # point's), so no how= variant can duplicate.
+    # join's residual condition — unmatched POINT rows survive with
+    # NULLs, exactly left-outer semantics. Matched pairs land in
+    # exactly one bucket (the point's), so inner/left cannot duplicate.
+    # how='right'/'full' is REJECTED: an unmatched interval exploded to
+    # N buckets would surface as N null-extended rows (one per probe
+    # bucket), and the drop of the renamed interval-side key columns
+    # below would erase those rows' keys — both wrong. Interval-
+    # preserving semantics need a different plan (anti-join the
+    # intervals back), not this one with a different how.
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            "range_join_bucketed supports how='inner'|'left' only: the "
+            "bucket explode makes interval-side outer variants emit one "
+            "null-extended row PER overlapped bucket"
+        )
     ren = {k: f"__iv_{k}" for k in keys}
     ivs = ivs.withColumnsRenamed(ren)
     cond = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))

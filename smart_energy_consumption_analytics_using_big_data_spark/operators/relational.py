@@ -89,9 +89,10 @@ def merge_upsert(
     key_cols: list[str],
 ) -> DataFrame:
     """SQL MERGE (upsert) semantics over plain DataFrames: matched rows
-    take the update's values, unmatched target rows pass through,
-    unmatched update rows are inserts - one full outer join on the key,
-    coalesce(update, target) per column.
+    take the update row WHOLESALE (including columns the update sets to
+    NULL), unmatched target rows pass through, unmatched update rows are
+    inserts - one full outer join on the key plus a row-level matched
+    indicator choosing which side each value column comes from.
 
     This is the snapshot-merge primitive for incremental pipelines
     without a table format; with Delta/Iceberg the same call becomes

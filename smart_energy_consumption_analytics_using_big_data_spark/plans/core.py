@@ -990,7 +990,8 @@ def q_scalar_json(spark, sf_dir):
 def q_merge_upsert(spark, sf_dir):
     """MERGE/upsert without a table format: corrections overwrite
     matched rows, novel keys insert, untouched rows pass through
-    (operators/relational.merge_upsert; full outer join + coalesce)."""
+    (operators/relational.merge_upsert; full outer join + row-level
+    matched indicator — matched rows take the update row wholesale)."""
     from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
         merge_upsert,
     )

@@ -306,3 +306,19 @@ def test_kcenter_degenerate_inputs(spark):
     assert [r["sel_rank"] for r in rows] == [1, 2, 3]
     assert all(r["radius"] > 0 for r in rows if r["sel_rank"] > 1)
     assert len({r["vec_id"] for r in rows}) == 3
+
+    # duplicates with NON-exactly-representable coordinates: the
+    # d2 = v.v - 2v.c + c.c float residual is tiny-positive, not zero,
+    # so an exact <=0.0 stop would keep emitting radius-~0 duplicate
+    # centers (r11 ADVICE) — the epsilon stop must still halt at the
+    # distinct-point count
+    dup = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, 0.2]), (3, [0.7, 0.3]), (4, [0.7, 0.3])],
+        "vec_id long, embedding array<float>",
+    )
+    drows = kcenter_select(dup, k=4, id_col="vec_id", vec_col="embedding").collect()
+    assert [r["sel_rank"] for r in drows] == [1, 2]
+    got = {tuple(sorted({1, 2} & {r["vec_id"] for r in drows})),
+           tuple(sorted({3, 4} & {r["vec_id"] for r in drows}))}
+    # exactly one center per duplicate cluster
+    assert all(len(g) == 1 for g in got)

@@ -482,6 +482,29 @@ def test_range_join_random_differential_vs_bruteforce(spark):
     assert got_left == expect_left
 
 
+def test_range_join_rejects_interval_outer_hows(spark):
+    # an unmatched interval exploded to N buckets would come back as N
+    # null-extended rows with its key columns dropped — right/full are
+    # refused, not silently wrong (same contract style as bloom join)
+    import pytest
+
+    points = spark.createDataFrame(
+        pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:30"]), "pv": [1]})
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "start_ts": pd.to_datetime(["2024-01-02 00:00"]),
+                "end_ts": pd.to_datetime(["2024-01-02 03:00"]),
+                "iv": [7],
+            }
+        )
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="range_join_bucketed supports"):
+            J.range_join_bucketed(points, intervals, "ts", "start_ts", "end_ts", how=how)
+
+
 def test_bloom_join_rejects_lossy_how(spark):
     # the bloom pre-prune has no false negatives but outer/anti joins
     # must KEEP provably-unmatched fact rows — those hows are refused,
