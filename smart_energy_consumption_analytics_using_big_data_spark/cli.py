@@ -244,6 +244,10 @@ def cmd_report(args) -> None:
                     wr = csv.DictWriter(fh, fieldnames=list(rows[0]))
                     wr.writeheader()
                     wr.writerows(rows)
+    if args.html:
+        from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import render_html
+
+        pathlib.Path(args.html).write_text(render_html(rpt))
     print(json.dumps(rpt))
 
 
@@ -343,7 +347,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("forecast"); p.add_argument("--out", required=True); p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True); p.set_defaults(fn=cmd_forecast)
     p = sub.add_parser("anomaly"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_anomaly)
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
-    p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.set_defaults(fn=cmd_report)
+    p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.add_argument("--html", default=None); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("tokenize"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--merges", type=int, default=3); p.add_argument("--vocab", type=int, default=1000); p.set_defaults(fn=cmd_tokenize)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
@@ -352,7 +356,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True)
-    p.add_argument("--csv-dir", default=None)
+    p.add_argument("--csv-dir", default=None); p.add_argument("--html", default=None)
 
     args = parser.parse_args(argv)
     if args.cmd == "all":

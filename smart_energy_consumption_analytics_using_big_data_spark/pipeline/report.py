@@ -153,6 +153,76 @@ def top_feature_correlations(features: DataFrame, n: int = TOP_N) -> list[dict]:
     return corrs[:n]
 
 
+def cluster_profile(anomalies: DataFrame) -> DataFrame:
+    """Per-cluster segmentation profile (`streamlit_app.py:649-694`):
+    size, mean/std consumption, anomaly count and rate. The reference
+    re-clusters a 50k-row pandas sample inside the dashboard; here the
+    pipeline's own K-Means labels (ml/anomaly.detect_anomalies) are
+    profiled with one full-data agg — no sampling, no second fit."""
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
+    return (
+        anomalies.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(kwh), 6).alias("avg_daily_kwh"),
+            F.round(F.stddev_samp(kwh), 6).alias("std_daily_kwh"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.round(F.avg(F.col("is_anomaly").cast("double")) * 100, 4).alias(
+                "anomaly_rate_pct"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+def qq_residuals(anomalies: DataFrame, n_points: int = 99) -> dict | None:
+    """Normal Q-Q panel data for the forecast residuals
+    (`streamlit_app.py:406`, `stats.probplot(errors, dist="norm")`).
+
+    The dashboard variant of the oracled exact-order-statistics query
+    (`q_eval_qq_normal`): instead of ranking every residual (a global
+    sort), sample quantiles come from ONE `percentile_approx` sketch
+    pass — mergeable, bounded-memory, the 100 TB shape — at a fixed
+    centile grid. Theoretical quantiles are stdlib
+    `statistics.NormalDist.inv_cdf` on the same grid (driver-side,
+    n_points scalars); the reference line is the least-squares fit over
+    the grid pairs, probplot's fit evaluated on quantile points.
+    """
+    import statistics
+
+    if "prediction" not in anomalies.columns:
+        return None
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
+    errs = anomalies.filter(F.col("prediction").isNotNull()).select(
+        (F.col("prediction") - F.col(kwh)).alias("err")
+    )
+    probs = [(j + 1) / (n_points + 1) for j in range(n_points)]
+    row = errs.agg(
+        F.percentile_approx("err", probs, 10_000).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"] or row["n"] < 10:
+        return None
+    nd = statistics.NormalDist()
+    theo = [nd.inv_cdf(p) for p in probs]
+    samp = [float(v) for v in row["q"]]
+    n = float(n_points)
+    sx, sy = sum(theo), sum(samp)
+    sxx = sum(x * x for x in theo)
+    sxy = sum(x * y for x, y in zip(theo, samp))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return {
+        "n_residuals": int(row["n"]),
+        "slope": round(slope, 6),
+        "intercept": round(intercept, 6),
+        "points": [
+            {"theo_q": round(x, 6), "sample_q": round(y, 6)}
+            for x, y in zip(theo, samp)
+        ],
+    }
+
+
 def build_report(
     daily: DataFrame,
     features: DataFrame,
@@ -175,4 +245,11 @@ def build_report(
         report["anomalies_by_weekday"] = [
             r.asDict() for r in anomalies_by_weekday(anomalies).collect()
         ]
+        if "cluster" in anomalies.columns:
+            report["cluster_profile"] = [
+                r.asDict() for r in cluster_profile(anomalies).collect()
+            ]
+        qq = qq_residuals(anomalies)
+        if qq is not None:
+            report["qq_residuals"] = qq
     return report

@@ -102,6 +102,86 @@ def test_report_tables_shapes(pipeline_out, capsys, tmp_path):
     assert header == ["month", "anomaly_rate_pct"]
 
 
+def test_report_cluster_profile_and_qq(spark, pipeline_out, capsys):
+    """The r12 panels: per-cluster profile matches a recomputation from
+    the anomalies parquet; the Q-Q residual grid is monotone with a
+    plausible least-squares fit (`streamlit_app.py:649-694,406`)."""
+    from pyspark.sql import functions as F
+
+    rpt = _report(pipeline_out, capsys)
+    anomalies = spark.read.parquet(f"{pipeline_out}/anomalies")
+
+    prof = {r["cluster"]: r for r in rpt["cluster_profile"]}
+    expected = {
+        r["cluster"]: r
+        for r in anomalies.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("label_value"), 6).alias("avg_daily_kwh"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        )
+        .collect()
+    }
+    assert set(prof) == set(expected) and len(prof) >= 2
+    for c, e in expected.items():
+        assert prof[c]["n_rows"] == e["n_rows"]
+        assert prof[c]["avg_daily_kwh"] == e["avg_daily_kwh"]
+        assert prof[c]["n_anomalies"] == e["n_anomalies"]
+    assert sum(r["n_rows"] for r in prof.values()) == anomalies.count()
+
+    qq = rpt["qq_residuals"]
+    assert qq["n_residuals"] == anomalies.filter("prediction IS NOT NULL").count()
+    samp = [p["sample_q"] for p in qq["points"]]
+    theo = [p["theo_q"] for p in qq["points"]]
+    assert len(samp) == 99
+    assert samp == sorted(samp) and theo == sorted(theo)
+    # quantiles of a distribution with positive spread -> positive slope
+    assert qq["slope"] > 0
+    # the median residual sits near the fit's value at z=0
+    mid = samp[49]
+    assert abs(mid - qq["intercept"]) <= (samp[-1] - samp[0]) / 2
+
+
+def test_report_html_renders_self_contained(pipeline_out, capsys, tmp_path):
+    """--html writes one dependency-free file covering every panel the
+    reference dashboard serves (KPI tiles, profiles, anomaly overview,
+    cluster profile, Q-Q) with an inline-SVG chart and a data-table
+    fallback per panel."""
+    html_path = str(tmp_path / "report.html")
+    capsys.readouterr()
+    cli.main(["report", "--out", pipeline_out, "--html", html_path])
+    rpt = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    doc = open(html_path).read()
+    # self-contained: no external fetches of any kind
+    assert "http://" not in doc and "https://" not in doc and "<script" not in doc
+    # KPI tiles carry the report's own numbers
+    assert f"{rpt['kpi']['households']:,}" in doc
+    # every dashboard panel is present
+    for heading in (
+        "Avg daily kWh by weekday",
+        "Avg daily kWh by month",
+        "Anomaly rate % by month",
+        "Anomalies by weekday",
+        "Top anomalous households",
+        "Top |correlation| with daily kWh",
+        "Cluster sizes",
+        "Cluster avg daily kWh",
+        "Forecast residual normal Q-Q",
+        "Best forecast model",
+    ):
+        assert heading in doc, heading
+    # charts are inline SVG with hover titles + table views
+    assert doc.count("<svg") >= 8
+    assert doc.count("<title>") > 20
+    assert doc.count("<details>") >= 5
+    # dark mode is a selected palette, not an inversion
+    assert "prefers-color-scheme: dark" in doc and "#3987e5" in doc
+    # an entity from the top-anomalies table is rendered
+    assert rpt["top_anomalous_entities"][0]["entity"] in doc
+
+
 def test_cli_corpus_builds_shards_and_summary(spark, tmp_path):
     import json
 
