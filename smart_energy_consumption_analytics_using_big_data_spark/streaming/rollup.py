@@ -31,7 +31,11 @@ from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog imp
     normalize_ts,
 )
 
-def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
+def _streaming_events(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over the events table, `ts` normalized to TimestampType.
 
     readStream needs an explicit schema, and the testdata's physical
@@ -41,6 +45,14 @@ def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
     no data scan) and branching on the dtype mirrors the batch
     catalog's guard (sources/catalog.py:load_table) instead of baking
     one representation into the stream schema.
+
+    ``max_files_per_trigger``: bound each micro-batch to that many
+    landing files (oldest modification time first). The default (None)
+    drains everything in one availableNow batch — right for replay
+    determinism; the bounded form is the live-ingest shape AND the knob
+    that makes CROSS-batch semantics (watermark advancement, late-data
+    drops, state re-reads) actually exercisable in tests — a single
+    batch never reads back its own state or drops a late row.
     """
     configure_runtime(spark)
     # The file stream source only accepts directories; when handed a
@@ -50,7 +62,10 @@ def _streaming_events(spark: SparkSession, events_path: str) -> DataFrame:
     if path.is_file():
         events_path = staged_stream_dir("stream_events_", {path.name: str(path)})
     schema = spark.read.parquet(events_path).schema
-    raw = spark.readStream.schema(schema).parquet(events_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    raw = reader.parquet(events_path)
     return normalize_ts(raw, "ts")
 
 
@@ -155,6 +170,7 @@ def stream_daily_rollup_append(
     events_glob: str,
     window: str = "1 day",
     watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Watermarked append-mode variant (the live-ingest shape).
 
@@ -162,8 +178,19 @@ def stream_daily_rollup_append(
     state for windows older than the watermark is evicted. Only windows
     the watermark has passed are emitted - by design the trailing
     window stays open.
+
+    Cross-batch watermark semantics (pinned empirically on Spark 4 and
+    by tests/test_streaming_differential.py): for micro-batch N,
+    eviction uses wm_evict(N) = max event time over batches < N minus
+    the delay, while the LATE-ROW filter uses the previous batch's
+    value wm_late(N) = wm_evict(N-1) (Spark's dual
+    watermarkForEviction / watermarkForLateEvents). A window emits
+    exactly once, when window.end <= wm_evict; an input row is dropped
+    iff its window.end <= wm_late (its state was already evicted).
     """
-    events = _streaming_events(spark, events_glob).withWatermark("ts", watermark)
+    events = _streaming_events(
+        spark, events_glob, max_files_per_trigger
+    ).withWatermark("ts", watermark)
     agg = _windowed_agg(events, window)
     name = f"stream_rollup_append_{uuid.uuid4().hex[:8]}"
     query = _run_to_memory(spark, agg, name, "append")

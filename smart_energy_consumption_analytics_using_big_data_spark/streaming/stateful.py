@@ -41,10 +41,16 @@ def _update_user_state(
     )
 
 
-def stream_user_running_stats(spark: SparkSession, events_path: str) -> DataFrame:
+def stream_user_running_stats(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Replay events through a custom stateful operator; returns the
-    final per-user running stats (update-mode memory sink)."""
-    events = _streaming_events(spark, events_path)
+    final per-user running stats (update-mode memory sink). Bounded
+    ``max_files_per_trigger`` splits the replay into real micro-batches
+    so the state get/update round-trip is exercised across batches."""
+    events = _streaming_events(spark, events_path, max_files_per_trigger)
 
     stats = events.groupBy("user_id").applyInPandasWithState(
         _update_user_state,

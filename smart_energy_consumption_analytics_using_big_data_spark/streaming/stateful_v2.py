@@ -93,9 +93,16 @@ class UserTypedStatsProcessor(StatefulProcessor):
         pass
 
 
-def stream_user_typed_stats(spark: SparkSession, events_path: str) -> DataFrame:
+def stream_user_typed_stats(
+    spark: SparkSession,
+    events_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Replay events through the transformWithState processor; returns
-    every per-batch update row (update-mode memory sink)."""
+    every per-batch update row (update-mode memory sink). With bounded
+    ``max_files_per_trigger`` the replay becomes multiple micro-batches,
+    exercising ValueState/MapState persistence across batches (a
+    single-batch replay never reads back its own state)."""
     if not HAS_TWS_DEPS:
         raise RuntimeError(
             "transformWithStateInPandas requires the 'protobuf' package "
@@ -104,7 +111,7 @@ def stream_user_typed_stats(spark: SparkSession, events_path: str) -> DataFrame:
             "applyInPandasWithState operator (streaming/stateful.py) "
             "covers the custom-stateful surface without it."
         )
-    events = _streaming_events(spark, events_path)
+    events = _streaming_events(spark, events_path, max_files_per_trigger)
     stats = events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserTypedStatsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

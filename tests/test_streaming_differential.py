@@ -1,0 +1,375 @@
+"""Randomized differentials for the streaming/stateful surface.
+
+The r11 graph/join sweep found bugs exclusively in parameter space no
+oracled query exercises; the streaming analogues are CROSS-batch
+semantics — watermark advancement dropping late rows, state re-read
+under key churn, sink replay after a crash — which the single-batch
+availableNow replays in test_streaming.py never touch. Each test here
+replays a seeded-random multi-file landing directory through the real
+operator (maxFilesPerTrigger=1 → one micro-batch per file, file order
+forced via mtime) and compares against an independent pure-Python
+simulator.
+
+Watermark model (calibrated empirically on this Spark build, batch-by-
+batch, via numRowsDroppedByWatermark — Spark's dual watermark,
+SPARK-40925 semantics):
+  wm_evict(N) = max event time over batches 0..N-1, minus delay
+  wm_late(N)  = wm_evict(N-1)            (one batch behind)
+  input row DROPPED  iff its window.end <= wm_late(N)
+  window EMITTED+EVICTED iff window.end <= wm_evict(N)
+so a "late" row still merges as long as its window's state hasn't been
+evicted yet, and a row for an already-evicted window vanishes.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+BASE = datetime(2024, 3, 1)
+
+
+def _dsum(vals) -> float:
+    """sum_exact mirror: per-value decimal(…,6) HALF_UP, exact sum."""
+    q = Decimal("0.000001")
+    return float(sum(Decimal(str(v)).quantize(q, rounding=ROUND_HALF_UP) for v in vals))
+
+
+def _write_batches(tmp_path, batches) -> str:
+    """One parquet file per batch; mtimes force the micro-batch order."""
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        p = land / f"batch_{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    return str(land)
+
+
+def _simulate_append_rollup(batches, delay: timedelta, window=timedelta(days=1)):
+    """Pure-Python replay of the watermarked tumbling-window rollup."""
+    epoch = datetime(1970, 1, 1)
+    state: dict[tuple, list] = {}
+    emitted = []
+    wm_evict = epoch
+
+    def win_of(ts):
+        # tumbling windows aligned to the epoch, like F.window
+        k = (ts - epoch) // window
+        start = epoch + k * window
+        return start, start + window
+
+    for i, rows in enumerate(batches):
+        wm_late = wm_evict
+        prev_max = max((r[1] for b in batches[:i] for r in b), default=epoch)
+        wm_evict = max(wm_evict, prev_max - delay)
+        for uid, ts, etype, val in rows:
+            start, end = win_of(ts)
+            if end <= wm_late:
+                continue  # state already evicted -> dropped
+            state.setdefault((start, etype), []).append(val)
+        for (start, etype) in [k for k in state if k[0] + window <= wm_evict]:
+            vals = state.pop((start, etype))
+            emitted.append((start.strftime("%Y-%m-%d"), etype, _dsum(vals), len(vals)))
+    # availableNow runs a final (possibly empty) batch with the fully
+    # advanced watermark, evicting everything it now covers
+    wm_evict = max(wm_evict, max(r[1] for b in batches for r in b) - delay)
+    for (start, etype) in [k for k in state if k[0] + window <= wm_evict]:
+        vals = state.pop((start, etype))
+        emitted.append((start.strftime("%Y-%m-%d"), etype, _dsum(vals), len(vals)))
+    return sorted(emitted)
+
+
+@pytest.mark.parametrize("seed,delay_h", [(11, 24), (12, 6), (13, 48), (14, 1)])
+def test_append_rollup_multibatch_random_differential(spark, tmp_path, seed, delay_h):
+    """Seeded random multi-batch replay with deliberate late-data mixes
+    vs the pure-Python watermark simulator — exact set equality of the
+    emitted (day, event_type, total, n) rows."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_daily_rollup_append,
+    )
+
+    rng = random.Random(seed)
+    types = ["view", "click", "purchase"]
+    batches = []
+    frontier_days = 0.0
+    for _ in range(4):
+        rows = []
+        frontier_days += rng.uniform(1.0, 3.0)
+        for _ in range(rng.randint(8, 25)):
+            # mostly near-frontier events, ~30% stragglers up to 4 days
+            # late (beyond and within the watermark, both mixes)
+            lag = rng.uniform(0, 4.0) if rng.random() < 0.3 else rng.uniform(0, 0.6)
+            ts = BASE + timedelta(days=max(frontier_days - lag, 0.0))
+            ts = ts.replace(microsecond=0)
+            rows.append((rng.randint(1, 5), ts, rng.choice(types), rng.randint(1, 999) / 100))
+        batches.append(rows)
+
+    land = _write_batches(tmp_path, batches)
+    got = sorted(
+        (r["day"], r["event_type"], r["total_value"], r["n"])
+        for r in stream_daily_rollup_append(
+            spark, land, watermark=f"{delay_h} hours", max_files_per_trigger=1
+        ).collect()
+    )
+    want = _simulate_append_rollup(batches, timedelta(hours=delay_h))
+    assert got == want
+
+
+def _simulate_sessions(rows, gap: timedelta):
+    """Session merge matching Spark's session_window (pinned by the
+    exact-gap test below): an event at EXACTLY last+gap still MERGES —
+    a new session starts only when the silence strictly exceeds the
+    gap (next > prev_end; closed interval), the same `diff > gap` rule
+    as the batch lag/cumsum sessionization oracle."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for uid, ts, _etype, val in rows:
+        by_user.setdefault(uid, []).append((ts, val))
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = None
+        for ts, val in evs:
+            if cur is None or ts > cur["end"]:
+                if cur is not None:
+                    out[(uid, cur["start"])] = cur
+                cur = {"start": ts, "end": ts + gap, "vals": []}
+            cur["vals"].append(val)
+            cur["end"] = max(cur["end"], ts + gap)
+        out[(uid, cur["start"])] = cur
+    return sorted(
+        (uid, s.strftime("%Y-%m-%d %H:%M:%S.%f"), len(c["vals"]), _dsum(c["vals"]))
+        for (uid, s), c in out.items()
+    )
+
+
+def test_session_window_exact_gap_boundaries(spark, tmp_path):
+    """Session gap edge cases: an event at EXACTLY last+gap MERGES
+    (Spark session_window closes only after silence STRICTLY exceeding
+    the gap — same as the batch `diff > gap` sessionization); one
+    microsecond past the boundary splits; duplicate timestamps collapse
+    into one session."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_session_rollup,
+    )
+
+    gap = timedelta(minutes=30)
+    t0 = BASE.replace(hour=12)
+    rows = [
+        # user 1: exact-boundary chain -> ONE session (each event lands
+        # exactly at the previous session's end and merges)
+        (1, t0, "view", 1.0),
+        (1, t0 + gap, "view", 2.0),
+        (1, t0 + 2 * gap, "view", 4.0),
+        # user 2: 1us PAST the boundary -> splits there, then 1us
+        # inside -> merges
+        (2, t0, "view", 1.0),
+        (2, t0 + gap + timedelta(microseconds=1), "view", 2.0),
+        (2, t0 + 2 * gap, "view", 4.0),
+        # user 3: duplicate timestamps
+        (3, t0, "view", 1.0),
+        (3, t0, "click", 2.0),
+        # user 4: single event
+        (4, t0, "view", 8.0),
+    ]
+    land = _write_batches(tmp_path, [rows])
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in stream_session_rollup(spark, land, gap="30 minutes").collect()
+    )
+    want = _simulate_sessions(rows, gap)
+    assert got == want
+    # the load-bearing boundary facts, asserted directly too
+    per_user = {}
+    for uid, *_rest in got:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    assert per_user == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_session_window_random_differential(spark, tmp_path, seed):
+    """Seeded random sessionization (bursty arrivals around the gap
+    scale) vs the Python merger — complete-mode replay, exact rows."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_session_rollup,
+    )
+
+    rng = random.Random(seed)
+    gap = timedelta(minutes=30)
+    rows = []
+    for uid in range(1, 9):
+        t = BASE + timedelta(minutes=rng.randint(0, 600))
+        for _ in range(rng.randint(1, 30)):
+            # inter-arrival clustered around the gap so merges and
+            # splits both occur; occasional exact multiples of the gap
+            step = rng.choice(
+                [rng.uniform(0.05, 0.9), rng.uniform(0.9, 1.1), 1.0, 2.0]
+            )
+            t = t + timedelta(seconds=round(gap.total_seconds() * step))
+            rows.append((uid, t, "view", rng.randint(1, 99) / 10))
+    land = _write_batches(tmp_path, [rows])
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in stream_session_rollup(spark, land, gap="30 minutes").collect()
+    )
+    assert got == _simulate_sessions(rows, gap)
+
+
+def test_stateful_v2_mapstate_key_churn(spark, tmp_path):
+    """transformWithState across real micro-batches: users appear,
+    disappear and return; event types churn per batch. The per-user
+    running (n, max, n_types) must match a pandas fold — this exercises
+    the ValueState/MapState get-after-write path a single-batch replay
+    never reads."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+        stream_user_typed_stats,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+
+    rng = random.Random(31)
+    types = [f"t{i}" for i in range(6)]
+    users = list(range(1, 13))
+    batches = []
+    t = BASE
+    for _ in range(4):
+        present = rng.sample(users, rng.randint(3, 8))
+        rows = []
+        for uid in present:
+            for _ in range(rng.randint(1, 6)):
+                t += timedelta(seconds=37)
+                rows.append((uid, t, rng.choice(types), rng.randint(1, 9999) / 100))
+        batches.append(rows)
+    land = _write_batches(tmp_path, batches)
+
+    out = stream_user_typed_stats(spark, land, max_files_per_trigger=1).toPandas()
+    # update mode emits one row per (user, batch seen); n_events is
+    # strictly increasing per user, so the max row is the final state
+    final = out.loc[out.groupby("user_id")["n_events"].idxmax()].set_index("user_id")
+
+    allrows = pd.DataFrame(
+        [r for b in batches for r in b], columns=["user_id", "ts", "event_type", "value"]
+    )
+    expect = allrows.groupby("user_id").agg(
+        n_events=("value", "size"),
+        max_value=("value", "max"),
+        n_types=("event_type", "nunique"),
+    )
+    assert set(final.index) == set(expect.index)
+    for uid in expect.index:
+        assert final.loc[uid, "n_events"] == expect.loc[uid, "n_events"], uid
+        assert final.loc[uid, "max_value"] == pytest.approx(expect.loc[uid, "max_value"])
+        assert final.loc[uid, "n_types"] == expect.loc[uid, "n_types"], uid
+    # churn actually happened: more emitted rows than users seen
+    assert len(out) > len(final)
+
+
+def test_stateful_v1_multibatch_equals_pandas(spark, tmp_path):
+    """applyInPandasWithState under the same churn replay: final
+    per-user (n, total, max) equals the pandas fold."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful import (
+        stream_user_running_stats,
+    )
+
+    rng = random.Random(41)
+    batches = []
+    t = BASE
+    for _ in range(3):
+        rows = []
+        for uid in rng.sample(range(1, 9), rng.randint(2, 6)):
+            for _ in range(rng.randint(1, 5)):
+                t += timedelta(seconds=61)
+                rows.append((uid, t, "view", rng.randint(1, 999) / 100))
+        batches.append(rows)
+    land = _write_batches(tmp_path, batches)
+    out = stream_user_running_stats(spark, land, max_files_per_trigger=1).toPandas()
+    final = out.loc[out.groupby("user_id")["n_events"].idxmax()].set_index("user_id")
+    allrows = pd.DataFrame(
+        [r for b in batches for r in b], columns=["user_id", "ts", "event_type", "value"]
+    )
+    expect = allrows.groupby("user_id").agg(
+        n_events=("value", "size"), total_value=("value", "sum"), max_value=("value", "max")
+    )
+    assert set(final.index) == set(expect.index)
+    for uid in expect.index:
+        assert final.loc[uid, "n_events"] == expect.loc[uid, "n_events"]
+        assert final.loc[uid, "total_value"] == pytest.approx(expect.loc[uid, "total_value"])
+        assert final.loc[uid, "max_value"] == pytest.approx(expect.loc[uid, "max_value"])
+
+
+def _snap_rows(sink):
+    return sorted(
+        (r["k"], r["v"], r["ver"]) for r in sink.current().collect()
+    )
+
+
+def test_upsert_sink_replay_and_midbatch_crash(spark, tmp_path):
+    """SnapshotUpsertSink under the foreachBatch failure modes the
+    checkpoint protocol implies: (a) replay of an already-applied batch
+    (checkpoint lagged the sink), (b) crash AFTER the generation
+    parquet was written but BEFORE the manifest repoint, (c) crash
+    mid-write leaving a torn generation dir. Each recovery must
+    converge to the clean run's snapshot — that idempotence is the
+    sink's whole exactly-once argument (streaming/upsert.py docstring).
+    """
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.upsert import (
+        SnapshotUpsertSink,
+    )
+
+    def mkdf(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v", "ver"]))
+
+    b0 = [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    b1 = [(2, "B", 2), (4, "d", 2), (2, "b-late", 1)]  # within-batch older loser
+    b2 = [(1, None, 3), (5, "e", 3)]  # NULL update must overwrite wholesale
+
+    clean = SnapshotUpsertSink(spark, str(tmp_path / "clean"), ["k"], ["ver"])
+    for i, b in enumerate((b0, b1, b2)):
+        clean.process_batch(mkdf(b), i)
+    want = _snap_rows(clean)
+    assert (2, "B", 2) in want and (1, None, 3) in want
+
+    # (a) replay an already-applied batch id
+    s = SnapshotUpsertSink(spark, str(tmp_path / "replay"), ["k"], ["ver"])
+    s.process_batch(mkdf(b0), 0)
+    s.process_batch(mkdf(b1), 1)
+    s.process_batch(mkdf(b1), 1)  # foreachBatch redelivery
+    s.process_batch(mkdf(b2), 2)
+    assert _snap_rows(s) == want
+
+    # (b) crash between generation write and manifest repoint
+    s2 = SnapshotUpsertSink(spark, str(tmp_path / "crash_manifest"), ["k"], ["ver"])
+    s2.process_batch(mkdf(b0), 0)
+    merged = s2.current()
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    # simulate: gen=1 fully written, manifest still points at gen=0
+    merge_upsert(merged, mkdf(b1), ["k"]).write.mode("overwrite").parquet(
+        str(tmp_path / "crash_manifest" / "gen=1")
+    )
+    # recovery replays batch 1 against the OLD manifest state
+    s2.process_batch(mkdf(b1), 1)
+    s2.process_batch(mkdf(b2), 2)
+    assert _snap_rows(s2) == want
+
+    # (c) torn generation dir (crash mid-write) then replay
+    s3 = SnapshotUpsertSink(spark, str(tmp_path / "crash_torn"), ["k"], ["ver"])
+    s3.process_batch(mkdf(b0), 0)
+    torn = tmp_path / "crash_torn" / "gen=1"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not a parquet file")
+    s3.process_batch(mkdf(b1), 1)
+    s3.process_batch(mkdf(b2), 2)
+    assert _snap_rows(s3) == want
