@@ -98,6 +98,13 @@ PROBE = [
     # (both events-backed, 100x; measured 3.87x / 3.78x in r11)
     "q_merge_upsert",
     "q_join_range",
+    # round-12: the remaining untested clever shapes (VERDICT r11
+    # item 4) — degree-oriented triangle counting (lineitem 10x; the
+    # arboricity-bound wedge join) and the salted two-stage kNN join
+    # (embeddings 100x; scripts/probe_r12_shapes.py holds the salt-
+    # width A/B and hub-skew companions)
+    "q_graph_triangles",
+    "q_sim_knn_join",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the
@@ -107,6 +114,7 @@ RATIO_OVERRIDES = {
     "q_agg_abc_pareto": REPLICAS_DOCS,
     "q_rec_item_sim": REPLICAS_DOCS,
     "q_rec_assoc_rules": REPLICAS_DOCS,
+    "q_sim_knn_join": REPLICAS_EMB,
 }
 
 

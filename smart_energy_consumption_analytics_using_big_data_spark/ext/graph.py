@@ -307,6 +307,47 @@ def copurchase_pairs(
     return basket_pairs(order_baskets(df, group_col, item_col), directed=directed)
 
 
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangle instances of an undirected simple graph via DEGREE
+    ORIENTATION: each edge (u,v) points from its lower-(degree, id)
+    endpoint to the higher one, then triangles are wedges (lo->a,
+    lo->b) closed by an oriented edge (a->b). Counting on the oriented
+    DAG counts every triangle exactly once AND bounds the wedge join's
+    fan-out: a node's OUT-degree in the orientation is at most
+    O(sqrt(m)) / graph arboricity regardless of its raw degree, so hub
+    nodes (celebrity products, power-law tails) cannot explode the
+    join — the standard distributed formulation. Input: one row per
+    undirected edge as (u, v); callers pass a deduped edge list.
+    Returns the un-aggregated triangle rows (e1.lo, e1.hi, e2.hi) so
+    callers can count, sample, or join back.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
+        .join(
+            e3,
+            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seed_mod: int = 10,

@@ -3505,7 +3505,10 @@ def q_graph_triangles(spark, sf_dir):
     enumeration (ext.graph.copurchase_pairs — one fact shuffle, no
     self-join); everything downstream touches the edge list, not the
     fact table."""
-    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import copurchase_pairs
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        copurchase_pairs,
+        oriented_triangles,
+    )
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = (
@@ -3513,31 +3516,7 @@ def q_graph_triangles(spark, sf_dir):
         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .distinct()
     )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    e = (
-        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-    )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))
-        .join(
-            e3,
-            (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
-        )
-    )
+    tri = oriented_triangles(edges)
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
 
 

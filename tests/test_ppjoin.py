@@ -54,6 +54,46 @@ def test_matches_all_pairs_join_on_corpus(spark):
         assert got, "corpus has >=0.6 near-dups by construction"
 
 
+def test_prefix_filter_threshold_sweep(spark):
+    """Unexercised-parameter sweep (the r11 differential discipline):
+    every registered consumer runs t=3/5, so the threshold axis itself
+    was never exercised. Seeded random corpora from a tiny alphabet vs
+    a pure-Python exact-Fraction oracle computed from the SAME shingle
+    table, across thresholds including the degenerate ends (1/1 = exact
+    set equality, alpha = n, prefix length 1; 1/10 = near-all-pairs
+    prefixes)."""
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(97)
+    tokens = "a b c d e f".split()
+    for t_num, t_den in ((1, 2), (4, 5), (9, 10), (1, 1), (1, 10), (2, 3)):
+        texts = [
+            " ".join(rng.choice(tokens) for _ in range(rng.randint(3, 14)))
+            for _ in range(10)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        sh = shingle_table(docs, max_df=None)
+        got = _pairs(prefix_filtered_pairs(sh, t_num=t_num, t_den=t_den))
+        # exact oracle: Fraction jaccard over the same shingle sets
+        by_doc: dict[int, set] = {}
+        for r in sh.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+        want = {}
+        ids = sorted(by_doc)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                o = len(by_doc[a] & by_doc[b])
+                if not o:
+                    continue
+                u = len(by_doc[a] | by_doc[b])
+                if Fraction(o, u) >= Fraction(t_num, t_den):
+                    want[(a, b)] = round(o / u, 6)
+        assert got == want, (t_num, t_den, got, want)
+
+
 def test_prefix_filter_equals_all_pairs_on_random_corpora(spark):
     """Property check: on randomized small corpora from a tiny token
     alphabet (forcing heavy shingle collisions and boundary jaccards),
