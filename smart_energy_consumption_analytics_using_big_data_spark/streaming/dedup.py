@@ -26,14 +26,27 @@ def stream_dedup_within_watermark(
     events_path: str,
     keys: tuple[str, ...] = ("event_id",),
     watermark: str = "3650 days",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay events as a stream, dropping duplicate keys that arrive
     within the watermark horizon; returns the deduped rows.
 
     Append mode: deduped rows flow through immediately (no windows to
     close); only the key-set lives in the state store.
+
+    Cross-batch semantics (pinned empirically, asserted by
+    tests/test_streaming_differential.py): a key's state expires at its
+    FIRST occurrence's event time + delay — later duplicates do NOT
+    extend it; eviction runs at the end of batch N with the in-effect
+    watermark (max event time over batches < N, minus delay); a key
+    re-appearing after eviction is emitted AGAIN (at-least-once beyond
+    the horizon — dedup is exact only within it); input rows with
+    ts < the PREVIOUS batch's watermark are dropped outright
+    (the lagged dual-watermark late filter, same as the rollups).
     """
-    events = _streaming_events(spark, events_path).withWatermark("ts", watermark)
+    events = _streaming_events(
+        spark, events_path, max_files_per_trigger
+    ).withWatermark("ts", watermark)
     deduped = events.dropDuplicatesWithinWatermark(list(keys))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     query = _run_to_memory(spark, deduped, name, "append")

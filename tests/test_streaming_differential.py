@@ -307,6 +307,105 @@ def test_stateful_v1_multibatch_equals_pandas(spark, tmp_path):
         assert final.loc[uid, "max_value"] == pytest.approx(expect.loc[uid, "max_value"])
 
 
+def _simulate_dedup_within_watermark(batches, delay: timedelta):
+    """dropDuplicatesWithinWatermark, pinned-semantics simulator:
+    state expiry = FIRST occurrence ts + delay (dups do not extend);
+    late filter drops rows with ts < the PREVIOUS batch's watermark;
+    eviction at end of batch N with the in-effect watermark; a key
+    re-appearing after eviction re-emits."""
+    epoch = datetime(1970, 1, 1)
+    state: dict = {}  # key -> expiry
+    emitted = []
+    wm = epoch
+    for i, rows in enumerate(batches):
+        wm_late = wm
+        prev_max = max((r[1] for b in batches[:i] for r in b), default=epoch)
+        wm = max(wm, prev_max - delay)
+        for key, ts, _etype, val in rows:
+            if ts < wm_late:
+                continue
+            if key in state:
+                continue
+            state[key] = ts + delay
+            emitted.append((key, ts, val))
+        for k in [k for k, exp in state.items() if exp <= wm]:
+            del state[k]
+    return sorted(emitted)
+
+
+@pytest.mark.parametrize("seed,delay_h", [(51, 2), (52, 12), (53, 36)])
+def test_stream_dedup_within_watermark_multibatch(spark, tmp_path, seed, delay_h):
+    """Seeded random at-least-once redelivery stream (duplicate keys
+    within a batch, across adjacent batches, and far beyond the
+    horizon) vs the pinned-semantics simulator — exact row-set
+    equality, including the keys that legitimately re-emit after their
+    state was evicted."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+
+    rng = random.Random(seed)
+    batches = []
+    frontier_h = 0.0
+    keyspace = list(range(1, 30))
+    seen_keys = []
+    for _ in range(4):
+        rows = []
+        used = set()  # keys UNIQUE within a batch: which of two same-key
+        # rows in ONE batch wins is row-order-dependent in Spark (both
+        # are "first"); the deterministic surface is cross-batch state
+        frontier_h += rng.uniform(6, 18)
+        for _ in range(rng.randint(10, 20)):
+            if seen_keys and rng.random() < 0.45:
+                key = rng.choice(seen_keys)  # redelivery, maybe far later
+            else:
+                key = rng.choice(keyspace)
+            if key in used:
+                continue
+            used.add(key)
+            seen_keys.append(key)
+            lag_h = rng.uniform(0, 8.0) if rng.random() < 0.3 else rng.uniform(0, 1.0)
+            ts = BASE + timedelta(hours=max(frontier_h - lag_h, 0.0), seconds=rng.randint(1, 59))
+            ts = ts.replace(microsecond=0)
+            rows.append((key, ts, "view", float(rng.randint(1, 99))))
+        batches.append(rows)
+
+    land = _write_batches_keyed(tmp_path, batches)
+    got = sorted(
+        (r["event_id"], r["ts"].replace(tzinfo=None), r["value"])
+        for r in stream_dedup_within_watermark(
+            spark,
+            land,
+            keys=("event_id",),
+            watermark=f"{delay_h} hours",
+            max_files_per_trigger=1,
+        ).collect()
+    )
+    want = _simulate_dedup_within_watermark(batches, timedelta(hours=delay_h))
+    assert got == want
+    # regime checks: duplicates were actually dropped at every delay,
+    # and the short horizon saw genuine post-eviction re-emission
+    assert len(want) < sum(len(b) for b in batches), "no dup was dropped"
+    if delay_h == 2:
+        n_emitted_keys = len({k for k, *_ in want})
+        assert n_emitted_keys < len(want), "no post-eviction re-emission"
+
+
+def _write_batches_keyed(tmp_path, batches) -> str:
+    """Like _write_batches but the key column is event_id (the dedup
+    operator's default business key)."""
+    land = tmp_path / "landing_keyed"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        p = land / f"batch_{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    return str(land)
+
+
 def _snap_rows(sink):
     return sorted(
         (r["k"], r["v"], r["ver"]) for r in sink.current().collect()
