@@ -268,6 +268,54 @@ def _line_svg(items: list[tuple[str, float]], value_name: str) -> str:
     )
 
 
+def _line_centered_svg(items: list[tuple[str, float]], value_name: str) -> str:
+    """Line chart whose y-domain spans negative and positive values
+    (error series): zero gridline emphasized, same mark specs as
+    _line_svg."""
+    if not items:
+        return "<p class='sub'>no data</p>"
+    vals = [v for _, v in items]
+    ymin, ymax = min(vals + [0.0]), max(vals + [0.0])
+    pad = (ymax - ymin or 1.0) * 0.1
+    ymin, ymax = ymin - pad, ymax + pad
+    pw, ph = _W - _ML - _MR, _H - _MT - _MB
+
+    def sy(v: float) -> float:
+        return _MT + ph - (v - ymin) / (ymax - ymin) * ph
+
+    n = len(items)
+    xs = [_ML + (pw if n == 1 else i * pw / (n - 1)) for i in range(n)]
+    ys = [sy(v) for v in vals]
+    grid = (
+        f'<line class="axis" x1="{_ML}" y1="{sy(0):.1f}" x2="{_W - _MR}" y2="{sy(0):.1f}"/>'
+        f'<text x="{_ML - 6}" y="{sy(0) + 4:.1f}" text-anchor="end">0</text>'
+        f'<text x="{_ML - 6}" y="{_MT + 8:.1f}" text-anchor="end">{_tick_label(round(ymax - pad, 3))}</text>'
+        f'<text x="{_ML - 6}" y="{_MT + ph:.1f}" text-anchor="end">{_tick_label(round(ymin + pad, 3))}</text>'
+    )
+    pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(xs, ys))
+    hover = "".join(
+        f'<circle cx="{x:.1f}" cy="{y:.1f}" r="9" fill="transparent">'
+        f"<title>{_esc(lbl)}: {_esc(v)}</title></circle>"
+        for x, y, (lbl, v) in zip(xs, ys, items)
+    )
+    lbl_idx = {0, n - 1} | ({n // 2} if n > 4 else set())
+    xlabels = "".join(
+        f'<text x="{xs[i]:.1f}" y="{_H - _MB + 16}" '
+        f'text-anchor="{"start" if i == 0 else "end" if i == n - 1 else "middle"}">'
+        f"{_esc(items[i][0])}</text>"
+        for i in sorted(lbl_idx)
+    )
+    return (
+        f'<svg viewBox="0 0 {_W} {_H}" role="img" aria-label="{_esc(value_name)}">'
+        f"{grid}"
+        f'<polyline points="{pts}" fill="none" stroke="var(--series-1)" '
+        f'stroke-width="2" stroke-linecap="round" stroke-linejoin="round"/>'
+        f'<circle cx="{xs[-1]:.1f}" cy="{ys[-1]:.1f}" r="4" fill="var(--series-1)" '
+        f'stroke="var(--surface-1)" stroke-width="2"/>'
+        f"{hover}{xlabels}</svg>"
+    )
+
+
 def _qq_svg(qq: dict) -> str:
     """Residual Q-Q: quantile dots + least-squares normal-fit line.
 
@@ -460,6 +508,43 @@ def render_html(report: dict, title: str = "Energy analytics report") -> str:
     qq = report.get("qq_residuals")
     if qq:
         parts.append("<h2>Forecast residual normal Q-Q</h2>" + _qq_svg(qq))
+
+    hist = report.get("error_histogram")
+    parts.append("<div class='grid2'>")
+    if hist:
+        bars = [
+            (f"{b['lo']:.2f}", b["n"]) for b in hist["bins"]
+        ]
+        parts.append(
+            "<div><h2>Forecast error distribution</h2>"
+            f"<p class='legend'>mean error {hist['mean_err']} over "
+            f"{_fmt(hist['n_errors'])} residuals (bin label = lower edge)</p>"
+            + _bar_svg(bars, "Forecast error histogram")
+            + _table(hist["bins"])
+            + "</div>"
+        )
+    ebd = report.get("error_by_day") or []
+    if ebd:
+        line = [(r["date"][5:], r["mean_err"]) for r in ebd]
+        chart = _line_centered_svg if len(line) > 2 else _bar_svg
+        parts.append(
+            "<div><h2>Mean forecast error by day</h2>"
+            + chart(line, "Mean forecast error by day")
+            + _table(ebd)
+            + "</div>"
+        )
+    eva = report.get("error_vs_actual") or []
+    pts = [r for r in eva if r["mean_err"] is not None]
+    if pts:
+        line = [(f"{r['actual_lo']:.1f}", r["mean_err"]) for r in pts]
+        parts.append(
+            "<div><h2>Mean error vs actual consumption</h2>"
+            "<p class='legend'>bin label = bin's lower kWh edge</p>"
+            + _line_centered_svg(line, "Mean forecast error by actual consumption bin")
+            + _table(eva)
+            + "</div>"
+        )
+    parts.append("</div>")
 
     parts.append("</body></html>")
     return "".join(parts)

@@ -223,6 +223,120 @@ def qq_residuals(anomalies: DataFrame, n_points: int = 99) -> dict | None:
     }
 
 
+def _errors(anomalies: DataFrame):
+    if "prediction" not in anomalies.columns:
+        return None, None
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
+    return (
+        anomalies.filter(F.col("prediction").isNotNull()).withColumn(
+            "err", F.col("prediction") - F.col(kwh)
+        ),
+        kwh,
+    )
+
+
+def error_histogram(anomalies: DataFrame, n_bins: int = 30) -> dict | None:
+    """Error-distribution panel (`streamlit_app.py:380-393`): fixed-
+    width bins between p0.5/p99.5 (tails clipped into the end bins so
+    one outlier can't flatten the plot), plus the mean-error vline.
+    Two agg passes total (sketch for the range, one groupBy for the
+    bins) — no driver-side raw errors, unlike the dashboard's
+    `errors.dropna()` pandas pull."""
+    errs, _ = _errors(anomalies)
+    if errs is None:
+        return None
+    row = errs.agg(
+        F.percentile_approx("err", [0.005, 0.995], 10_000).alias("p"),
+        F.round(F.avg("err"), 6).alias("mean_err"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return None
+    lo, hi = float(row["p"][0]), float(row["p"][1])
+    if hi <= lo:
+        hi = lo + 1e-9
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col("err") - lo) / width), F.lit(0)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    counts = {
+        r["bin"]: r["n"]
+        for r in errs.groupBy(bin_expr.alias("bin")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "mean_err": row["mean_err"],
+        "n_errors": int(row["n"]),
+        "bins": [
+            {
+                "lo": round(lo + i * width, 6),
+                "hi": round(lo + (i + 1) * width, 6),
+                "n": int(counts.get(i, 0)),
+            }
+            for i in range(n_bins)
+        ],
+    }
+
+
+def error_by_day(anomalies: DataFrame) -> DataFrame | None:
+    """Error-time-series panel (`streamlit_app.py:419-430`): the
+    dashboard line-plots a 5k random sample of raw errors; the scalable
+    equivalent is the daily mean with a p10/p90 band — one agg, output
+    rows = days."""
+    errs, _ = _errors(anomalies)
+    if errs is None:
+        return None
+    return (
+        errs.groupBy("date")
+        .agg(
+            F.round(F.avg("err"), 6).alias("mean_err"),
+            F.round(F.percentile_approx("err", 0.1, 10_000), 6).alias("p10_err"),
+            F.round(F.percentile_approx("err", 0.9, 10_000), 6).alias("p90_err"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("date")
+    )
+
+
+def error_vs_actual(anomalies: DataFrame, n_bins: int = 20) -> list[dict] | None:
+    """Error-vs-actual panel (`streamlit_app.py:395-401`): the
+    dashboard scatter-samples 10k raw points; engine-side the actual
+    consumption axis is cut into fixed-width bins and each bin reports
+    its mean error + count — the binned-residual plot that actually
+    shows heteroscedasticity at any scale."""
+    errs, kwh = _errors(anomalies)
+    if errs is None:
+        return None
+    row = errs.agg(
+        F.min(kwh).alias("lo"), F.max(kwh).alias("hi"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not row["n"]:
+        return None
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if hi <= lo:
+        hi = lo + 1e-9
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col(kwh) - lo) / width), F.lit(0)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    rows = (
+        errs.groupBy(bin_expr.alias("bin"))
+        .agg(F.round(F.avg("err"), 6).alias("mean_err"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_bin = {r["bin"]: r for r in rows}
+    return [
+        {
+            "actual_lo": round(lo + i * width, 6),
+            "actual_hi": round(lo + (i + 1) * width, 6),
+            "mean_err": by_bin[i]["mean_err"] if i in by_bin else None,
+            "n": int(by_bin[i]["n"]) if i in by_bin else 0,
+        }
+        for i in range(n_bins)
+    ]
+
+
 def build_report(
     daily: DataFrame,
     features: DataFrame,
@@ -252,4 +366,15 @@ def build_report(
         qq = qq_residuals(anomalies)
         if qq is not None:
             report["qq_residuals"] = qq
+        hist = error_histogram(anomalies)
+        if hist is not None:
+            report["error_histogram"] = hist
+        ebd = error_by_day(anomalies)
+        if ebd is not None:
+            report["error_by_day"] = [
+                {**r.asDict(), "date": str(r["date"])} for r in ebd.collect()
+            ]
+        eva = error_vs_actual(anomalies)
+        if eva is not None:
+            report["error_vs_actual"] = eva
     return report

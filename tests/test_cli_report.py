@@ -142,6 +142,42 @@ def test_report_cluster_profile_and_qq(spark, pipeline_out, capsys):
     assert abs(mid - qq["intercept"]) <= (samp[-1] - samp[0]) / 2
 
 
+def test_report_error_panels(spark, pipeline_out, capsys):
+    """The remaining model-eval panels (`streamlit_app.py:380-430`):
+    histogram bins partition all residuals, daily means match a
+    recomputation, actual-consumption bins account for every row."""
+    from pyspark.sql import functions as F
+
+    rpt = _report(pipeline_out, capsys)
+    anomalies = spark.read.parquet(f"{pipeline_out}/anomalies")
+    errs = anomalies.filter("prediction IS NOT NULL").withColumn(
+        "err", F.col("prediction") - F.col("label_value")
+    )
+    n = errs.count()
+
+    hist = rpt["error_histogram"]
+    assert hist["n_errors"] == n
+    assert sum(b["n"] for b in hist["bins"]) == n
+    assert hist["mean_err"] == errs.agg(F.round(F.avg("err"), 6)).collect()[0][0]
+    # bins are contiguous fixed-width
+    for a, b in zip(hist["bins"], hist["bins"][1:]):
+        assert abs(a["hi"] - b["lo"]) < 1e-6
+
+    ebd = rpt["error_by_day"]
+    assert len(ebd) == errs.select("date").distinct().count()
+    want = {
+        str(r["date"]): r["m"]
+        for r in errs.groupBy("date").agg(F.round(F.avg("err"), 6).alias("m")).collect()
+    }
+    got = {r["date"]: r["mean_err"] for r in ebd}
+    assert got == want
+    assert all(r["p10_err"] <= r["mean_err"] <= r["p90_err"] or r["n"] <= 2 for r in ebd)
+
+    eva = rpt["error_vs_actual"]
+    assert sum(r["n"] for r in eva) == n
+    assert all(r["mean_err"] is None for r in eva if r["n"] == 0)
+
+
 def test_report_html_renders_self_contained(pipeline_out, capsys, tmp_path):
     """--html writes one dependency-free file covering every panel the
     reference dashboard serves (KPI tiles, profiles, anomaly overview,
@@ -169,6 +205,9 @@ def test_report_html_renders_self_contained(pipeline_out, capsys, tmp_path):
         "Cluster sizes",
         "Cluster avg daily kWh",
         "Forecast residual normal Q-Q",
+        "Forecast error distribution",
+        "Mean forecast error by day",
+        "Mean error vs actual consumption",
         "Best forecast model",
     ):
         assert heading in doc, heading

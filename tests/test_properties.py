@@ -316,6 +316,42 @@ def test_asof_join_equals_bruteforce_both_directions(spark, lrows, rrows):
         want = min(cands)[2] if cands else None
         assert got[lid] == want, ("nearest", lid)
 
+    # tolerance axis (unexercised by every registered consumer): the
+    # directional match must also lie within tolerance_s — pandas
+    # merge_asof semantics (the nearest candidate is the ONLY
+    # candidate; outside tolerance means NO match, never a farther one)
+    for tol in (0, 7, 20):
+        for direction in ("backward", "forward", "nearest"):
+            got = {
+                r["lid"]: r["v"]
+                for r in asof_join(
+                    ldf, rdf, "k", direction=direction, tolerance_s=tol
+                ).collect()
+            }
+            for k, lts, lid in left:
+                if direction == "backward":
+                    cands = [
+                        (ts, v)
+                        for (kk, ts, v) in right
+                        if kk == k and ts <= lts and (lts - ts).total_seconds() <= tol
+                    ]
+                    want = max(cands)[1] if cands else None
+                elif direction == "forward":
+                    cands = [
+                        (ts, v)
+                        for (kk, ts, v) in right
+                        if kk == k and ts >= lts and (ts - lts).total_seconds() <= tol
+                    ]
+                    want = min(cands)[1] if cands else None
+                else:
+                    cands = [
+                        (abs((ts - lts).total_seconds()), ts, v)
+                        for (kk, ts, v) in right
+                        if kk == k and abs((ts - lts).total_seconds()) <= tol
+                    ]
+                    want = min(cands)[2] if cands else None
+                assert got[lid] == want, (direction, tol, lid)
+
 
 @settings(max_examples=10, deadline=None)
 @given(
