@@ -235,6 +235,9 @@ def cmd_report(args) -> None:
             "monthly_anomaly_rate",
             "top_anomalous_entities",
             "anomalies_by_weekday",
+            "cluster_profile",
+            "error_by_day",
+            "error_vs_actual",
         ):
             rows = rpt.get(name)
             if rows:
@@ -247,7 +250,10 @@ def cmd_report(args) -> None:
     if args.html:
         from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import render_html
 
-        pathlib.Path(args.html).write_text(render_html(rpt))
+        # explicit utf-8: the document declares charset=utf-8 and always
+        # contains non-ASCII glyphs; locale-default codecs mojibake or
+        # crash on non-UTF-8 hosts
+        pathlib.Path(args.html).write_text(render_html(rpt), encoding="utf-8")
     print(json.dumps(rpt))
 
 

@@ -318,8 +318,10 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     nodes (celebrity products, power-law tails) cannot explode the
     join — the standard distributed formulation. Input: one row per
     undirected edge as (u, v); callers pass a deduped edge list.
-    Returns the un-aggregated triangle rows (e1.lo, e1.hi, e2.hi) so
-    callers can count, sample, or join back.
+    Returns one row per triangle with its three vertices as UNIQUE
+    columns (a, b, c) = (e1.lo, e1.hi, e2.hi) so callers can count,
+    sample, or join back without hitting the ambiguous lo/hi names the
+    raw three-way self-join carries.
     """
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -344,6 +346,11 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
         .join(
             e3,
             (F.col("e3.lo") == F.col("e1.lo")) & (F.col("e3.hi") == F.col("e2.hi")),
+        )
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
         )
     )
 

@@ -286,12 +286,21 @@ def _line_centered_svg(items: list[tuple[str, float]], value_name: str) -> str:
     n = len(items)
     xs = [_ML + (pw if n == 1 else i * pw / (n - 1)) for i in range(n)]
     ys = [sy(v) for v in vals]
+    # label the DATA extremes at their true mapped positions (labeling
+    # the padded frame edges with unpadded values would sit each label
+    # a pad-width away from where that value actually maps)
+    vmax_d, vmin_d = max(vals), min(vals)
     grid = (
         f'<line class="axis" x1="{_ML}" y1="{sy(0):.1f}" x2="{_W - _MR}" y2="{sy(0):.1f}"/>'
         f'<text x="{_ML - 6}" y="{sy(0) + 4:.1f}" text-anchor="end">0</text>'
-        f'<text x="{_ML - 6}" y="{_MT + 8:.1f}" text-anchor="end">{_tick_label(round(ymax - pad, 3))}</text>'
-        f'<text x="{_ML - 6}" y="{_MT + ph:.1f}" text-anchor="end">{_tick_label(round(ymin + pad, 3))}</text>'
     )
+    for v in (vmax_d, vmin_d):
+        # skip an extreme label that would collide with the zero label
+        if abs(sy(v) - sy(0)) >= 12:
+            grid += (
+                f'<text x="{_ML - 6}" y="{sy(v) + 4:.1f}" text-anchor="end">'
+                f"{_tick_label(round(v, 3))}</text>"
+            )
     pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(xs, ys))
     hover = "".join(
         f'<circle cx="{x:.1f}" cy="{y:.1f}" r="9" fill="transparent">'
@@ -525,11 +534,13 @@ def render_html(report: dict, title: str = "Energy analytics report") -> str:
         )
     ebd = report.get("error_by_day") or []
     if ebd:
+        # always the zero-centered line: error values are signed, and
+        # _bar_svg (zero-based magnitude bars) renders negative values
+        # as garbage — even a 1-2 point series stays on the line form
         line = [(r["date"][5:], r["mean_err"]) for r in ebd]
-        chart = _line_centered_svg if len(line) > 2 else _bar_svg
         parts.append(
             "<div><h2>Mean forecast error by day</h2>"
-            + chart(line, "Mean forecast error by day")
+            + _line_centered_svg(line, "Mean forecast error by day")
             + _table(ebd)
             + "</div>"
         )

@@ -175,7 +175,9 @@ def cluster_profile(anomalies: DataFrame) -> DataFrame:
     )
 
 
-def qq_residuals(anomalies: DataFrame, n_points: int = 99) -> dict | None:
+def qq_residuals(
+    anomalies: DataFrame, n_points: int = 99, errs: DataFrame | None = None
+) -> dict | None:
     """Normal Q-Q panel data for the forecast residuals
     (`streamlit_app.py:406`, `stats.probplot(errors, dist="norm")`).
 
@@ -190,12 +192,10 @@ def qq_residuals(anomalies: DataFrame, n_points: int = 99) -> dict | None:
     """
     import statistics
 
-    if "prediction" not in anomalies.columns:
+    if errs is None:
+        errs, _ = _errors(anomalies)
+    if errs is None:
         return None
-    kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
-    errs = anomalies.filter(F.col("prediction").isNotNull()).select(
-        (F.col("prediction") - F.col(kwh)).alias("err")
-    )
     probs = [(j + 1) / (n_points + 1) for j in range(n_points)]
     row = errs.agg(
         F.percentile_approx("err", probs, 10_000).alias("q"),
@@ -224,25 +224,47 @@ def qq_residuals(anomalies: DataFrame, n_points: int = 99) -> dict | None:
 
 
 def _errors(anomalies: DataFrame):
+    """Residual frame shared by every error panel: err = prediction -
+    actual, filtered to NON-NULL err (a NULL actual — e.g. scored
+    future dates with no ground truth — must not reach a panel: a NULL
+    err would crash the all-NULL percentile unpack and be clamped into
+    bin 0 by greatest(NULL, 0) otherwise). Single source of truth for
+    the error definition."""
     if "prediction" not in anomalies.columns:
         return None, None
     kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
-    return (
-        anomalies.filter(F.col("prediction").isNotNull()).withColumn(
-            "err", F.col("prediction") - F.col(kwh)
-        ),
-        kwh,
+    errs = anomalies.withColumn("err", F.col("prediction") - F.col(kwh)).filter(
+        F.col("err").isNotNull()
     )
+    return errs, kwh
 
 
-def error_histogram(anomalies: DataFrame, n_bins: int = 30) -> dict | None:
+def _fixed_bin_rows(errs: DataFrame, col: str, lo: float, hi: float, n_bins: int, *aggs):
+    """Clamped fixed-width binning shared by the histogram and the
+    error-vs-actual panel: values outside [lo, hi] land in the end
+    bins. Returns (lo, width, {bin_index: Row(aggs...)})."""
+    if hi <= lo:
+        hi = lo + 1e-9
+    width = (hi - lo) / n_bins
+    bin_expr = F.least(
+        F.greatest(F.floor((F.col(col) - lo) / width), F.lit(0)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    rows = errs.groupBy(bin_expr.alias("bin")).agg(*aggs).collect()
+    return lo, width, {r["bin"]: r for r in rows}
+
+
+def error_histogram(
+    anomalies: DataFrame, n_bins: int = 30, errs: DataFrame | None = None
+) -> dict | None:
     """Error-distribution panel (`streamlit_app.py:380-393`): fixed-
     width bins between p0.5/p99.5 (tails clipped into the end bins so
     one outlier can't flatten the plot), plus the mean-error vline.
     Two agg passes total (sketch for the range, one groupBy for the
     bins) — no driver-side raw errors, unlike the dashboard's
     `errors.dropna()` pandas pull."""
-    errs, _ = _errors(anomalies)
+    if errs is None:
+        errs, _ = _errors(anomalies)
     if errs is None:
         return None
     row = errs.agg(
@@ -252,18 +274,10 @@ def error_histogram(anomalies: DataFrame, n_bins: int = 30) -> dict | None:
     ).collect()[0]
     if not row["n"]:
         return None
-    lo, hi = float(row["p"][0]), float(row["p"][1])
-    if hi <= lo:
-        hi = lo + 1e-9
-    width = (hi - lo) / n_bins
-    bin_expr = F.least(
-        F.greatest(F.floor((F.col("err") - lo) / width), F.lit(0)).cast("int"),
-        F.lit(n_bins - 1),
+    lo, width, by_bin = _fixed_bin_rows(
+        errs, "err", float(row["p"][0]), float(row["p"][1]), n_bins,
+        F.count(F.lit(1)).alias("n"),
     )
-    counts = {
-        r["bin"]: r["n"]
-        for r in errs.groupBy(bin_expr.alias("bin")).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     return {
         "mean_err": row["mean_err"],
         "n_errors": int(row["n"]),
@@ -271,19 +285,22 @@ def error_histogram(anomalies: DataFrame, n_bins: int = 30) -> dict | None:
             {
                 "lo": round(lo + i * width, 6),
                 "hi": round(lo + (i + 1) * width, 6),
-                "n": int(counts.get(i, 0)),
+                "n": int(by_bin[i]["n"]) if i in by_bin else 0,
             }
             for i in range(n_bins)
         ],
     }
 
 
-def error_by_day(anomalies: DataFrame) -> DataFrame | None:
+def error_by_day(
+    anomalies: DataFrame, errs: DataFrame | None = None
+) -> DataFrame | None:
     """Error-time-series panel (`streamlit_app.py:419-430`): the
     dashboard line-plots a 5k random sample of raw errors; the scalable
     equivalent is the daily mean with a p10/p90 band — one agg, output
     rows = days."""
-    errs, _ = _errors(anomalies)
+    if errs is None:
+        errs, _ = _errors(anomalies)
     if errs is None:
         return None
     return (
@@ -298,13 +315,17 @@ def error_by_day(anomalies: DataFrame) -> DataFrame | None:
     )
 
 
-def error_vs_actual(anomalies: DataFrame, n_bins: int = 20) -> list[dict] | None:
+def error_vs_actual(
+    anomalies: DataFrame, n_bins: int = 20, errs: DataFrame | None = None
+) -> list[dict] | None:
     """Error-vs-actual panel (`streamlit_app.py:395-401`): the
     dashboard scatter-samples 10k raw points; engine-side the actual
     consumption axis is cut into fixed-width bins and each bin reports
     its mean error + count — the binned-residual plot that actually
     shows heteroscedasticity at any scale."""
-    errs, kwh = _errors(anomalies)
+    kwh = "daily_energy_kwh" if "daily_energy_kwh" in anomalies.columns else "label_value"
+    if errs is None:
+        errs, _ = _errors(anomalies)
     if errs is None:
         return None
     row = errs.agg(
@@ -312,20 +333,11 @@ def error_vs_actual(anomalies: DataFrame, n_bins: int = 20) -> list[dict] | None
     ).collect()[0]
     if not row["n"]:
         return None
-    lo, hi = float(row["lo"]), float(row["hi"])
-    if hi <= lo:
-        hi = lo + 1e-9
-    width = (hi - lo) / n_bins
-    bin_expr = F.least(
-        F.greatest(F.floor((F.col(kwh) - lo) / width), F.lit(0)).cast("int"),
-        F.lit(n_bins - 1),
+    lo, width, by_bin = _fixed_bin_rows(
+        errs, kwh, float(row["lo"]), float(row["hi"]), n_bins,
+        F.round(F.avg("err"), 6).alias("mean_err"),
+        F.count(F.lit(1)).alias("n"),
     )
-    rows = (
-        errs.groupBy(bin_expr.alias("bin"))
-        .agg(F.round(F.avg("err"), 6).alias("mean_err"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    by_bin = {r["bin"]: r for r in rows}
     return [
         {
             "actual_lo": round(lo + i * width, 6),
@@ -344,37 +356,55 @@ def build_report(
     model_metadata: dict | None = None,
 ) -> dict:
     """Full dashboard-parity report as one JSON-serializable dict."""
-    report = {"kpi": kpi_cards(daily, features, anomalies)}
-    if model_metadata:
-        report["model"] = model_metadata
-    report["consumption_profiles"] = [r.asDict() for r in consumption_profiles(daily).collect()]
-    report["top_feature_correlations"] = top_feature_correlations(features)
+    # the anomalies table feeds ~10 independent panel actions; persist
+    # it (and the derived residual frame) for the report build so each
+    # panel re-reads cached blocks instead of re-scanning the parquet —
+    # the same discipline as detect_anomalies/cmd_anomaly (ADVICE r9)
     if anomalies is not None:
-        report["monthly_anomaly_rate"] = [
-            r.asDict() for r in monthly_anomaly_rate(anomalies).collect()
+        anomalies = anomalies.persist()
+    errs = None
+    try:
+        report = {"kpi": kpi_cards(daily, features, anomalies)}
+        if model_metadata:
+            report["model"] = model_metadata
+        report["consumption_profiles"] = [
+            r.asDict() for r in consumption_profiles(daily).collect()
         ]
-        report["top_anomalous_entities"] = [
-            r.asDict() for r in top_anomalous_entities(anomalies).collect()
-        ]
-        report["anomalies_by_weekday"] = [
-            r.asDict() for r in anomalies_by_weekday(anomalies).collect()
-        ]
-        if "cluster" in anomalies.columns:
-            report["cluster_profile"] = [
-                r.asDict() for r in cluster_profile(anomalies).collect()
+        report["top_feature_correlations"] = top_feature_correlations(features)
+        if anomalies is not None:
+            report["monthly_anomaly_rate"] = [
+                r.asDict() for r in monthly_anomaly_rate(anomalies).collect()
             ]
-        qq = qq_residuals(anomalies)
-        if qq is not None:
-            report["qq_residuals"] = qq
-        hist = error_histogram(anomalies)
-        if hist is not None:
-            report["error_histogram"] = hist
-        ebd = error_by_day(anomalies)
-        if ebd is not None:
-            report["error_by_day"] = [
-                {**r.asDict(), "date": str(r["date"])} for r in ebd.collect()
+            report["top_anomalous_entities"] = [
+                r.asDict() for r in top_anomalous_entities(anomalies).collect()
             ]
-        eva = error_vs_actual(anomalies)
-        if eva is not None:
-            report["error_vs_actual"] = eva
-    return report
+            report["anomalies_by_weekday"] = [
+                r.asDict() for r in anomalies_by_weekday(anomalies).collect()
+            ]
+            if "cluster" in anomalies.columns:
+                report["cluster_profile"] = [
+                    r.asDict() for r in cluster_profile(anomalies).collect()
+                ]
+            errs, _ = _errors(anomalies)
+            if errs is not None:
+                errs = errs.persist()
+            qq = qq_residuals(anomalies, errs=errs)
+            if qq is not None:
+                report["qq_residuals"] = qq
+            hist = error_histogram(anomalies, errs=errs)
+            if hist is not None:
+                report["error_histogram"] = hist
+            ebd = error_by_day(anomalies, errs=errs)
+            if ebd is not None:
+                report["error_by_day"] = [
+                    {**r.asDict(), "date": str(r["date"])} for r in ebd.collect()
+                ]
+            eva = error_vs_actual(anomalies, errs=errs)
+            if eva is not None:
+                report["error_vs_actual"] = eva
+        return report
+    finally:
+        if anomalies is not None:
+            anomalies.unpersist()
+        if errs is not None:
+            errs.unpersist()

@@ -285,6 +285,26 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
 
 
+def test_oriented_triangles_output_contract(spark):
+    """oriented_triangles returns unique (a, b, c) vertex columns —
+    selectable and join-backable (the raw 3-way self-join carries
+    ambiguous lo/hi names) — and finds exactly the true triangles."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        oriented_triangles,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)], "u long, v long"
+    )
+    tri = oriented_triangles(edges)
+    assert set(tri.columns) == {"a", "b", "c"}
+    got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri.select("a", "b", "c").collect())
+    assert got == [(1, 2, 3), (3, 4, 5)]
+    # empty graph -> empty, not an error
+    empty = spark.createDataFrame([], "u long, v long")
+    assert oriented_triangles(empty).count() == 0
+
+
 def test_kcenter_degenerate_inputs(spark):
     # empty corpus -> empty selection; k exceeding the distinct-point
     # count stops at full coverage instead of emitting arbitrary
