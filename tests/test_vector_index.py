@@ -1,0 +1,75 @@
+"""Persisted IVF index (ext/vector_index.py): search parity with the
+train-inline path, and the partition-pruning property that makes the
+artifact worth having — a probe must physically scan only the probed
+cells' partitions."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ann_topk_ivf
+from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+    build_ivf_index,
+    search_ivf_index,
+)
+from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_ivf_index_build_search_parity_and_pruning(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    meta = build_ivf_index(emb, idx)
+    assert meta["n_vectors"] == emb.count()
+    assert meta["n_cells"] == emb.select("label").distinct().count()
+    disk = json.loads(open(f"{idx}/index_meta.json").read())
+    assert disk == meta
+
+    for qid, k, nprobe in ((3, 10, 2), (77, 5, 1), (123, 8, meta["n_cells"])):
+        query = emb.filter(F.col("vec_id") == qid)
+        want = [
+            (r["vec_id"], r["cell"], r["cosine"])
+            for r in ann_topk_ivf(emb, query, k=k, nprobe=nprobe).collect()
+        ]
+        got_df = search_ivf_index(spark, idx, query, k=k, nprobe=nprobe)
+        got = [
+            (r["vec_id"], str(r["cell"]), r["cosine"]) for r in got_df.collect()
+        ]
+        want = [(a, str(b), c) for a, b, c in want]
+        assert got == want, (qid, k, nprobe)
+
+    # nprobe = n_cells degenerates to exact search: the query vector
+    # itself must be rank 1 at cosine 1.0
+    full = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 3"), k=1, nprobe=meta["n_cells"]
+    ).collect()
+    assert full[0]["vec_id"] == 3 and full[0]["cosine"] == 1.0
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_index2")
+    meta = build_ivf_index(emb, idx)
+    assert meta["n_cells"] >= 3, "need multiple cells for pruning to mean anything"
+    query = emb.filter("vec_id = 9")
+    out = search_ivf_index(spark, idx, query, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the probed-cell filter must reach the lists scan as a partition
+    # filter (pruned input), not a post-scan row filter
+    assert "PartitionFilters" in plan
+    scan_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "cell" in scan_line, scan_line
+    # and the pruned scan reads fewer rows than the corpus: the probed
+    # single cell's list is a strict subset
+    probed_rows = out.count()  # forces execution
+    assert probed_rows == 5
+    # direct evidence: a one-cell read returns only that cell's vectors
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    per_cell = {r["cell"]: r["n"] for r in lists.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(per_cell.values()) == meta["n_vectors"]
+    assert min(per_cell.values()) < meta["n_vectors"]
