@@ -281,6 +281,39 @@ def cmd_tokenize(args) -> None:
     print(json.dumps(summary))
 
 
+def cmd_vector_index(args) -> None:
+    """Persisted IVF index build: train the coarse quantizer and pack
+    the corpus as cell-partitioned parquet (ext/vector_index.py); one
+    JSON summary line."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import build_ivf_index
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    spark = _spark(args)
+    emb = load_table(spark, args.embeddings, "embeddings")
+    meta = build_ivf_index(emb, args.out)
+    print(json.dumps({"stage": "vector-index", **meta}))
+
+
+def cmd_vector_search(args) -> None:
+    """Probe a persisted IVF index: top-k cosine neighbors of the given
+    vector id, scanning only the nprobe probed cell partitions."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import search_ivf_index
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    spark = _spark(args)
+    query = load_table(spark, args.embeddings, "embeddings").filter(
+        F.col("vec_id") == args.query_id
+    )
+    hits = search_ivf_index(spark, args.index, query, k=args.k, nprobe=args.nprobe)
+    rows = [
+        {"vec_id": r["vec_id"], "cell": str(r["cell"]), "cosine": r["cosine"]}
+        for r in hits.collect()
+    ]
+    print(json.dumps({"query_id": args.query_id, "k": args.k, "nprobe": args.nprobe, "hits": rows}))
+
+
 def cmd_embaudit(args) -> None:
     """Embedding-space audit: distributed covariance -> PCA scree ->
     per-class Mahalanobis outliers, one JSON summary + optional
@@ -357,6 +390,8 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("tokenize"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--merges", type=int, default=3); p.add_argument("--vocab", type=int, default=1000); p.set_defaults(fn=cmd_tokenize)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
+    p = sub.add_parser("vector-index"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_vector_index)
+    p = sub.add_parser("vector-search"); p.add_argument("--embeddings", required=True); p.add_argument("--index", required=True); p.add_argument("--query-id", type=int, required=True); p.add_argument("--k", type=int, default=10); p.add_argument("--nprobe", type=int, default=2); p.set_defaults(fn=cmd_vector_search)
     p = sub.add_parser("curate"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--threshold", type=float, default=0.4); p.add_argument("--k", type=int, default=6); p.add_argument("--shards", type=int, default=8); p.add_argument("--seed", type=int, default=42); p.set_defaults(fn=cmd_curate)
     p = sub.add_parser("all")
     p.add_argument("--readings", required=True); p.add_argument("--tariffs", required=True)

@@ -49,6 +49,28 @@ def test_ivf_index_build_search_parity_and_pruning(spark, tmp_path):
     assert full[0]["vec_id"] == 3 and full[0]["cosine"] == 1.0
 
 
+def test_cli_vector_index_and_search(spark, tmp_path, capsys):
+    from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+    idx = str(tmp_path / "cli_idx")
+    capsys.readouterr()
+    cli.main(["vector-index", "--embeddings", SF_SMOKE, "--out", idx])
+    built = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert built["stage"] == "vector-index" and built["n_vectors"] == 500
+    cli.main(
+        ["vector-search", "--embeddings", SF_SMOKE, "--index", idx,
+         "--query-id", "3", "--k", "5", "--nprobe", "2"]
+    )
+    res = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert len(res["hits"]) == 5
+    assert res["hits"][0]["vec_id"] == 3 and res["hits"][0]["cosine"] == 1.0
+    assert res["hits"] == sorted(res["hits"], key=lambda h: (-h["cosine"], h["vec_id"]))
+
+
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     idx = str(tmp_path / "ivf_index2")
