@@ -32,6 +32,7 @@ def stream_stream_join(
     within: str = "6 hours",
     watermark: str = "1 day",
     how: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Pair each `left_type` event with the same user's `right_type`
     events arriving within `within` after it.
@@ -50,7 +51,7 @@ def stream_stream_join(
     the no-data batch that advances the final watermark and flushes
     evictable state), so even the outer variant carries a SQL oracle.
     """
-    src = _streaming_events(spark, events_path)
+    src = _streaming_events(spark, events_path, max_files_per_trigger)
     left = (
         src.where(F.col("event_type") == left_type)
         .select(
@@ -61,7 +62,7 @@ def stream_stream_join(
         .withWatermark("l_ts", watermark)
     )
     right = (
-        _streaming_events(spark, events_path)
+        _streaming_events(spark, events_path, max_files_per_trigger)
         .where(F.col("event_type") == right_type)
         .select(
             F.col("user_id").alias("r_user"),

@@ -406,6 +406,100 @@ def _write_batches_keyed(tmp_path, batches) -> str:
     return str(land)
 
 
+def _write_event_batches(tmp_path, batches) -> str:
+    land = tmp_path / "landing_events"
+    land.mkdir(parents=True)
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        p = land / f"batch_{i}.parquet"
+        pdf.to_parquet(p, index=False)
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    return str(land)
+
+
+def test_stream_stream_join_cross_batch_scenarios(spark, tmp_path):
+    """Stream-stream join state across real micro-batches (within=1h,
+    watermark=30min): a right row arriving one batch later still finds
+    the buffered left (cross-batch state match); a right row arriving
+    below the lagged watermark is late-dropped even though its left
+    would have matched (the left's state is evicted once the watermark
+    passes l_ts + within anyway); leftOuter null-extends an unmatched
+    left exactly once, after the watermark passes its match horizon,
+    and never null-extends a left that matched."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    def ev(uid, eid, hhmm, etype):
+        h, m = divmod(hhmm, 100)
+        return (uid, eid, BASE.replace(hour=h, minute=m), etype, 1.0)
+
+    # Each branch filters by event_type BEFORE withWatermark, so a
+    # side's watermark sees only that side's own events and the GLOBAL
+    # watermark is the min over both sides — the watermark-driver
+    # events below exist on BOTH sides (disjoint users u96/u97 that
+    # never match each other) to advance it.
+    batches = [
+        # b1: V1 and V_lonely buffer; drivers push both side wms to
+        # 11:30 (in effect during b2); end-of-b1 eviction still uses
+        # the 1970 wm, so V1 survives into b2
+        [ev(1, 101, 1000, "view"), ev(4, 401, 1005, "view"),
+         ev(96, 811, 1200, "view"), ev(97, 911, 1200, "purchase")],
+        # b2: P1@10:30 matches the BUFFERED V1 (cross-batch state
+        # match); end-of-b2 eviction (wm 11:30) evicts V1 (horizon
+        # 11:00) and V_lonely (11:05 -> null-emits in leftOuter);
+        # drivers push both wms to 13:30 for b3
+        [ev(1, 201, 1030, "purchase"),
+         ev(96, 812, 1400, "view"), ev(97, 912, 1400, "purchase")],
+        # b3: P2@10:50 must NOT pair with V1 — V1's state is gone and
+        # 10:50 sits below the lagged watermark; V2+P3 same-batch match
+        [ev(1, 202, 1050, "purchase"),
+         ev(3, 301, 1345, "view"), ev(3, 203, 1350, "purchase")],
+    ]
+    land = _write_event_batches(tmp_path, batches)
+
+    inner = sorted(
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in stream_stream_join(
+            spark, land, within="1 hour", watermark="30 minutes",
+            max_files_per_trigger=1,
+        ).collect()
+    )
+    assert inner == [(1, 101, 201), (3, 301, 203)]
+
+    outer = sorted(
+        [
+            (r["user_id"], r["view_id"], r["purchase_id"])
+            for r in stream_stream_join(
+                spark, land, within="1 hour", watermark="30 minutes",
+                how="leftOuter", max_files_per_trigger=1,
+            ).collect()
+        ],
+        key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+    )
+    # V_lonely (u4) and the b1 view driver (u96@12:00, horizon 13:00 <
+    # final wm 13:30) null-extend exactly once; matched lefts never do;
+    # the b2 view driver (u96@14:00, horizon 15:00) is withheld (open)
+    assert outer == [
+        (1, 101, 201), (3, 301, 203), (4, 401, None), (96, 811, None),
+    ]
+
+    # control: the same data in ONE batch sees everything before any
+    # eviction, so (V1, P2) also emits
+    land_one = _write_event_batches(tmp_path / "one", [sum(batches, [])])
+    inner_one = sorted(
+        (r["user_id"], r["view_id"], r["purchase_id"])
+        for r in stream_stream_join(
+            spark, land_one, within="1 hour", watermark="30 minutes",
+        ).collect()
+    )
+    assert inner_one == [(1, 101, 201), (1, 101, 202), (3, 301, 203)]
+
+
 def _snap_rows(sink):
     return sorted(
         (r["k"], r["v"], r["ver"]) for r in sink.current().collect()
