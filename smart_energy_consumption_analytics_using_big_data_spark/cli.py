@@ -306,7 +306,13 @@ def cmd_vector_search(args) -> None:
     query = load_table(spark, args.embeddings, "embeddings").filter(
         F.col("vec_id") == args.query_id
     )
-    hits = search_ivf_index(spark, args.index, query, k=args.k, nprobe=args.nprobe)
+    try:
+        hits = search_ivf_index(spark, args.index, query, k=args.k, nprobe=args.nprobe)
+    except ValueError as exc:
+        # a typo'd --query-id (or wrong-dim vector) must exit non-zero,
+        # not print an empty hit list indistinguishable from "no
+        # neighbors"
+        raise SystemExit(f"vector-search: {exc}")
     rows = [
         {"vec_id": r["vec_id"], "cell": str(r["cell"]), "cosine": r["cosine"]}
         for r in hits.collect()

@@ -189,6 +189,36 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(cents: DataFrame, qv: DataFrame, nprobe: int) -> DataFrame:
+    """The `nprobe` cells whose centroids are max-cosine to the query —
+    the coarse probe shared by the train-inline path (ann_topk_ivf) and
+    the persisted index (ext/vector_index.search_ivf_index). One shared
+    definition so the parity-critical ranking (round(,6) cosine, cell
+    tiebreak) cannot drift between the two."""
+    return (
+        cents.crossJoin(F.broadcast(qv))
+        .withColumn("qcos", F.round(cosine(F.col("centroid"), F.col("__qvec")), 6))
+        .orderBy(F.desc("qcos"), F.asc("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+
+
+def ivf_score_topk(
+    corpus: DataFrame, qv: DataFrame, k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """Fine scoring over the probed cells' vectors — the other shared
+    half of the IVF contract (round(,6) cosine, id tiebreak)."""
+    scored = corpus.crossJoin(F.broadcast(qv)).withColumn(
+        "cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
+    )
+    return (
+        scored.select(id_col, "cell", "cosine")
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     query: DataFrame,
@@ -205,22 +235,9 @@ def ann_topk_ivf(
     cents = ivf_centroids(embeddings, vec_col, label_col)
     lists = ivf_assign(embeddings, cents, vec_col, id_col)
     qv = query.select(F.col(vec_col).alias("__qvec"))
-    probe = (
-        cents.crossJoin(F.broadcast(qv))
-        .withColumn("qcos", F.round(cosine(F.col("centroid"), F.col("__qvec")), 6))
-        .orderBy(F.desc("qcos"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-    )
+    probe = ivf_probe_cells(cents, qv, nprobe)
     corpus = embeddings.join(lists.join(F.broadcast(probe), "cell"), id_col)
-    scored = corpus.crossJoin(F.broadcast(qv)).withColumn(
-        "cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    )
-    return (
-        scored.select(id_col, "cell", "cosine")
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return ivf_score_topk(corpus, qv, k, vec_col, id_col)
 
 
 def pq_codebook(

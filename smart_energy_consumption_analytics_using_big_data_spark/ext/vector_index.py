@@ -9,31 +9,71 @@ IVF index file):
 
 - ``centroids.parquet`` — (cell, centroid array<double>), always
   broadcast-sized;
-- ``lists.parquet`` — the corpus packed as (id, vector) rows written
-  ``partitionBy(cell)``: the inverted lists ARE hive partitions, so a
-  probe's ``cell IN (...)`` filter becomes PARTITION PRUNING — the
-  fine-scoring scan physically reads only ``nprobe`` cells' files, the
-  property that makes IVF sublinear at 100 TB (test-pinned via the
-  plan's PartitionFilters);
-- ``index_meta.json`` — dims/counts/cell count + provenance.
+- ``lists.parquet`` — the corpus packed as (id, vector, cell) rows
+  written ``partitionBy(cell_part)``: the inverted lists ARE hive
+  partitions, so a probe's ``cell_part IN (...)`` filter becomes
+  PARTITION PRUNING — the fine-scoring scan physically reads only
+  ``nprobe`` cells' files, the property that makes IVF sublinear at
+  100 TB (test-pinned via the plan's PartitionFilters contents). The
+  partition column is a ``c_``-prefixed STRING derived from the cell:
+  hive partition-value type inference would otherwise silently retype
+  numeric-looking labels on read ("01" -> 1) and break the isin probe;
+  the true ``cell`` rides along as a normal data column with its exact
+  original dtype, so search output is schema-identical to
+  ``ann_topk_ivf``;
+- ``index_meta.json`` — written THROUGH the Hadoop filesystem of the
+  index path (not driver-local pathlib), so ``s3://``/``hdfs://``
+  index dirs work and any driver can open the index.
 
-Search parity with the train-inline path is exact by construction
-(same centroids -> same assignment -> same probe + scoring argsort;
-pinned in tests/test_vector_index.py).
+Probe ranking and fine scoring are the SAME code as the train-inline
+path (`ivf_probe_cells` / `ivf_score_topk` in ext/similarity.py), so
+parity cannot drift; pinned in tests/test_vector_index.py.
 """
 
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import (
     ivf_assign,
     ivf_centroids,
+    ivf_probe_cells,
+    ivf_score_topk,
 )
-from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import cosine
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the path's Hadoop filesystem
+    (works for file://, hdfs://, s3a:// alike — unlike driver pathlib)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        # decode JVM-side (commons-io ships with Spark): py4j passes
+        # arrays BY COPY, so a readFully into a Python bytearray would
+        # fill the JVM copy and leave the local buffer zeroed
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _cell_part(cell):
+    # inference-proof partition value: always a non-numeric string
+    return F.concat(F.lit("c_"), cell.cast("string"))
 
 
 def build_ivf_index(
@@ -45,35 +85,44 @@ def build_ivf_index(
 ) -> dict:
     """Train the coarse quantizer and write the index artifact.
 
-    One centroid pass + one assignment pass over the corpus; the lists
-    write shuffles once on ``cell`` so each inverted list lands as one
-    hive partition (files-per-cell ~ 1 at dimension-table scale; a
-    100 TB corpus raises it naturally with input splits).
-    Returns the meta dict (also persisted as index_meta.json).
+    The centroids are computed once, WRITTEN, then read back for the
+    assignment pass (re-using the materialized result instead of
+    re-running the corpus-wide aggregation inside the lists job); the
+    lists write shuffles once on the cell. All post-write stats come
+    from one groupBy pass over the written lists plus the
+    broadcast-sized centroids — no extra corpus scans. Returns the
+    meta dict (also persisted as index_meta.json).
     """
-    root = Path(index_dir)
-    root.mkdir(parents=True, exist_ok=True)
-    cents = ivf_centroids(embeddings, vec_col, label_col)
-    cents.coalesce(1).write.mode("overwrite").parquet(str(root / "centroids.parquet"))
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
-    packed = embeddings.select(id_col, vec_col).join(assigned, id_col)
-    (
-        packed.repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(str(root / "lists.parquet"))
-    )
+    if embeddings.isEmpty():
+        raise ValueError("build_ivf_index: embeddings corpus is empty")
     spark = embeddings.sparkSession
-    lists = spark.read.parquet(str(root / "lists.parquet"))
-    n_cells = lists.select("cell").distinct().count()
+    cents = ivf_centroids(embeddings, vec_col, label_col)
+    cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
+    packed = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .withColumn("cell_part", _cell_part(F.col("cell")))
+    )
+    (
+        packed.repartition("cell_part")
+        .write.mode("overwrite")
+        .partitionBy("cell_part")
+        .parquet(f"{index_dir}/lists.parquet")
+    )
+    lists = spark.read.parquet(f"{index_dir}/lists.parquet")
+    per_cell = lists.groupBy("cell_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    cent_rows = cents.select("cell", F.size("centroid").alias("dim")).collect()
     meta = {
-        "n_vectors": lists.count(),
-        "n_cells": n_cells,
-        "dim": len(embeddings.select(vec_col).first()[0]),
+        "n_vectors": int(sum(r["n"] for r in per_cell)),
+        "n_cells": len(cent_rows),
+        "n_nonempty_cells": len(per_cell),
+        "dim": int(cent_rows[0]["dim"]),
         "vec_col": vec_col,
         "id_col": id_col,
     }
-    (root / "index_meta.json").write_text(json.dumps(meta, indent=2))
+    _fs_write_text(spark, f"{index_dir}/index_meta.json", json.dumps(meta, indent=2))
     return meta
 
 
@@ -88,35 +137,30 @@ def search_ivf_index(
     (broadcast-sized, collected to drive partition pruning), then
     brute-force ONLY the probed cells' partitions.
 
-    The probed cell ids become a LITERAL isin() filter on the lists
-    scan — visible as PartitionFilters in the physical plan, so the
-    fine scoring reads nprobe/n_cells of the index bytes. Ranking is
-    identical to ann_topk_ivf (round(,6) cosine, id tiebreak), so a
-    frozen index returns exactly what the train-inline path returns on
-    the same corpus snapshot.
+    The probed cells become a LITERAL isin() filter on the lists
+    scan's string partition column — visible as PartitionFilters in
+    the physical plan, so the fine scoring reads nprobe/n_cells of the
+    index bytes. Ranking is the shared ivf_probe_cells/ivf_score_topk
+    code, so a frozen index returns exactly what the train-inline path
+    returns on the same corpus snapshot (``nprobe >= meta["n_cells"]``
+    degenerates to exact search — the CENTROID count, which can exceed
+    the non-empty list count).
     """
-    root = Path(index_dir)
-    meta = json.loads((root / "index_meta.json").read_text())
+    meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    cents = spark.read.parquet(str(root / "centroids.parquet"))
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     qv = query.select(F.col(vec_col).alias("__qvec"))
+    qrow = qv.select(F.size("__qvec").alias("d")).first()
+    if qrow is None:
+        raise ValueError("search_ivf_index: query has no rows")
+    if qrow["d"] != meta["dim"]:
+        raise ValueError(
+            f"search_ivf_index: query dim {qrow['d']} != index dim {meta['dim']}"
+        )
     probed = [
-        r["cell"]
-        for r in cents.crossJoin(F.broadcast(qv))
-        .withColumn("qcos", F.round(cosine(F.col("centroid"), F.col("__qvec")), 6))
-        .orderBy(F.desc("qcos"), F.asc("cell"))
-        .limit(nprobe)
-        .select("cell")
-        .collect()
+        f"c_{r['cell']}" for r in ivf_probe_cells(cents, qv, nprobe).collect()
     ]
-    lists = spark.read.parquet(str(root / "lists.parquet")).filter(
-        F.col("cell").isin(probed)
+    lists = spark.read.parquet(f"{index_dir}/lists.parquet").filter(
+        F.col("cell_part").isin(probed)
     )
-    scored = lists.crossJoin(F.broadcast(qv)).withColumn(
-        "cosine", F.round(cosine(F.col(vec_col), F.col("__qvec")), 6)
-    )
-    return (
-        scored.select(id_col, "cell", "cosine")
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    return ivf_score_topk(lists.drop("cell_part"), qv, k, vec_col, id_col)

@@ -40,12 +40,17 @@ def _dsum(vals) -> float:
     return float(sum(Decimal(str(v)).quantize(q, rounding=ROUND_HALF_UP) for v in vals))
 
 
-def _write_batches(tmp_path, batches) -> str:
+def _write_batches(
+    tmp_path,
+    batches,
+    columns=("user_id", "ts", "event_type", "value"),
+    dirname="landing",
+) -> str:
     """One parquet file per batch; mtimes force the micro-batch order."""
-    land = tmp_path / "landing"
-    land.mkdir()
+    land = tmp_path / dirname
+    land.mkdir(parents=True)
     for i, rows in enumerate(batches):
-        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type", "value"])
+        pdf = pd.DataFrame(rows, columns=list(columns))
         pdf["ts"] = pd.to_datetime(pdf["ts"])
         p = land / f"batch_{i}.parquet"
         pdf.to_parquet(p, index=False)
@@ -392,33 +397,21 @@ def test_stream_dedup_within_watermark_multibatch(spark, tmp_path, seed, delay_h
 
 
 def _write_batches_keyed(tmp_path, batches) -> str:
-    """Like _write_batches but the key column is event_id (the dedup
+    """_write_batches with event_id as the key column (the dedup
     operator's default business key)."""
-    land = tmp_path / "landing_keyed"
-    land.mkdir()
-    for i, rows in enumerate(batches):
-        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
-        pdf["ts"] = pd.to_datetime(pdf["ts"])
-        p = land / f"batch_{i}.parquet"
-        pdf.to_parquet(p, index=False)
-        t = 1_700_000_000 + i * 60
-        os.utime(p, (t, t))
-    return str(land)
+    return _write_batches(
+        tmp_path, batches,
+        columns=("event_id", "ts", "event_type", "value"),
+        dirname="landing_keyed",
+    )
 
 
 def _write_event_batches(tmp_path, batches) -> str:
-    land = tmp_path / "landing_events"
-    land.mkdir(parents=True)
-    for i, rows in enumerate(batches):
-        pdf = pd.DataFrame(
-            rows, columns=["user_id", "event_id", "ts", "event_type", "value"]
-        )
-        pdf["ts"] = pd.to_datetime(pdf["ts"])
-        p = land / f"batch_{i}.parquet"
-        pdf.to_parquet(p, index=False)
-        t = 1_700_000_000 + i * 60
-        os.utime(p, (t, t))
-    return str(land)
+    return _write_batches(
+        tmp_path, batches,
+        columns=("user_id", "event_id", "ts", "event_type", "value"),
+        dirname="landing_events",
+    )
 
 
 def test_stream_stream_join_cross_batch_scenarios(spark, tmp_path):

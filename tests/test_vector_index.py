@@ -1,12 +1,14 @@
 """Persisted IVF index (ext/vector_index.py): search parity with the
-train-inline path, and the partition-pruning property that makes the
-artifact worth having — a probe must physically scan only the probed
-cells' partitions."""
+train-inline path (exact, including the cell column's dtype), and the
+partition-pruning property that makes the artifact worth having — a
+probe must physically scan only the probed cells' partitions."""
 
 from __future__ import annotations
 
 import json
+import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ann_topk_ivf
@@ -25,28 +27,45 @@ def test_ivf_index_build_search_parity_and_pruning(spark, tmp_path):
     meta = build_ivf_index(emb, idx)
     assert meta["n_vectors"] == emb.count()
     assert meta["n_cells"] == emb.select("label").distinct().count()
+    assert meta["n_nonempty_cells"] <= meta["n_cells"]
     disk = json.loads(open(f"{idx}/index_meta.json").read())
     assert disk == meta
 
     for qid, k, nprobe in ((3, 10, 2), (77, 5, 1), (123, 8, meta["n_cells"])):
         query = emb.filter(F.col("vec_id") == qid)
-        want = [
-            (r["vec_id"], r["cell"], r["cosine"])
-            for r in ann_topk_ivf(emb, query, k=k, nprobe=nprobe).collect()
-        ]
+        want_df = ann_topk_ivf(emb, query, k=k, nprobe=nprobe)
         got_df = search_ivf_index(spark, idx, query, k=k, nprobe=nprobe)
-        got = [
-            (r["vec_id"], str(r["cell"]), r["cosine"]) for r in got_df.collect()
-        ]
-        want = [(a, str(b), c) for a, b, c in want]
+        # exact parity INCLUDING the cell dtype (the partition round
+        # trip must not retype the cell — it rides as a data column)
+        assert dict(got_df.dtypes)["cell"] == dict(want_df.dtypes)["cell"]
+        want = [(r["vec_id"], r["cell"], r["cosine"]) for r in want_df.collect()]
+        got = [(r["vec_id"], r["cell"], r["cosine"]) for r in got_df.collect()]
         assert got == want, (qid, k, nprobe)
 
-    # nprobe = n_cells degenerates to exact search: the query vector
-    # itself must be rank 1 at cosine 1.0
+    # nprobe = n_cells (the CENTROID count) degenerates to exact
+    # search: the query vector itself must be rank 1 at cosine 1.0
     full = search_ivf_index(
         spark, idx, emb.filter("vec_id = 3"), k=1, nprobe=meta["n_cells"]
     ).collect()
     assert full[0]["vec_id"] == 3 and full[0]["cosine"] == 1.0
+
+
+def test_ivf_search_rejects_bad_queries(spark, tmp_path):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_badq")
+    meta = build_ivf_index(emb, idx)
+    # empty query set -> clear error, not silently empty hits
+    with pytest.raises(ValueError, match="query has no rows"):
+        search_ivf_index(spark, idx, emb.filter("vec_id = -1"), k=3)
+    # wrong-dimension query -> clear error, not NULL cosines
+    bad = emb.limit(1).select(
+        "vec_id", F.slice("embedding", 1, meta["dim"] - 1).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        search_ivf_index(spark, idx, bad, k=3)
+    # empty corpus -> build refuses before any write work
+    with pytest.raises(ValueError, match="empty"):
+        build_ivf_index(emb.filter("vec_id < 0"), str(tmp_path / "never"))
 
 
 def test_cli_vector_index_and_search(spark, tmp_path, capsys):
@@ -69,6 +88,12 @@ def test_cli_vector_index_and_search(spark, tmp_path, capsys):
     assert len(res["hits"]) == 5
     assert res["hits"][0]["vec_id"] == 3 and res["hits"][0]["cosine"] == 1.0
     assert res["hits"] == sorted(res["hits"], key=lambda h: (-h["cosine"], h["vec_id"]))
+    # a typo'd id errors out instead of printing empty hits
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["vector-search", "--embeddings", SF_SMOKE, "--index", idx,
+             "--query-id", "999999", "--k", "5"]
+        )
 
 
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
@@ -79,19 +104,16 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     query = emb.filter("vec_id = 9")
     out = search_ivf_index(spark, idx, query, k=5, nprobe=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the probed-cell filter must reach the lists scan as a partition
-    # filter (pruned input), not a post-scan row filter
-    assert "PartitionFilters" in plan
-    scan_line = next(
-        ln for ln in plan.splitlines() if "PartitionFilters" in ln
-    )
-    assert "cell" in scan_line, scan_line
-    # and the pruned scan reads fewer rows than the corpus: the probed
-    # single cell's list is a strict subset
-    probed_rows = out.count()  # forces execution
-    assert probed_rows == 5
-    # direct evidence: a one-cell read returns only that cell's vectors
+    # the probed-cell filter must land INSIDE the PartitionFilters
+    # bracket of the lists scan (an empty 'PartitionFilters: []' with a
+    # post-scan row filter would read every partition)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_part", plan), plan[:2000]
+    assert out.count() == 5
+    # direct evidence: lists are genuinely split across partitions
     lists = spark.read.parquet(f"{idx}/lists.parquet")
-    per_cell = {r["cell"]: r["n"] for r in lists.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    per_cell = {
+        r["cell_part"]: r["n"]
+        for r in lists.groupBy("cell_part").agg(F.count("*").alias("n")).collect()
+    }
     assert sum(per_cell.values()) == meta["n_vectors"]
     assert min(per_cell.values()) < meta["n_vectors"]
