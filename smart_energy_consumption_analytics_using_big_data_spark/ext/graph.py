@@ -340,6 +340,15 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
     )
+    # Materialize the oriented list ONCE before the three-way self-join:
+    # each alias would otherwise re-execute the whole edge build (fact
+    # agg + distinct + two degree joins) — the join keys differ per
+    # alias so exchange reuse does not cover it. Same-session A/B at
+    # 10x lineitem: 107.5 s -> 38.9-87.6 s warm, identical counts.
+    # localCheckpoint (not persist) so the blocks are reclaimed by the
+    # ContextCleaner when the returned plan is dropped — the dsir_select
+    # lifecycle pattern (ADVICE r3), no session cache-entry leak.
+    oriented = oriented.localCheckpoint(eager=True)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     return (
         e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))

@@ -356,6 +356,13 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # a full corpus shuffle). Values identical at sf0.1 (set-equal
     # collect) and sf0.01 driver-sim; median 3.57 -> 2.93 s solo.
     ("q_text_textrank", 11),
+    # r12: oriented_triangles materializes the oriented edge list
+    # (localCheckpoint) before the three-way self-join — each alias
+    # re-executed the whole edge build before (107.5 -> 38.9-87.6 s at
+    # 10x lineitem, same-session A/B, identical counts at both scales;
+    # sf0.001/sf0.01 oracle + driver-sim green locally). Plan changed,
+    # so the driver re-proves it.
+    ("q_graph_triangles", 12),
 )
 
 # One-time liveness refresh of rows-only queries whose ONLY driver row
