@@ -159,6 +159,98 @@ def test_pack_sequences_conserves_tokens_and_docs(spark):
     assert violations == 0
 
 
+def test_scd2_null_attribute_transitions(spark):
+    """NULL attribute values through the SCD2 builder: a key whose
+    FIRST version is NULL must still open a version (the documented
+    row_number guard — eqNullSafe(NULL, lag=NULL) would collapse it),
+    NULL->value and value->NULL are real transitions, and consecutive
+    NULLs collapse into one version."""
+    import datetime as dt
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1: NULL, NULL (collapse), "x", NULL -> 3 versions
+        (1, None, base, 1),
+        (1, None, base + dt.timedelta(days=1), 2),
+        (1, "x", base + dt.timedelta(days=2), 3),
+        (1, None, base + dt.timedelta(days=3), 4),
+        # key 2: value -> NULL -> same value again -> 3 versions
+        (2, "y", base, 1),
+        (2, None, base + dt.timedelta(days=1), 2),
+        (2, "y", base + dt.timedelta(days=2), 3),
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, ts timestamp, seq int")
+    hist = {
+        k: sorted(
+            [(r["attr"], r["valid_from"], r["valid_to"]) for r in rs],
+            key=lambda t: t[1],
+        )
+        for k, rs in (
+            (k, [r for r in scd2_from_changelog(df, ["k"], "attr", "ts", ["seq"]).collect() if r["k"] == k])
+            for k in (1, 2)
+        )
+    }
+    assert [a for a, *_ in hist[1]] == [None, "x", None]
+    assert [a for a, *_ in hist[2]] == ["y", None, "y"]
+    for versions in hist.values():
+        # intervals chain and the last is open
+        for (_, _, to_a), (_, frm_b, _) in zip(versions, versions[1:]):
+            assert to_a == frm_b
+        assert versions[-1][2] is None
+
+
+def test_fuzzy_join_degenerate_and_unicode_strings(spark):
+    """The axes the random strategy never generates: empty strings
+    (deletion neighborhood is just {''}; ed('', single-char) = 1 must
+    still be found through the shared '' variant), multi-byte unicode
+    (Spark length/substring count CHARACTERS — a byte-based blocking
+    would split codepoints), and strings differing only by a diacritic
+    (ed 1 at character level)."""
+    import itertools
+
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.joins import (
+        fuzzy_join_ed1,
+    )
+
+    names = ["", "a", "ab", "café", "cafe", "cafés", "日本", "日本語", "独本"]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pdf = pd.DataFrame({"id": range(len(names)), "name": names})
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join_ed1(
+            spark.createDataFrame(pdf), spark.createDataFrame(pdf),
+            "id", "name", "id", "name",
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    # the load-bearing cases, by name
+    byname = {n: i for i, n in enumerate(names)}
+    assert (byname[""], byname["a"]) in got
+    assert (byname["café"], byname["cafe"]) in got
+    assert (byname["日本"], byname["日本語"]) in got
+    assert (byname["日本"], byname["独本"]) in got
+
+
 name_strings = st.lists(
     st.text(alphabet="abc01", min_size=1, max_size=6),
     min_size=2,
