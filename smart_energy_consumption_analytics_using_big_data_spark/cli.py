@@ -204,6 +204,27 @@ def cmd_export(args) -> None:
         .csv(f"{args.out}/export_csv")
         .count()
     )
+    # MongoDB hand-off instructions next to the CSV, mirroring the
+    # reference's create_mongodb_import_instructions
+    # (`merge_csv_for_mongodb.py:162-186`): the import itself is an
+    # external mongoimport invocation (no Mongo driver in-process), but
+    # the user gets the exact commands against the file Spark wrote.
+    import glob as _glob
+    import pathlib as _pathlib
+
+    parts = sorted(_glob.glob(f"{args.out}/export_csv/*.csv"))
+    csv_file = parts[0] if parts else f"{args.out}/export_csv/part-*.csv"
+    _pathlib.Path(f"{args.out}/export_csv/mongodb_import_instructions.txt").write_text(
+        "# MongoDB import instructions (reference parity:\n"
+        "# merge_csv_for_mongodb.py:162-186)\n\n"
+        "## Local MongoDB\n"
+        f'mongoimport --db smart_energy --collection energy_data --file "{csv_file}" --type csv --headerline\n\n'
+        "## MongoDB Atlas\n"
+        'mongoimport --uri "mongodb+srv://<username>:<password>@<cluster-url>/smart_energy'
+        '?retryWrites=true&w=majority" --collection energy_data '
+        f'--file "{csv_file}" --type csv --headerline\n',
+        encoding="utf-8",
+    )
     print(json.dumps({"stage": "export", "rows": exported}))
 
 
