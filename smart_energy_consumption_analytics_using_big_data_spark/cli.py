@@ -204,17 +204,22 @@ def cmd_export(args) -> None:
         .csv(f"{args.out}/export_csv")
         .count()
     )
-    # MongoDB hand-off instructions next to the CSV, mirroring the
-    # reference's create_mongodb_import_instructions
-    # (`merge_csv_for_mongodb.py:162-186`): the import itself is an
-    # external mongoimport invocation (no Mongo driver in-process), but
-    # the user gets the exact commands against the file Spark wrote.
+    # MongoDB hand-off instructions, mirroring the reference's
+    # create_mongodb_import_instructions (`merge_csv_for_mongodb.py:
+    # 162-186`): the import itself is an external mongoimport
+    # invocation (no Mongo driver in-process), but the user gets the
+    # exact commands against the file Spark wrote. Written ONE LEVEL
+    # ABOVE the CSV sink dir: a .txt inside it would be parsed as data
+    # by any directory-level CSV reader (Spark only skips _/. files) —
+    # including this function's own row-count read above.
     import glob as _glob
     import pathlib as _pathlib
 
     parts = sorted(_glob.glob(f"{args.out}/export_csv/*.csv"))
-    csv_file = parts[0] if parts else f"{args.out}/export_csv/part-*.csv"
-    _pathlib.Path(f"{args.out}/export_csv/mongodb_import_instructions.txt").write_text(
+    if not parts:
+        raise SystemExit("export: no CSV part file was produced")
+    csv_file = parts[0]
+    _pathlib.Path(f"{args.out}/mongodb_import_instructions.txt").write_text(
         "# MongoDB import instructions (reference parity:\n"
         "# merge_csv_for_mongodb.py:162-186)\n\n"
         "## Local MongoDB\n"

@@ -345,10 +345,13 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     # agg + distinct + two degree joins) — the join keys differ per
     # alias so exchange reuse does not cover it. Same-session A/B at
     # 10x lineitem: 107.5 s -> 38.9-87.6 s warm, identical counts.
-    # localCheckpoint (not persist) so the blocks are reclaimed by the
-    # ContextCleaner when the returned plan is dropped — the dsir_select
+    # LAZY localCheckpoint: the first action materializes it and the
+    # other aliases read the persisted blocks, but plan-only callers
+    # (.explain(), schema checks, discarded branches) pay nothing at
+    # construction time; not persist(), so the ContextCleaner reclaims
+    # the blocks when the returned plan is dropped — the dsir_select
     # lifecycle pattern (ADVICE r3), no session cache-entry leak.
-    oriented = oriented.localCheckpoint(eager=True)
+    oriented = oriented.localCheckpoint(eager=False)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     return (
         e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))

@@ -346,10 +346,13 @@ def test_cli_all_runs_whole_chain_in_one_invocation(
     ):
         assert os.path.isdir(f"{out}/{artifact}"), artifact
     # the mongoimport hand-off instructions point at the CSV Spark
-    # actually wrote (`merge_csv_for_mongodb.py:162-186` parity)
-    instructions = open(f"{out}/export_csv/mongodb_import_instructions.txt").read()
+    # actually wrote (`merge_csv_for_mongodb.py:162-186` parity), and
+    # live OUTSIDE the CSV sink dir so directory-level CSV readers
+    # (incl. cmd_export's own row-count read) never parse them as data
+    instructions = open(f"{out}/mongodb_import_instructions.txt").read()
     assert "mongoimport --db smart_energy --collection energy_data" in instructions
     import glob
 
     csv_part = glob.glob(f"{out}/export_csv/*.csv")[0]
     assert csv_part in instructions
+    assert not glob.glob(f"{out}/export_csv/*.txt")
