@@ -281,6 +281,22 @@ def cmd_report(args) -> None:
         # crash on non-UTF-8 hosts
         pathlib.Path(args.html).write_text(render_html(rpt), encoding="utf-8")
     print(json.dumps(rpt))
+    # getattr: the `all` chain reuses cmd_report with a namespace that
+    # has no --serve/--port (serving would block the chain anyway)
+    if getattr(args, "serve", False):
+        if not args.html:
+            raise SystemExit("report: --serve requires --html (the file to serve)")
+        from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import serve_report
+
+        srv = serve_report(args.html, port=args.port)
+        host, port = srv.server_address[:2]
+        print(f"serving {args.html} at http://{host}:{port}/ (Ctrl-C to stop)")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.server_close()
 
 
 def cmd_corpus(args) -> None:
@@ -310,14 +326,31 @@ def cmd_tokenize(args) -> None:
 def cmd_vector_index(args) -> None:
     """Persisted IVF index build: train the coarse quantizer and pack
     the corpus as cell-partitioned parquet (ext/vector_index.py); one
-    JSON summary line."""
-    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import build_ivf_index
+    JSON summary line. With --append the batch is assigned to the
+    FROZEN centroids of an existing index and appended to its lists
+    (no retrain, no rewrite)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        append_ivf_index,
+        build_ivf_index,
+    )
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
 
     spark = _spark(args)
     emb = load_table(spark, args.embeddings, "embeddings")
-    meta = build_ivf_index(emb, args.out)
-    print(json.dumps({"stage": "vector-index", **meta}))
+    if getattr(args, "min_id", None) is not None:
+        from pyspark.sql import functions as F
+
+        emb = emb.filter(F.col("vec_id") >= args.min_id)
+    if getattr(args, "max_id", None) is not None:
+        from pyspark.sql import functions as F
+
+        emb = emb.filter(F.col("vec_id") < args.max_id)
+    if args.append:
+        meta = append_ivf_index(emb, args.out)
+        print(json.dumps({"stage": "vector-index-append", **meta}))
+    else:
+        meta = build_ivf_index(emb, args.out)
+        print(json.dumps({"stage": "vector-index", **meta}))
 
 
 def cmd_vector_search(args) -> None:
@@ -418,11 +451,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("forecast"); p.add_argument("--out", required=True); p.add_argument("--test-cutoff", required=True); p.add_argument("--val-cutoff", required=True); p.set_defaults(fn=cmd_forecast)
     p = sub.add_parser("anomaly"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_anomaly)
     p = sub.add_parser("export"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_export)
-    p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.add_argument("--html", default=None); p.set_defaults(fn=cmd_report)
+    p = sub.add_parser("report"); p.add_argument("--out", required=True); p.add_argument("--csv-dir", default=None); p.add_argument("--html", default=None); p.add_argument("--serve", action="store_true", help="serve the --html report over stdlib http (blocks)"); p.add_argument("--port", type=int, default=8000, help="port for --serve (0 = ephemeral)"); p.set_defaults(fn=cmd_report)
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("tokenize"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--merges", type=int, default=3); p.add_argument("--vocab", type=int, default=1000); p.set_defaults(fn=cmd_tokenize)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
-    p = sub.add_parser("vector-index"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.set_defaults(fn=cmd_vector_index)
+    p = sub.add_parser("vector-index"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--append", action="store_true", help="assign to the existing index's frozen centroids and append (no retrain)"); p.add_argument("--min-id", type=int, default=None, help="only vec_id >= this (batch slicing for --append)"); p.add_argument("--max-id", type=int, default=None, help="only vec_id < this"); p.set_defaults(fn=cmd_vector_index)
     p = sub.add_parser("vector-search"); p.add_argument("--embeddings", required=True); p.add_argument("--index", required=True); p.add_argument("--query-id", type=int, required=True); p.add_argument("--k", type=int, default=10); p.add_argument("--nprobe", type=int, default=2); p.set_defaults(fn=cmd_vector_search)
     p = sub.add_parser("curate"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--threshold", type=float, default=0.4); p.add_argument("--k", type=int, default=6); p.add_argument("--shards", type=int, default=8); p.add_argument("--seed", type=int, default=42); p.set_defaults(fn=cmd_curate)
     p = sub.add_parser("all")

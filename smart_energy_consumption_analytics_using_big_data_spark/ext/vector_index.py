@@ -28,6 +28,10 @@ IVF index file):
 Probe ranking and fine scoring are the SAME code as the train-inline
 path (`ivf_probe_cells` / `ivf_score_topk` in ext/similarity.py), so
 parity cannot drift; pinned in tests/test_vector_index.py.
+
+``append_ivf_index`` adds new vectors without retraining: assign to
+the frozen centroids, ``mode("append")`` into the hive partitions —
+the index-once / append-deltas / probe-many production lifecycle.
 """
 
 from __future__ import annotations
@@ -76,6 +80,31 @@ def _cell_part(cell):
     return F.concat(F.lit("c_"), cell.cast("string"))
 
 
+def _refresh_meta(
+    spark: SparkSession, index_dir: str, vec_col: str, id_col: str
+) -> dict:
+    """Recompute and persist index_meta.json from the written artifact.
+
+    One groupBy over the lists' PARTITION column only (count(*) per
+    hive partition is served from parquet footers, not vector bytes)
+    plus the broadcast-sized centroids — shared by build and append so
+    the meta can never drift from the artifact."""
+    lists = spark.read.parquet(f"{index_dir}/lists.parquet")
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    per_cell = lists.groupBy("cell_part").agg(F.count(F.lit(1)).alias("n")).collect()
+    cent_rows = cents.select("cell", F.size("centroid").alias("dim")).collect()
+    meta = {
+        "n_vectors": int(sum(r["n"] for r in per_cell)),
+        "n_cells": len(cent_rows),
+        "n_nonempty_cells": len(per_cell),
+        "dim": int(cent_rows[0]["dim"]),
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    _fs_write_text(spark, f"{index_dir}/index_meta.json", json.dumps(meta, indent=2))
+    return meta
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_dir: str,
@@ -111,19 +140,55 @@ def build_ivf_index(
         .partitionBy("cell_part")
         .parquet(f"{index_dir}/lists.parquet")
     )
-    lists = spark.read.parquet(f"{index_dir}/lists.parquet")
-    per_cell = lists.groupBy("cell_part").agg(F.count(F.lit(1)).alias("n")).collect()
-    cent_rows = cents.select("cell", F.size("centroid").alias("dim")).collect()
-    meta = {
-        "n_vectors": int(sum(r["n"] for r in per_cell)),
-        "n_cells": len(cent_rows),
-        "n_nonempty_cells": len(per_cell),
-        "dim": int(cent_rows[0]["dim"]),
-        "vec_col": vec_col,
-        "id_col": id_col,
-    }
-    _fs_write_text(spark, f"{index_dir}/index_meta.json", json.dumps(meta, indent=2))
-    return meta
+    return _refresh_meta(spark, index_dir, vec_col, id_col)
+
+
+def append_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
+    """Incrementally add vectors to a persisted index WITHOUT
+    retraining: assign the new batch to the FROZEN centroids and
+    append its rows to the hive-partitioned lists.
+
+    This is the production retrieval shape (index once, append the
+    daily delta, probe many): the coarse quantizer is an artifact of
+    the original training corpus and must stay frozen so existing
+    list assignments — and therefore existing probe results — never
+    move. The write is ``mode("append") + partitionBy``: new rows land
+    as extra files INSIDE their cell's hive partition (creating the
+    partition directory if that cell was empty), so the probe-side
+    partition pruning is untouched. Cost is one scan over the DELTA
+    (broadcast centroids, k cosines per row) plus a footer-only stats
+    pass — never a rewrite of the existing lists.
+
+    The appended artifact is byte-equivalent (as a rowset) to packing
+    the full corpus with these same centroids in one shot — pinned in
+    tests/test_vector_index.py. Caller contract: the batch's ids are
+    new (an id-collision check would be a full-index scan; dedup
+    upstream if ids can repeat).
+    """
+    if embeddings.isEmpty():
+        raise ValueError("append_ivf_index: appended batch is empty")
+    spark = embeddings.sparkSession
+    meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    drow = embeddings.select(F.size(vec_col).alias("d")).first()
+    if drow["d"] != meta["dim"]:
+        raise ValueError(
+            f"append_ivf_index: batch dim {drow['d']} != index dim {meta['dim']}"
+        )
+    cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
+    packed = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .withColumn("cell_part", _cell_part(F.col("cell")))
+    )
+    (
+        packed.repartition("cell_part")
+        .write.mode("append")
+        .partitionBy("cell_part")
+        .parquet(f"{index_dir}/lists.parquet")
+    )
+    return _refresh_meta(spark, index_dir, vec_col, id_col)
 
 
 def search_ivf_index(
@@ -157,8 +222,16 @@ def search_ivf_index(
         raise ValueError(
             f"search_ivf_index: query dim {qrow['d']} != index dim {meta['dim']}"
         )
+    # render the probed partition values with the SAME Spark expression
+    # the build used (_cell_part): a Python f-string rendering can
+    # diverge from Spark's cast('string') for non-int/string cell
+    # dtypes (boolean 'True' vs 'true', decimal trailing zeros) and a
+    # diverged isin() silently prunes ALL partitions (ADVICE r12)
     probed = [
-        f"c_{r['cell']}" for r in ivf_probe_cells(cents, qv, nprobe).collect()
+        r["__part"]
+        for r in ivf_probe_cells(cents, qv, nprobe)
+        .select(_cell_part(F.col("cell")).alias("__part"))
+        .collect()
     ]
     lists = spark.read.parquet(f"{index_dir}/lists.parquet").filter(
         F.col("cell_part").isin(probed)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ann_topk_ivf
 from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+    append_ivf_index,
     build_ivf_index,
     search_ivf_index,
 )
@@ -94,6 +95,90 @@ def test_cli_vector_index_and_search(spark, tmp_path, capsys):
             ["vector-search", "--embeddings", SF_SMOKE, "--index", idx,
              "--query-id", "999999", "--k", "5"]
         )
+
+
+def test_ivf_index_append_parity(spark, tmp_path):
+    """build(A) + append(B) with the frozen quantizer must produce the
+    EXACT artifact a one-shot pack of A∪B with the same centroids
+    yields — rowset-identical lists, updated meta, pruning intact —
+    and exact search (nprobe = n_cells) over the appended index must
+    match brute-force cosine over the full corpus."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ivf_assign
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base, delta = emb.filter("vec_id < 350"), emb.filter("vec_id >= 350")
+    idx = str(tmp_path / "ivf_append")
+    meta0 = build_ivf_index(base, idx)
+    meta1 = append_ivf_index(delta, idx)
+    assert meta1["n_vectors"] == emb.count()
+    assert meta1["n_cells"] == meta0["n_cells"], "append must not retrain"
+    assert meta1["n_nonempty_cells"] >= meta0["n_nonempty_cells"]
+    assert json.loads(open(f"{idx}/index_meta.json").read()) == meta1
+
+    # rowset parity vs a one-shot pack with the SAME frozen centroids
+    cents = spark.read.parquet(f"{idx}/centroids.parquet")
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(emb, cents).select("vec_id", "cell").collect()
+    }
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    got = {(r["vec_id"], r["cell"]) for r in lists.select("vec_id", "cell").collect()}
+    assert got == want
+
+    # exact search over an APPENDED vector: self at rank 1, and the
+    # (vec_id, cosine) top-k equals a full brute-force scan (at
+    # nprobe = n_cells the frozen-vs-retrained assignment split cannot
+    # matter — every cell is scanned)
+    query = emb.filter("vec_id = 400")
+    full = search_ivf_index(spark, idx, query, k=5, nprobe=meta1["n_cells"])
+    got_top = [(r["vec_id"], r["cosine"]) for r in full.collect()]
+    assert got_top[0] == (400, 1.0)
+    brute = ann_topk_ivf(emb, query, k=5, nprobe=meta1["n_cells"])
+    assert got_top == [(r["vec_id"], r["cosine"]) for r in brute.collect()]
+
+    # partition pruning survives the append (appended files land
+    # INSIDE hive partitions, never beside them)
+    out = search_ivf_index(spark, idx, query, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_part", plan), plan[:2000]
+
+    # guards: empty batch and wrong-dim batch refuse before writing
+    with pytest.raises(ValueError, match="empty"):
+        append_ivf_index(emb.filter("vec_id < 0"), idx)
+    bad = delta.limit(1).select(
+        "vec_id", F.slice("embedding", 1, meta1["dim"] - 1).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dim"):
+        append_ivf_index(bad, idx)
+    assert json.loads(open(f"{idx}/index_meta.json").read()) == meta1
+
+
+def test_cli_vector_index_append(spark, tmp_path, capsys):
+    from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+    idx = str(tmp_path / "cli_idx_append")
+    capsys.readouterr()
+    cli.main(["vector-index", "--embeddings", SF_SMOKE, "--out", idx, "--max-id", "350"])
+    built = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert built["stage"] == "vector-index" and built["n_vectors"] == 350
+    cli.main(
+        ["vector-index", "--embeddings", SF_SMOKE, "--out", idx, "--append", "--min-id", "350"]
+    )
+    appended = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert appended["stage"] == "vector-index-append"
+    assert appended["n_vectors"] == 500 and appended["n_cells"] == built["n_cells"]
+    cli.main(
+        ["vector-search", "--embeddings", SF_SMOKE, "--index", idx,
+         "--query-id", "400", "--k", "3", "--nprobe", "2"]
+    )
+    res = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert res["hits"][0]["vec_id"] == 400 and res["hits"][0]["cosine"] == 1.0
 
 
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
