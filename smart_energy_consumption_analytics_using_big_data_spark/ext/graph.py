@@ -307,7 +307,9 @@ def copurchase_pairs(
     return basket_pairs(order_baskets(df, group_col, item_col), directed=directed)
 
 
-def oriented_triangles(edges: DataFrame) -> DataFrame:
+def oriented_triangles(
+    edges: DataFrame, canonicalize: bool = False, checkpoint_storage=None
+) -> DataFrame:
     """Triangle instances of an undirected simple graph via DEGREE
     ORIENTATION: each edge (u,v) points from its lower-(degree, id)
     endpoint to the higher one, then triangles are wedges (lo->a,
@@ -316,13 +318,28 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     fan-out: a node's OUT-degree in the orientation is at most
     O(sqrt(m)) / graph arboricity regardless of its raw degree, so hub
     nodes (celebrity products, power-law tails) cannot explode the
-    join — the standard distributed formulation. Input: one row per
-    undirected edge as (u, v); callers pass a deduped edge list.
+    join — the standard distributed formulation.
+
+    Input contract (ADVICE r12): one row per undirected edge in
+    CANONICAL form — u < v, no duplicates, no self-loops. A merely
+    "deduped" list where both (u,v) and (v,u) survive doubles every
+    degree and reports each triangle multiple times, SILENTLY. Callers
+    with unknown edge orientation pass ``canonicalize=True`` to pay
+    one least/greatest + distinct pass (a shuffle the canonical-input
+    hot path — copurchase_pairs emits id_a < id_b — must not pay).
     Returns one row per triangle with its three vertices as UNIQUE
     columns (a, b, c) = (e1.lo, e1.hi, e2.hi) so callers can count,
     sample, or join back without hitting the ambiguous lo/hi names the
     raw three-way self-join carries.
     """
+    if canonicalize:
+        edges = (
+            edges.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -351,7 +368,10 @@ def oriented_triangles(edges: DataFrame) -> DataFrame:
     # construction time; not persist(), so the ContextCleaner reclaims
     # the blocks when the returned plan is dropped — the dsir_select
     # lifecycle pattern (ADVICE r3), no session cache-entry leak.
-    oriented = oriented.localCheckpoint(eager=False)
+    # checkpoint_storage: analysis knob for the storage-level A/B
+    # (scripts/probe_r13_triangles.py) — None keeps Spark's default
+    # local-checkpoint level, so query plans are unaffected.
+    oriented = oriented.localCheckpoint(eager=False, storageLevel=checkpoint_storage)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     return (
         e1.join(e2, F.col("e2.lo") == F.col("e1.hi"))

@@ -305,6 +305,54 @@ def test_oriented_triangles_output_contract(spark):
     assert oriented_triangles(empty).count() == 0
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_oriented_triangles_canonicalize_matches_reference(spark, seed):
+    """ADVICE r12: a deduped-but-uncanonicalized undirected edge list
+    (both (u,v) and (v,u) present, self-loops, duplicates) silently
+    over-counts under the canonical-input contract; canonicalize=True
+    must recover the exact textbook triangle set. Differential vs a
+    pure-Python set-based count on random mixed-orientation graphs,
+    plus: canonical input with/without the flag agrees (the flag is a
+    no-op shuffle on already-canonical edges, never a semantic one)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        oriented_triangles,
+    )
+
+    rng = random.Random(seed)
+    raw = _random_graph(rng) + [(7, 7)]  # mixed orientations + a self-loop
+    adj: dict[int, set[int]] = {}
+    for a, b in raw:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sorted(
+        (a, b, c)
+        for a in adj
+        for b in adj[a]
+        if b > a
+        for c in adj[a] & adj[b]
+        if c > b
+    )
+
+    edges = spark.createDataFrame(raw, "u long, v long")
+    got_df = oriented_triangles(edges, canonicalize=True)
+    got = sorted(
+        tuple(sorted((r["a"], r["b"], r["c"])))
+        for r in got_df.select("a", "b", "c").collect()
+    )
+    assert got == want
+
+    canonical = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    cdf = spark.createDataFrame(canonical, "u long, v long")
+    base = sorted(
+        tuple(sorted((r["a"], r["b"], r["c"])))
+        for r in oriented_triangles(cdf).select("a", "b", "c").collect()
+    )
+    assert base == want
+
+
 def test_kcenter_degenerate_inputs(spark):
     # empty corpus -> empty selection; k exceeding the distinct-point
     # count stops at full coverage instead of emitting arbitrary
