@@ -143,3 +143,144 @@ def stream_user_typed_stats(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     query.awaitTermination()
     return spark.table(name)
+
+
+SESSION_SCHEMA = "user_id bigint, start_ms bigint, end_ms bigint, n_events bigint"
+
+
+class SessionTimerProcessor(StatefulProcessor):
+    """Gap-based session windows with EVENT-TIME TIMERS — the Flink-style
+    formulation: a key holds a LIST of open sessions (interval merging
+    with the gap, so out-of-order batches can bridge two open sessions
+    into one), and a session closes ONLY when the watermark passes its
+    last event + gap. Input-carrying batches emit newly-expired sessions
+    inline (against the batch's eviction watermark); keys with NO input
+    rely on the registered timer firing `handleExpiredTimer` — the
+    parameter family nothing else in the suite exercises. One timer per
+    key at the EARLIEST open-session expiry (re-registered as sessions
+    merge/extend), so timer count stays O(keys), not O(sessions).
+
+    Session semantics match the pinned session-window facts
+    (tests/test_streaming_differential.py header): an event at EXACTLY
+    last + gap merges; strictly-greater silence opens a new session.
+    Emitted sessions report [start_ms, end_ms] of their events and the
+    event count; still-open sessions at end-of-replay are never emitted
+    (they have not closed — availableNow's final empty batch fires
+    timers against the fully-advanced watermark, nothing more).
+    """
+
+    def __init__(self, gap_s: int) -> None:
+        self._gap_ms = int(gap_s) * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._open = handle.getListState(
+            "open_sessions", "start_ms bigint, last_ms bigint, n bigint"
+        )
+
+    def _merge(self, sessions: list[list[int]]) -> list[list[int]]:
+        sessions.sort()
+        merged: list[list[int]] = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] <= self._gap_ms:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(list(s))
+        return merged
+
+    def _flush(self, key, merged: list[list[int]], wm_ms: int):
+        """Split expired/open, emit expired, persist + re-time open."""
+        closed = [s for s in merged if s[1] + self._gap_ms <= wm_ms]
+        still = [s for s in merged if s[1] + self._gap_ms > wm_ms]
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        if still:
+            self._open.put([tuple(s) for s in still])
+            self._handle.registerTimer(min(s[1] for s in still) + self._gap_ms)
+        else:
+            self._open.clear()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_ms": [s[0] for s in closed],
+                    "end_ms": [s[1] for s in closed],
+                    "n_events": [s[2] for s in closed],
+                }
+            )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        events: list[list[int]] = []
+        for pdf in rows:
+            if len(pdf):
+                events.extend(
+                    [int(v), int(v), 1]
+                    for v in (pdf["ts"].astype("int64") // 1_000_000)
+                )
+        prior = [list(s) for s in self._open.get()] if self._open.exists() else []
+        merged = self._merge(prior + events)
+        yield from self._flush(key, merged, timerValues.getCurrentWatermarkInMs())
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        prior = [list(s) for s in self._open.get()] if self._open.exists() else []
+        yield from self._flush(key, prior, timerValues.getCurrentWatermarkInMs())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_sessions_tws(
+    spark: SparkSession,
+    events_path: str,
+    gap_s: int = 1800,
+    delay_s: int = 3600,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay events through the timer-driven session processor
+    (event-time timeMode, append output: a session row appears exactly
+    once, when the watermark closes it)."""
+    if not HAS_TWS_DEPS:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf); the applyInPandasWithState sessionizer "
+            "(streaming/stateful.py) covers this surface without it."
+        )
+    events = _streaming_events(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", f"{delay_s} seconds"
+    )
+    sessions = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimerProcessor(gap_s),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    name = f"stateful_v2_sess_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        query = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    query.awaitTermination()
+    return spark.table(name)

@@ -559,3 +559,170 @@ def test_upsert_sink_replay_and_midbatch_crash(spark, tmp_path):
     s3.process_batch(mkdf(b1), 1)
     s3.process_batch(mkdf(b2), 2)
     assert _snap_rows(s3) == want
+
+
+def _simulate_timer_sessions(batches, gap: timedelta, delay: timedelta):
+    """Pure-Python replay of the timer-driven session processor
+    (stateful_v2.SessionTimerProcessor) under the dual-watermark model
+    pinned in this file's header:
+      - input row DROPPED iff ts < wm_late(N) (raw event time, lagged wm);
+      - keys WITH input merge (interval merge, boundary event at exactly
+        last+gap merges) then close sessions with last+gap <= wm_evict(N);
+      - keys WITHOUT input close the same way iff their registered timer
+        (earliest open expiry) fired: min(last)+gap <= wm_evict(N);
+      - availableNow appends one final empty batch with the fully
+        advanced watermark (timers get a last chance; still-open
+        sessions are never emitted)."""
+    epoch = datetime(1970, 1, 1)
+    wm_evict = epoch
+    open_s: dict[int, list] = {}
+    emitted = []
+
+    def merge(lst):
+        lst.sort()
+        out: list[list] = []
+        for s in lst:
+            if out and (s[0] - out[-1][1]) <= gap:
+                out[-1][1] = max(out[-1][1], s[1])
+                out[-1][2] += s[2]
+            else:
+                out.append(list(s))
+        return out
+
+    def flush(uid, wm):
+        closed = [s for s in open_s[uid] if s[1] + gap <= wm]
+        open_s[uid] = [s for s in open_s[uid] if s[1] + gap > wm]
+        emitted.extend((uid, s[0], s[1], s[2]) for s in closed)
+
+    def tick(rows, wm_late, wm):
+        by_uid: dict[int, list] = {}
+        for uid, ts, *_ in rows:
+            if ts < wm_late:
+                continue
+            by_uid.setdefault(uid, []).append([ts, ts, 1])
+        for uid, evs in by_uid.items():
+            open_s[uid] = merge(open_s.get(uid, []) + evs)
+            flush(uid, wm)
+        for uid in list(open_s):
+            if uid not in by_uid and open_s[uid] and (
+                min(s[1] for s in open_s[uid]) + gap <= wm
+            ):
+                flush(uid, wm)
+
+    for i, rows in enumerate(batches):
+        wm_late = wm_evict
+        prev_max = max((r[1] for b in batches[:i] for r in b), default=epoch)
+        wm_evict = max(wm_evict, prev_max - delay)
+        tick(rows, wm_late, wm_evict)
+    wm_late = wm_evict
+    wm_evict = max(
+        wm_evict, max((r[1] for b in batches for r in b), default=epoch) - delay
+    )
+    tick([], wm_late, wm_evict)
+    return sorted(emitted)
+
+
+def _collect_tws_sessions(spark, land, gap_s, delay_s):
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stream_user_sessions_tws,
+    )
+
+    out = stream_user_sessions_tws(
+        spark, land, gap_s=gap_s, delay_s=delay_s, max_files_per_trigger=1
+    )
+    epoch = datetime(1970, 1, 1)
+    return sorted(
+        (
+            r["user_id"],
+            epoch + timedelta(milliseconds=r["start_ms"]),
+            epoch + timedelta(milliseconds=r["end_ms"]),
+            r["n_events"],
+        )
+        for r in out.collect()
+    )
+
+
+def test_tws_timer_sessions_scenarios(spark, tmp_path):
+    """Pinned event-time-timer scenarios for SessionTimerProcessor:
+    (a) a late-but-in-watermark row BRIDGES two open sessions before any
+    timer fires; (b) a key with no further input closes via
+    handleExpiredTimer once the watermark (driven by OTHER keys) passes
+    last+gap; (c) a timer expiring EXACTLY at the final watermark fires
+    (<=, not <); (d) a row older than the lagged late-watermark is
+    dropped pre-processor and cannot resurrect an emitted session."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+    B = datetime(2024, 3, 1, 10, 0, 0)
+    s = lambda n: timedelta(seconds=n)
+
+    # (a)+(b): bridge then timer-close; gap 120s, delay 300s
+    batches = [
+        [(1, B, "a", 1.0), (1, B + s(180), "a", 1.0)],
+        [(1, B + s(90), "a", 1.0), (9, B + s(600), "a", 1.0)],
+        [(9, B + s(2400), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="tws_a")
+    got = _collect_tws_sessions(spark, land, gap_s=120, delay_s=300)
+    assert got == _simulate_timer_sessions(batches, s(120), s(300))
+    # the bridge merged everything: ONE u1 session spanning both halves
+    u1 = [g for g in got if g[0] == 1]
+    assert u1 == [(1, B, B + s(180), 3)]
+
+    # (c): timer expiry exactly == final watermark -> fires
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(9, B + s(120), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="tws_c")
+    got = _collect_tws_sessions(spark, land, gap_s=60, delay_s=60)
+    assert (1, B, B, 1) in got, "timer at exactly wm must fire (<=)"
+
+    # (d): too-late row dropped, emitted session NOT resurrected
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(9, B + s(1800), "a", 1.0)],
+        [(9, B + s(2400), "a", 1.0)],
+        [(1, B + s(30), "a", 1.0), (9, B + s(2460), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="tws_d")
+    got = _collect_tws_sessions(spark, land, gap_s=60, delay_s=60)
+    assert got == _simulate_timer_sessions(batches, s(60), s(60))
+    assert [g for g in got if g[0] == 1] == [(1, B, B, 1)], "late row must not resurrect"
+
+
+@pytest.mark.parametrize("seed,gap_s,delay_s", [(71, 120, 300), (72, 60, 60), (73, 300, 900), (74, 45, 120)])
+def test_tws_timer_sessions_random_differential(spark, tmp_path, seed, gap_s, delay_s):
+    """Seeded random clock-skewed replay: per-batch timestamps overlap
+    and regress across batches (late rows both inside and beyond the
+    watermark), users churn so timers — not input — close most
+    sessions. Emitted set must equal the simulator exactly."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+    rng = random.Random(seed)
+    users = list(range(1, 8))
+    batches = []
+    clock = 0  # seconds; per-batch base advances, offsets regress
+    for _ in range(5):
+        clock += rng.randint(gap_s, 4 * gap_s)
+        rows = []
+        for uid in rng.sample(users, rng.randint(2, 5)):
+            t = clock - rng.randint(0, 3 * delay_s)  # skew: some rows very late
+            for _ in range(rng.randint(1, 4)):
+                rows.append((uid, BASE + timedelta(seconds=t), "a", 1.0))
+                t += rng.randint(1, 2 * gap_s)
+        rng.shuffle(rows)
+        batches.append(rows)
+    land = _write_batches(tmp_path, batches, dirname="tws_rand")
+    got = _collect_tws_sessions(spark, land, gap_s=gap_s, delay_s=delay_s)
+    want = _simulate_timer_sessions(
+        batches, timedelta(seconds=gap_s), timedelta(seconds=delay_s)
+    )
+    assert got == want
