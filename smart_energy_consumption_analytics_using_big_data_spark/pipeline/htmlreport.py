@@ -559,3 +559,40 @@ def render_html(report: dict, title: str = "Energy analytics report") -> str:
 
     parts.append("</body></html>")
     return "".join(parts)
+
+
+def serve_report(html_path: str, port: int = 8000, host: str = "127.0.0.1"):
+    """Bind a stdlib HTTP server that serves the rendered static report
+    at "/" — the no-dependency answer to the reference's live Streamlit
+    server (`visualization/streamlit_app.py:713` `streamlit run`): the
+    document is pre-rendered by the engine, so "serving the dashboard"
+    is just serving one file. Returns the bound ThreadingHTTPServer
+    (caller runs ``serve_forever()`` / ``shutdown()``); ``port=0``
+    binds an ephemeral port, read it from ``server_address[1]``. The
+    file is re-read per request, so re-running ``report --html`` while
+    serving updates the page on refresh. Anything but "/" or
+    "/index.html" is 404 — this serves a report, not a directory.
+    """
+    import http.server
+    import pathlib
+
+    path = pathlib.Path(html_path)
+    if not path.is_file():
+        raise ValueError(f"serve_report: no rendered report at {html_path}")
+
+    class _ReportHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib handler API)
+            if self.path.split("?", 1)[0] not in ("/", "/index.html"):
+                self.send_error(404, "this server serves the report only")
+                return
+            body = path.read_bytes()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet: the CLI prints the URL once
+            pass
+
+    return http.server.ThreadingHTTPServer((host, port), _ReportHandler)

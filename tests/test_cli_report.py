@@ -221,6 +221,54 @@ def test_report_html_renders_self_contained(pipeline_out, capsys, tmp_path):
     assert rpt["top_anomalous_entities"][0]["entity"] in doc
 
 
+def test_report_serve_http_chain(pipeline_out, capsys, tmp_path):
+    """`report --serve` closes the dashboard-interactivity residual
+    without a Streamlit dependency: render the HTML, bind the stdlib
+    server on an ephemeral port, fetch the page over real HTTP and
+    find the KPI table; off-path requests 404; a re-render shows up on
+    refresh (the handler re-reads the file per request)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import (
+        serve_report,
+    )
+
+    html_path = str(tmp_path / "report.html")
+    capsys.readouterr()
+    cli.main(["report", "--out", pipeline_out, "--html", html_path])
+    rpt = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    srv = serve_report(html_path, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/"
+        doc = urllib.request.urlopen(url).read().decode("utf-8")
+        assert "Households" in doc and f"{rpt['kpi']['households']:,}" in doc
+        assert "Best forecast model" in doc
+        assert urllib.request.urlopen(url + "index.html").status == 200
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(url + "models/best/model_metadata.json")
+        assert exc.value.code == 404
+        # refresh picks up a re-rendered file
+        open(html_path, "a").write("<!-- rerendered -->")
+        assert "rerendered" in urllib.request.urlopen(url).read().decode("utf-8")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+    # --serve without --html is a usage error, not a silent no-op
+    with pytest.raises(SystemExit, match="requires --html"):
+        cli.main(["report", "--out", pipeline_out, "--serve", "--port", "0"])
+    capsys.readouterr()
+    # a missing file errors at bind time, not first request
+    with pytest.raises(ValueError, match="no rendered report"):
+        serve_report(str(tmp_path / "nope.html"), port=0)
+
+
 def test_cli_corpus_builds_shards_and_summary(spark, tmp_path):
     import json
 
