@@ -365,27 +365,32 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     ("q_graph_triangles", 12),
 )
 
-# One-time liveness refresh of rows-only queries whose ONLY driver row
-# predates the round-2 testdata timestamp migration (VERDICT r10
-# item 3): a rows-only row is just `err: no_oracle` + a row count, but
-# a fresh one on the migrated data is liveness evidence pytest cannot
-# give. Each entry takes exactly one window slot, gets its new row,
-# and self-retires (last_green >= _ROWS_ONLY_REFRESH_ROUND). This is
-# a deliberate exception to the standing seen-rows-only exclusion in
-# `_order_rest` — bounded to this fixed list, not a standing re-queue.
-_ROWS_ONLY_REFRESH_ROUND = 3
-_ROWS_ONLY_REFRESH: tuple[str, ...] = (
-    "q_approx_distinct",
-    "q_approx_distinct_merge",
-    "q_approx_quantile",
-    "q_sample",
-    "q_sample_stratified",
-    "q_ml_anomaly_kmeans",
-    "q_ml_forecast_linear",
-    "q_ml_forecast_rf",
-    "q_ml_rf_importance",
-    "q_mm_decode",
-    "q_stream_stateful",
+# One-time liveness refresh of rows-only queries: a rows-only row is
+# just `err: no_oracle` + a row count, but a fresh one is liveness
+# evidence pytest cannot give. Each (name, min_round) entry takes
+# exactly one window slot, gets its new row, and self-retires
+# (last_green >= min_round). This is a deliberate exception to the
+# standing seen-rows-only exclusion in `_order_rest` — bounded to this
+# fixed list, not a standing re-queue. Two cohorts so far:
+# - round-3 batch (VERDICT r10 item 3): only driver row predated the
+#   round-2 testdata timestamp migration;
+# - round-13 batch (VERDICT r12 item 3 / freshness.py): the last three
+#   rows-only queries whose newest driver row predates r6.
+_ROWS_ONLY_REFRESH: tuple[tuple[str, int], ...] = (
+    ("q_approx_distinct", 3),
+    ("q_approx_distinct_merge", 3),
+    ("q_approx_quantile", 3),
+    ("q_sample", 3),
+    ("q_sample_stratified", 3),
+    ("q_ml_anomaly_kmeans", 3),
+    ("q_ml_forecast_linear", 3),
+    ("q_ml_forecast_rf", 3),
+    ("q_ml_rf_importance", 3),
+    ("q_mm_decode", 3),
+    ("q_stream_stateful", 3),
+    ("q_dedup_winnow_fast", 13),
+    ("q_stream_score", 13),
+    ("q_approx_topk", 13),
 )
 
 
@@ -475,9 +480,8 @@ def _rotate_registry() -> None:
     # pinned until a post-migration driver row exists, then gone
     rows_only_refresh = [
         k
-        for k in _ROWS_ONLY_REFRESH
-        if k in QUERIES and k in seen
-        and last_green.get(k, 0) < _ROWS_ONLY_REFRESH_ROUND
+        for k, min_rnd in _ROWS_ONLY_REFRESH
+        if k in QUERIES and k in seen and last_green.get(k, 0) < min_rnd
     ]
     # One-shot driver evidence for never-run ROWS-ONLY queries (VERDICT
     # r8 item 2): they can only ever record `err: no_oracle` + a row

@@ -88,23 +88,20 @@ def test_window_rows_only_queries_are_one_shot():
     """A rows-only query may hold a window slot ONLY while it has never
     been driver-run (VERDICT r8 item 2: one slot buys its row-count
     evidence, then `seen` retires it for good) — with ONE sanctioned
-    exception: the r11 one-time liveness refresh (`_ROWS_ONLY_REFRESH`,
-    VERDICT r10 item 3) re-pins a fixed list of rows-only queries whose
-    only driver rows predate the r2 testdata migration, each for
+    exception: the one-time liveness refresh (`_ROWS_ONLY_REFRESH`,
+    VERDICT r10 item 3 / r12 item 3) re-pins a fixed (name, min_round)
+    list of rows-only queries with stale driver evidence, each for
     exactly one more slot. A pin retires the moment a driver row at or
-    after `_ROWS_ONLY_REFRESH_ROUND` exists. Any OTHER seen rows-only
-    query in the window is the r5 q_approx_topk waste, re-asserted."""
+    after its min_round exists. Any OTHER seen rows-only query in the
+    window is the r5 q_approx_topk waste, re-asserted."""
     from smart_energy_consumption_analytics_using_big_data_spark.plans.registry import (
         _ROWS_ONLY_REFRESH,
-        _ROWS_ONLY_REFRESH_ROUND,
     )
 
     seen, _, _ = _driver_seen()
     last_row = _driver_last_row_round()
     active_refresh = {
-        k
-        for k in _ROWS_ONLY_REFRESH
-        if last_row.get(k, 0) < _ROWS_ONLY_REFRESH_ROUND
+        k for k, min_rnd in _ROWS_ONLY_REFRESH if last_row.get(k, 0) < min_rnd
     }
     head = list(QUERIES)[:WINDOW]
     wasted = [
