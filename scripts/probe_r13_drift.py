@@ -82,7 +82,9 @@ def build_lineitem_10x(spark, out_dir: str) -> str:
     """10x lineitem, disjoint replicas (scale_probe.build_derived's
     lineitem block; only the columns the triangle query touches)."""
     path = f"{out_dir}/lineitem.parquet"
-    if os.path.exists(path):
+    # _SUCCESS, not bare existence: a crashed prior run leaves a partial
+    # directory that would silently shrink the "10x" corpus
+    if os.path.exists(f"{path}/_SUCCESS"):
         return out_dir
     li = load_table(spark, SF01, "lineitem").select("l_orderkey", "l_partkey")
     parts = [

@@ -242,6 +242,10 @@ def cmd_report(args) -> None:
 
     from smart_energy_consumption_analytics_using_big_data_spark.pipeline import report as RPT
 
+    # usage errors fire BEFORE any Spark work (getattr: the `all`
+    # chain reuses cmd_report with a namespace that has no --serve)
+    if getattr(args, "serve", False) and not args.html:
+        raise SystemExit("report: --serve requires --html (the file to serve)")
     spark = _spark(args)
     daily = spark.read.parquet(f"{args.out}/daily")
     features = spark.read.parquet(f"{args.out}/energy_features")
@@ -276,16 +280,18 @@ def cmd_report(args) -> None:
     if args.html:
         from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import render_html
 
+        import os as _os
+
         # explicit utf-8: the document declares charset=utf-8 and always
         # contains non-ASCII glyphs; locale-default codecs mojibake or
-        # crash on non-UTF-8 hosts
-        pathlib.Path(args.html).write_text(render_html(rpt), encoding="utf-8")
+        # crash on non-UTF-8 hosts. Temp-write + rename: the --serve
+        # handler re-reads this file per request, and a truncate-then-
+        # write would let a concurrent GET serve a partial page.
+        tmp = pathlib.Path(f"{args.html}.tmp")
+        tmp.write_text(render_html(rpt), encoding="utf-8")
+        _os.replace(tmp, args.html)
     print(json.dumps(rpt))
-    # getattr: the `all` chain reuses cmd_report with a namespace that
-    # has no --serve/--port (serving would block the chain anyway)
     if getattr(args, "serve", False):
-        if not args.html:
-            raise SystemExit("report: --serve requires --html (the file to serve)")
         from smart_energy_consumption_analytics_using_big_data_spark.pipeline.htmlreport import serve_report
 
         srv = serve_report(args.html, port=args.port)
@@ -338,12 +344,8 @@ def cmd_vector_index(args) -> None:
     spark = _spark(args)
     emb = load_table(spark, args.embeddings, "embeddings")
     if getattr(args, "min_id", None) is not None:
-        from pyspark.sql import functions as F
-
         emb = emb.filter(F.col("vec_id") >= args.min_id)
     if getattr(args, "max_id", None) is not None:
-        from pyspark.sql import functions as F
-
         emb = emb.filter(F.col("vec_id") < args.max_id)
     if args.append:
         meta = append_ivf_index(emb, args.out)

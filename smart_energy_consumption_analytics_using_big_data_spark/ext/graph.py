@@ -369,7 +369,7 @@ def oriented_triangles(
     # the blocks when the returned plan is dropped — the dsir_select
     # lifecycle pattern (ADVICE r3), no session cache-entry leak.
     # checkpoint_storage: analysis knob for the storage-level A/B
-    # (scripts/probe_r13_triangles.py) — None keeps Spark's default
+    # (scripts/probe_r13_drift.py) — None keeps Spark's default
     # local-checkpoint level, so query plans are unaffected.
     oriented = oriented.localCheckpoint(eager=False, storageLevel=checkpoint_storage)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")

@@ -80,6 +80,51 @@ def _cell_part(cell):
     return F.concat(F.lit("c_"), cell.cast("string"))
 
 
+def _assert_uniform_dim(embeddings: DataFrame, vec_col: str, want: int | None, who: str) -> int:
+    """One cheap agg pass: every vector in the batch must share one
+    dimension (and match `want` if given). A mixed-dimension batch
+    would otherwise be written permanently: zip_with pads unequal
+    arrays with NULLs, so the corrupt rows get NULL cosines and
+    silently never rank — no error would ever surface."""
+    row = embeddings.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if row["lo"] is None:
+        raise ValueError(f"{who}: batch is empty")
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{who}: mixed vector dimensions in batch ({row['lo']}..{row['hi']})"
+        )
+    if want is not None and row["lo"] != want:
+        raise ValueError(f"{who}: batch dim {row['lo']} != index dim {want}")
+    return int(row["lo"])
+
+
+def _pack_lists(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    index_dir: str,
+    vec_col: str,
+    id_col: str,
+    mode: str,
+) -> None:
+    """Assign to centroids and write the cell-partitioned lists — the
+    ONE packing definition shared by build (overwrite) and append
+    (append), so the artifact layout cannot drift between them."""
+    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
+    packed = (
+        embeddings.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .withColumn("cell_part", _cell_part(F.col("cell")))
+    )
+    (
+        packed.repartition("cell_part")
+        .write.mode(mode)
+        .partitionBy("cell_part")
+        .parquet(f"{index_dir}/lists.parquet")
+    )
+
+
 def _refresh_meta(
     spark: SparkSession, index_dir: str, vec_col: str, id_col: str
 ) -> dict:
@@ -124,22 +169,12 @@ def build_ivf_index(
     """
     if embeddings.isEmpty():
         raise ValueError("build_ivf_index: embeddings corpus is empty")
+    _assert_uniform_dim(embeddings, vec_col, None, "build_ivf_index")
     spark = embeddings.sparkSession
     cents = ivf_centroids(embeddings, vec_col, label_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
-    packed = (
-        embeddings.select(id_col, vec_col)
-        .join(assigned, id_col)
-        .withColumn("cell_part", _cell_part(F.col("cell")))
-    )
-    (
-        packed.repartition("cell_part")
-        .write.mode("overwrite")
-        .partitionBy("cell_part")
-        .parquet(f"{index_dir}/lists.parquet")
-    )
+    _pack_lists(embeddings, cents, index_dir, vec_col, id_col, "overwrite")
     return _refresh_meta(spark, index_dir, vec_col, id_col)
 
 
@@ -170,24 +205,9 @@ def append_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
     spark = embeddings.sparkSession
     meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    drow = embeddings.select(F.size(vec_col).alias("d")).first()
-    if drow["d"] != meta["dim"]:
-        raise ValueError(
-            f"append_ivf_index: batch dim {drow['d']} != index dim {meta['dim']}"
-        )
+    _assert_uniform_dim(embeddings, vec_col, meta["dim"], "append_ivf_index")
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
-    assigned = ivf_assign(embeddings, cents, vec_col, id_col).select(id_col, "cell")
-    packed = (
-        embeddings.select(id_col, vec_col)
-        .join(assigned, id_col)
-        .withColumn("cell_part", _cell_part(F.col("cell")))
-    )
-    (
-        packed.repartition("cell_part")
-        .write.mode("append")
-        .partitionBy("cell_part")
-        .parquet(f"{index_dir}/lists.parquet")
-    )
+    _pack_lists(embeddings, cents, index_dir, vec_col, id_col, "append")
     return _refresh_meta(spark, index_dir, vec_col, id_col)
 
 

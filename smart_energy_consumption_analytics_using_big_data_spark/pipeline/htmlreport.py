@@ -585,7 +585,13 @@ def serve_report(html_path: str, port: int = 8000, host: str = "127.0.0.1"):
             if self.path.split("?", 1)[0] not in ("/", "/index.html"):
                 self.send_error(404, "this server serves the report only")
                 return
-            body = path.read_bytes()
+            try:
+                body = path.read_bytes()
+            except OSError:
+                # mid-rewrite / removed report file: a retryable 503
+                # beats a handler-thread traceback + dropped connection
+                self.send_error(503, "report is being re-rendered, retry")
+                return
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))

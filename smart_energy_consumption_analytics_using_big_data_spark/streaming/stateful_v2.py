@@ -216,10 +216,13 @@ class SessionTimerProcessor(StatefulProcessor):
         events: list[list[int]] = []
         for pdf in rows:
             if len(pdf):
-                events.extend(
-                    [int(v), int(v), 1]
-                    for v in (pdf["ts"].astype("int64") // 1_000_000)
-                )
+                # pin the unit: astype("int64") on a datetime64 column
+                # yields whatever resolution pandas delivered (ns today,
+                # us under future Arrow-dtype defaults) — normalize to
+                # ms explicitly so a resolution change can't silently
+                # shrink every session 1000x
+                ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
+                events.extend([int(v), int(v), 1] for v in ms)
         prior = [list(s) for s in self._open.get()] if self._open.exists() else []
         merged = self._merge(prior + events)
         yield from self._flush(key, merged, timerValues.getCurrentWatermarkInMs())

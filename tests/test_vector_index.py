@@ -150,6 +150,19 @@ def test_ivf_index_append_parity(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         append_ivf_index(bad, idx)
+    # a MIXED-dimension batch must refuse too — first-row-only checks
+    # would pass it and permanently write NULL-cosine rows
+    mixed = emb.filter("vec_id IN (400, 401)").select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") == 401,
+            F.slice("embedding", 1, meta1["dim"] - 1),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="mixed"):
+        append_ivf_index(mixed, idx)
     assert json.loads(open(f"{idx}/index_meta.json").read()) == meta1
 
 
