@@ -287,3 +287,85 @@ def stream_user_sessions_tws(
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     query.awaitTermination()
     return spark.table(name)
+
+
+TTL_SCHEMA = "user_id bigint, n_since_expiry bigint, state_was_live bigint"
+
+
+class TtlUserCountProcessor(StatefulProcessor):
+    """Per-user running count in a ValueState with a PROCESSING-TIME
+    TTL — the state-v2 feature family (ttlDurationMs) nothing else in
+    the suite exercises. Semantics under test: an expired value reads
+    as absent (`exists()` False) at the NEXT access after write-time +
+    TTL, so the count restarts instead of accumulating; a live value
+    accumulates normally. Each update row also reports whether prior
+    state was live (state_was_live), so tests can pin exactly WHERE
+    expiry happened rather than inferring it from totals.
+    """
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = int(ttl_ms)
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._cnt = handle.getValueState("cnt", "n bigint", ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        live = 1 if self._cnt.exists() else 0
+        n = self._cnt.get()[0] if live else 0
+        n += sum(len(pdf) for pdf in rows)
+        self._cnt.update((n,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_since_expiry": [n], "state_was_live": [live]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_counts_ttl(
+    spark: SparkSession,
+    events_path: str,
+    ttl_ms: int,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay events through the TTL'd counter (processing-time
+    timeMode — state TTL is a processing-time feature)."""
+    if not HAS_TWS_DEPS:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf) for its Python<->state-server protocol."
+        )
+    events = _streaming_events(spark, events_path, max_files_per_trigger)
+    counts = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TtlUserCountProcessor(ttl_ms),
+        outputStructType=TTL_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    name = f"stateful_v2_ttl_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    query.awaitTermination()
+    return spark.table(name)

@@ -726,3 +726,85 @@ def test_tws_timer_sessions_random_differential(spark, tmp_path, seed, gap_s, de
         batches, timedelta(seconds=gap_s), timedelta(seconds=delay_s)
     )
     assert got == want
+
+
+@pytest.mark.skip(
+    reason="timeMode=ProcessingTime stalls in this environment: the "
+    "state-server protocol desyncs during getValueState (python worker "
+    "blocks in _parse_string_schema read_int; JVM state-server thread "
+    "is torn down and recreated per retry) with or WITHOUT TTL, while "
+    "the identical processor shape under timeMode=EventTime is green "
+    "across this whole file. Minimal repro + jstack/faulthandler "
+    "evidence in COVERAGE.md round 13. Un-skip on a Spark where a "
+    "trivial ProcessingTime transformWithState batch completes."
+)
+def test_tws_value_state_ttl_expiry(spark, tmp_path):
+    """State TTL (ttlDurationMs) — requires timeMode=ProcessingTime
+    (the EventTime rejection is pinned below). A TTL'd ValueState must
+    read as ABSENT at the first access after write-time + TTL; a
+    generous TTL accumulates across the same replay."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stream_user_counts_ttl,
+    )
+
+    batches = [
+        [(1, BASE + timedelta(seconds=i * 60 + j), "a", 1.0) for j in range(i + 1)]
+        for i in range(3)
+    ]
+    land = _write_batches(tmp_path, batches, dirname="ttl_land")
+    big = stream_user_counts_ttl(spark, land, ttl_ms=600_000, max_files_per_trigger=1)
+    rows = sorted((r["n_since_expiry"], r["state_was_live"]) for r in big.collect())
+    assert rows == [(1, 0), (3, 1), (6, 1)], rows
+    tiny = stream_user_counts_ttl(spark, land, ttl_ms=1, max_files_per_trigger=1)
+    rows = sorted((r["n_since_expiry"], r["state_was_live"]) for r in tiny.collect())
+    assert rows == [(1, 0), (2, 0), (3, 0)], rows
+
+
+def test_tws_ttl_rejected_in_event_time_mode(spark, tmp_path):
+    """Pinned: Spark refuses ttlDurationMs outside ProcessingTime mode
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL) — the query
+    terminates with the classified error instead of silently ignoring
+    the TTL. Guards our docs' claim that TTL is processing-time-only."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        ROCKSDB_PROVIDER,
+        _streaming_events,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+        TtlUserCountProcessor,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+
+    land = _write_batches(
+        tmp_path, [[(1, BASE, "a", 1.0)]], dirname="ttl_reject"
+    )
+    events = _streaming_events(spark, land, None).withWatermark("ts", "60 seconds")
+    out = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TtlUserCountProcessor(60_000),
+        outputStructType="user_id bigint, n_since_expiry bigint, state_was_live bigint",
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ttl_reject_q")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(
+            StreamingQueryException, match="INCORRECT_TIME_MODE_TO_ASSIGN_TTL"
+        ):
+            q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
