@@ -211,6 +211,73 @@ def append_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
     return _refresh_meta(spark, index_dir, vec_col, id_col)
 
 
+def compact_ivf_index(
+    spark: SparkSession, index_dir: str, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Rewrite the inverted lists so each cell holds few, full-sized
+    files — the lifecycle step that keeps probe latency flat after many
+    appends (each ``mode("append")`` lands AT LEAST one new file per
+    touched cell, so a daily-append index degrades into the classic
+    small-files problem: a probe's partition pruning still skips other
+    cells, but within a probed cell every tiny file costs an open).
+
+    One shuffle sized by ``ceil(rows / target_rows_per_file)`` output
+    files per cell (repartition on cell_part + a within-cell bucket
+    id). The rewrite goes to a staging directory first, so a crash
+    during the (long) rewrite leaves the live lists untouched; the
+    swap itself is delete-live + rename-staged through the path's
+    Hadoop filesystem — a crash INSIDE that short window loses only
+    the live copy while the fully-written staged directory remains on
+    disk for manual rename recovery (rename is metadata-only on
+    file://-/hdfs://, a copy on s3a). Returns the refreshed meta plus
+    files_before/files_after. Row set, meta, and the probe's
+    PartitionFilters pruning are invariant (tests/test_vector_index.py).
+    """
+    meta0 = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
+    id_col = meta0["id_col"]
+    lists_path = f"{index_dir}/lists.parquet"
+    staged_path = f"{index_dir}/lists.parquet.compacting"
+    lists = spark.read.parquet(lists_path)
+    per_cell = {
+        r["cell_part"]: r["n"]
+        for r in lists.groupBy("cell_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    files_before = lists.select(F.input_file_name()).distinct().count()
+    # within-cell bucket count = ceil(rows / target): one file per cell
+    # for normal cells, several writer tasks (no straggler) for a cell
+    # bigger than the target. Broadcast-joined, never collected per row.
+    buckets = spark.createDataFrame(
+        [(part, max(1, -(-n // target_rows_per_file))) for part, n in per_cell.items()],
+        "cell_part string, __k int",
+    )
+    (
+        lists.join(F.broadcast(buckets), "cell_part")
+        .withColumn("__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.col("__k")))
+        .repartition("cell_part", "__bucket")
+        .drop("__bucket", "__k")
+        .write.mode("overwrite")
+        .partitionBy("cell_part")
+        .parquet(staged_path)
+    )
+    # atomic-enough swap through the Hadoop FS (works for file://,
+    # hdfs://; on s3a rename is a copy, still crash-safe: the live
+    # path is replaced only after the staged write fully succeeded)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    live = jvm.org.apache.hadoop.fs.Path(lists_path)
+    staged = jvm.org.apache.hadoop.fs.Path(staged_path)
+    fs = live.getFileSystem(conf)
+    fs.delete(live, True)
+    if not fs.rename(staged, live):
+        raise IOError(f"compact_ivf_index: rename {staged_path} -> {lists_path} failed")
+    compacted = spark.read.parquet(lists_path)
+    files_after = compacted.select(F.input_file_name()).distinct().count()
+    meta = _refresh_meta(spark, index_dir, meta0["vec_col"], id_col)
+    return {**meta, "files_before": files_before, "files_after": files_after}
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_dir: str,

@@ -194,6 +194,49 @@ def test_cli_vector_index_append(spark, tmp_path, capsys):
     assert res["hits"][0]["vec_id"] == 400 and res["hits"][0]["cosine"] == 1.0
 
 
+def test_ivf_index_compact_after_appends(spark, tmp_path):
+    """compact_ivf_index: after several appends the cells hold many
+    small files; compaction shrinks the file count to ~one per cell
+    while the ROWSET, meta, search results and the probe's partition
+    pruning are all invariant."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        compact_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_compact")
+    build_ivf_index(emb.filter("vec_id < 200"), idx)
+    for lo, hi in ((200, 300), (300, 400), (400, 500)):
+        append_ivf_index(emb.filter(f"vec_id >= {lo} AND vec_id < {hi}"), idx)
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    before_rows = {(r["vec_id"], r["cell"]) for r in lists.select("vec_id", "cell").collect()}
+    before_hits = [
+        (r["vec_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, emb.filter("vec_id = 450"), k=5, nprobe=2).collect()
+    ]
+    out = compact_ivf_index(spark, idx)
+    assert out["files_after"] < out["files_before"], out
+    assert out["files_after"] <= out["n_nonempty_cells"], out
+    assert out["n_vectors"] == 500
+    # staging dir swapped away, no leftovers
+    import os
+    assert not os.path.exists(f"{idx}/lists.parquet.compacting")
+    after = spark.read.parquet(f"{idx}/lists.parquet")
+    after_rows = {(r["vec_id"], r["cell"]) for r in after.select("vec_id", "cell").collect()}
+    assert after_rows == before_rows
+    got = search_ivf_index(spark, idx, emb.filter("vec_id = 450"), k=5, nprobe=2)
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == before_hits
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_part", plan), plan[:2000]
+    # CLI path
+    from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+    cli.main(["vector-index", "--out", idx, "--compact"])
+    # --embeddings still required for build/append
+    with pytest.raises(SystemExit, match="required unless"):
+        cli.main(["vector-index", "--out", idx])
+
+
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     idx = str(tmp_path / "ivf_index2")
