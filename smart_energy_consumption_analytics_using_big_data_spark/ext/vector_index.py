@@ -248,14 +248,21 @@ def compact_ivf_index(
     # within-cell bucket count = ceil(rows / target): one file per cell
     # for normal cells, several writer tasks (no straggler) for a cell
     # bigger than the target. Broadcast-joined, never collected per row.
+    n_buckets = {
+        part: max(1, -(-n // target_rows_per_file)) for part, n in per_cell.items()
+    }
     buckets = spark.createDataFrame(
-        [(part, max(1, -(-n // target_rows_per_file))) for part, n in per_cell.items()],
-        "cell_part string, __k int",
+        list(n_buckets.items()), "cell_part string, __k int"
     )
+    # EXPLICIT partition count: a bare repartition(cols) lets AQE
+    # coalesce the tiny (cell, bucket) shuffle partitions back together
+    # by byte size, silently undoing the bucket split the row-count
+    # target asked for — the explicit count pins the exchange so the
+    # file-count contract is deterministic
     (
         lists.join(F.broadcast(buckets), "cell_part")
         .withColumn("__bucket", F.pmod(F.xxhash64(F.col(id_col)), F.col("__k")))
-        .repartition("cell_part", "__bucket")
+        .repartition(max(1, sum(n_buckets.values())), "cell_part", "__bucket")
         .drop("__bucket", "__k")
         .write.mode("overwrite")
         .partitionBy("cell_part")

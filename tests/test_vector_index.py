@@ -228,7 +228,17 @@ def test_ivf_index_compact_after_appends(spark, tmp_path):
     assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == before_hits
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell_part", plan), plan[:2000]
-    # CLI path
+    # oversized-cell path: a tiny target forces ceil(rows/target) > 1
+    # buckets per cell — several writer tasks, several files, rowset
+    # still invariant (the multi-bucket branch the default-target run
+    # never touches)
+    out2 = compact_ivf_index(spark, idx, target_rows_per_file=20)
+    assert out2["files_after"] > out2["n_nonempty_cells"], out2
+    after2 = spark.read.parquet(f"{idx}/lists.parquet")
+    assert {
+        (r["vec_id"], r["cell"]) for r in after2.select("vec_id", "cell").collect()
+    } == before_rows
+    # CLI path (also restores ~one file per cell after the split above)
     from smart_energy_consumption_analytics_using_big_data_spark import cli
 
     cli.main(["vector-index", "--out", idx, "--compact"])
