@@ -409,3 +409,58 @@ def q_stream_session_append(spark, sf_dir):
     )
 
     return stream_session_rollup_append(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
+    "q_stream_sessions_timer",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id FROM events
+    ),
+    mx AS (SELECT max(ms) AS m FROM e),
+    g AS (
+      SELECT user_id, ms, event_id,
+             CASE WHEN ms - lag(ms) OVER (
+                    PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ), s AS (
+      SELECT user_id, ms,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, start_ms, end_ms, n_events
+    FROM sess, mx
+    WHERE end_ms + 1800000 <= m - 86400000
+    """,
+)
+def q_stream_sessions_timer(spark, sf_dir):
+    """TIMER-driven session windows through transformWithState
+    (streaming/stateful_v2.SessionTimerProcessor, timeMode=EventTime):
+    a ListState of open sessions per key, closed ONLY when the
+    watermark passes last + gap (30 min) — keys with no further input
+    close via handleExpiredTimer on availableNow's final empty batch.
+    The first VALUE-CHECKED timer query: everything lives in the ms
+    domain on both sides (the processor stores datetime64[ms]
+    truncations; Spark's watermark is ms-floored by EventTimeWatermark;
+    the oracle sessionizes epoch_us // 1000), so the batch lag/cumsum
+    sessionization restricted to sessions closed before the final
+    watermark (max ms - 1 day) matches EXACTLY, boundaries included
+    (merge at diff == gap, close at expiry == watermark — both pinned
+    in tests/test_streaming_differential.py). Multi-batch replay,
+    late-row drops and session bridging are differential-tested there;
+    this query pins the operator's single-replay values to DuckDB.
+    """
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stream_user_sessions_tws,
+    )
+
+    return stream_user_sessions_tws(
+        spark, f"{sf_dir}/events.parquet", gap_s=1800, delay_s=86400
+    )
