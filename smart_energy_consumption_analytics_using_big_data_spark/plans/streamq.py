@@ -464,3 +464,48 @@ def q_stream_sessions_timer(spark, sf_dir):
     return stream_user_sessions_tws(
         spark, f"{sf_dir}/events.parquet", gap_s=1800, delay_s=86400
     )
+
+
+@q(
+    "q_stream_ttl_expiry",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 1000 AS ms FROM events
+    ),
+    mx AS (SELECT max(ms) AS m FROM e),
+    agg AS (
+      SELECT user_id, count(*) AS n_events, max(ms) AS anchor_ms
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, n_events, anchor_ms, CAST(1 AS BIGINT) AS expired_by
+    FROM agg, mx
+    WHERE anchor_ms + 7200000 <= m - 86400000
+    """,
+)
+def q_stream_ttl_expiry(spark, sf_dir):
+    """WATERMARK-DRIVEN state TTL through transformWithState
+    (streaming/stateful_v2.WatermarkTtlCountProcessor, timeMode=
+    EventTime): a per-user count span expires — flushes its count and
+    clears state — when the watermark passes its anchor (max event-time
+    ms written) + TTL (2 h), via a per-key event-time timer re-armed on
+    every write (TTL refreshes on update, the ttlDurationMs contract,
+    but anchored to EVENT time so the semantics are replay-
+    deterministic and value-checkable; the literal ProcessingTime
+    ttlDurationMs surface is environment-blocked, COVERAGE.md r13).
+    Single replay = one input batch at watermark 0 (every user holds
+    exactly one span: full count, anchor = max ms) + availableNow's
+    final empty batch whose fully-advanced watermark (max - 1 day)
+    fires the timers — so the oracle is the per-user count/max
+    restricted to anchors at least TTL behind the final watermark, all
+    flushed by the timer path (expired_by = 1). Lazy read-side expiry,
+    TTL refresh across batches, the past-due-timer write-side flush and
+    the non-strict `anchor + ttl <= wm` boundary are multi-batch
+    differential-tested in tests/test_streaming_differential.py
+    (_simulate_wm_ttl: pinned scenarios + 4 clock-skewed seeds)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stream_user_counts_wm_ttl,
+    )
+
+    return stream_user_counts_wm_ttl(
+        spark, f"{sf_dir}/events.parquet", ttl_s=7200, delay_s=86400
+    )

@@ -289,6 +289,171 @@ def stream_user_sessions_tws(
     return spark.table(name)
 
 
+WM_TTL_SCHEMA = (
+    "user_id bigint, n_events bigint, anchor_ms bigint, expired_by bigint"
+)
+
+
+class WatermarkTtlCountProcessor(StatefulProcessor):
+    """Per-user running count with WATERMARK-DRIVEN (event-time) TTL —
+    the verified state-expiry operator for this engine (VERDICT r13
+    task 1). The semantics mirror ValueState ttlDurationMs but anchor
+    expiry to EVENT time, which makes them replay-deterministic and
+    therefore testable: a key's count "span" expires when the
+    watermark passes its anchor (the max event-time ms written since
+    the span started) + TTL. Expiry is enforced three ways, all
+    against the same non-strict ``anchor + ttl <= wm`` condition
+    (matching the pinned timer-fire semantics):
+
+      - LAZY at read: an input batch that finds its prior span expired
+        flushes it first (``expired_by = 0``) and starts a fresh span —
+        the "expired value reads as absent" TTL contract;
+      - PROACTIVE via an event-time timer at ``anchor + ttl`` (re-armed
+        on every write, so TTL refreshes on update exactly like
+        ttlDurationMs), which flushes and CLEARS state for keys that go
+        quiet (``expired_by = 1``) — dead keys hold no memory, the
+        property raw lazy-TTL lacks;
+      - at write: a fresh span already past the watermark (possible
+        only when one batch advances the watermark by more than TTL)
+        flushes immediately instead of arming a past-due timer, so a
+        registered timer is always strictly in the future — no
+        intra-batch fire-ordering ambiguity (the SessionTimerProcessor
+        pattern, differential-proven).
+
+    Emits one row per EXPIRED span (append mode): the span's event
+    count, its anchor, and which path flushed it. Still-open spans at
+    end-of-replay are never emitted. Timer count stays at one per live
+    key. The ProcessingTime TtlUserCountProcessor above remains the
+    literal ttlDurationMs surface; this operator is the one with
+    executed evidence here (4-seed clock-skewed differential in
+    tests/test_streaming_differential.py + the q_stream_ttl_expiry
+    DuckDB value check).
+    """
+
+    def __init__(self, ttl_s: int) -> None:
+        self._ttl_ms = int(ttl_s) * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._span = handle.getValueState("span", "n bigint, anchor_ms bigint")
+
+    def _expired_row(self, key, n: int, anchor: int, by: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "anchor_ms": [anchor],
+                "expired_by": [by],
+            }
+        )
+
+    def handleInputRows(
+        self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        wm = timerValues.getCurrentWatermarkInMs()
+        batch_n, batch_max = 0, -1
+        for pdf in rows:
+            if len(pdf):
+                ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
+                batch_n += len(pdf)
+                batch_max = max(batch_max, int(ms.max()))
+        n, anchor = (
+            (int(v[0]), int(v[1])) if (v := self._span.get() if self._span.exists() else None)
+            else (0, -1)
+        )
+        if n and anchor + self._ttl_ms <= wm:
+            # prior span expired: flush it (state + timer cleared so a
+            # later timer fire can't re-emit); the batch starts fresh
+            yield self._expired_row(key, n, anchor, 0)
+            self._span.clear()
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            n, anchor = 0, -1
+        if batch_n == 0:
+            # defensive (keys normally only appear with rows): leave
+            # surviving state/timers untouched, like a no-op visit
+            return
+        n += batch_n
+        anchor = max(anchor, batch_max)
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        if anchor + self._ttl_ms <= wm:
+            # watermark jumped past the fresh span's whole TTL in one
+            # batch: flush now rather than arm a past-due timer
+            yield self._expired_row(key, n, anchor, 0)
+            self._span.clear()
+        else:
+            self._span.update((n, anchor))
+            self._handle.registerTimer(anchor + self._ttl_ms)
+
+    def handleExpiredTimer(
+        self, key: tuple, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        wm = timerValues.getCurrentWatermarkInMs()
+        if not self._span.exists():
+            return
+        n, anchor = (int(v) for v in self._span.get())
+        if anchor + self._ttl_ms <= wm:
+            yield self._expired_row(key, n, anchor, 1)
+            self._span.clear()
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_counts_wm_ttl(
+    spark: SparkSession,
+    events_path: str,
+    ttl_s: int = 7200,
+    delay_s: int = 86400,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Replay events through the watermark-driven TTL counter
+    (event-time timeMode, append output: one row per expired span,
+    emitted exactly once when the watermark passes anchor + TTL)."""
+    if not HAS_TWS_DEPS:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(google.protobuf) for its Python<->state-server protocol."
+        )
+    events = _streaming_events(spark, events_path, max_files_per_trigger).withWatermark(
+        "ts", f"{delay_s} seconds"
+    )
+    expired = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WatermarkTtlCountProcessor(ttl_s),
+        outputStructType=WM_TTL_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    name = f"stateful_v2_wmttl_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        query = (
+            expired.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    query.awaitTermination()
+    return spark.table(name)
+
+
 TTL_SCHEMA = "user_id bigint, n_since_expiry bigint, state_was_live bigint"
 
 
@@ -301,6 +466,17 @@ class TtlUserCountProcessor(StatefulProcessor):
     accumulates normally. Each update row also reports whether prior
     state was live (state_was_live), so tests can pin exactly WHERE
     expiry happened rather than inferring it from totals.
+
+    UNVALIDATED IN THIS ENVIRONMENT: every timeMode=ProcessingTime
+    transformWithState batch stalls here (worker blocks in the state
+    server read; forensics in COVERAGE.md round 13), so this
+    processor's expiry path has never executed locally — its only
+    green test is the EventTime TTL-rejection pin. The expiry
+    differential is @skip'd with the un-skip condition written into
+    tests/test_streaming_differential.py. For verified TTL semantics
+    use WatermarkTtlCountProcessor below (event-time, watermark-driven
+    expiry — the production-preferable formulation anyway, since it is
+    replay-deterministic).
     """
 
     def __init__(self, ttl_ms: int) -> None:
@@ -331,7 +507,9 @@ def stream_user_counts_ttl(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Replay events through the TTL'd counter (processing-time
-    timeMode — state TTL is a processing-time feature)."""
+    timeMode — state TTL is a processing-time feature). See the
+    processor docstring: unvalidated in this environment (ProcessingTime
+    batches stall); prefer stream_user_counts_wm_ttl."""
     if not HAS_TWS_DEPS:
         raise RuntimeError(
             "transformWithStateInPandas requires the 'protobuf' package "

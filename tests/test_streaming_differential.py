@@ -565,7 +565,11 @@ def _simulate_timer_sessions(batches, gap: timedelta, delay: timedelta):
     """Pure-Python replay of the timer-driven session processor
     (stateful_v2.SessionTimerProcessor) under the dual-watermark model
     pinned in this file's header:
-      - input row DROPPED iff ts < wm_late(N) (raw event time, lagged wm);
+      - input row DROPPED iff ts <= wm_late(N) (raw event time, lagged
+        wm; NON-strict — transformWithState drops a row at exactly the
+        late watermark, pinned empirically r14 via the wm-TTL
+        differential's seed-82 tie, unlike dropDuplicatesWithinWatermark
+        whose raw-event filter is strict);
       - keys WITH input merge (interval merge, boundary event at exactly
         last+gap merges) then close sessions with last+gap <= wm_evict(N);
       - keys WITHOUT input close the same way iff their registered timer
@@ -597,7 +601,7 @@ def _simulate_timer_sessions(batches, gap: timedelta, delay: timedelta):
     def tick(rows, wm_late, wm):
         by_uid: dict[int, list] = {}
         for uid, ts, *_ in rows:
-            if ts < wm_late:
+            if ts <= wm_late:
                 continue
             by_uid.setdefault(uid, []).append([ts, ts, 1])
         for uid, evs in by_uid.items():
@@ -808,3 +812,173 @@ def test_tws_ttl_rejected_in_event_time_mode(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _simulate_wm_ttl(batches, ttl: timedelta, delay: timedelta):
+    """Pure-Python replay of the watermark-driven TTL counter
+    (stateful_v2.WatermarkTtlCountProcessor) under the dual-watermark
+    model pinned in this file's header. A key holds at most one open
+    span (n, anchor = max event time since span start); against
+    wm = wm_evict(N), non-strict expiry anchor + ttl <= wm:
+      - input row DROPPED iff ts <= wm_late(N) (non-strict, the
+        transformWithState late filter pinned by seed 82 here);
+      - a key WITH input first flushes an expired prior span
+        (expired_by = 0), then merges the batch (n += rows,
+        anchor = max), then flushes the merged span too if the
+        watermark already passed its whole TTL (also expired_by = 0 —
+        the past-due-timer avoidance path);
+      - a key WITHOUT input flushes via its timer (expired_by = 1);
+      - availableNow appends one final empty batch with the fully
+        advanced watermark; still-open spans are never emitted."""
+    epoch = datetime(1970, 1, 1)
+    wm_evict = epoch
+    spans: dict[int, tuple[int, datetime]] = {}
+    emitted = []
+
+    def tick(rows, wm_late, wm):
+        by_uid: dict[int, list] = {}
+        for uid, ts, *_ in rows:
+            if ts <= wm_late:
+                continue
+            by_uid.setdefault(uid, []).append(ts)
+        for uid, tss in by_uid.items():
+            if uid in spans and spans[uid][1] + ttl <= wm:
+                n, a = spans.pop(uid)
+                emitted.append((uid, n, a, 0))
+            n0, a0 = spans.get(uid, (0, None))
+            n = n0 + len(tss)
+            a = max(tss) if a0 is None else max(a0, max(tss))
+            if a + ttl <= wm:
+                emitted.append((uid, n, a, 0))
+                spans.pop(uid, None)
+            else:
+                spans[uid] = (n, a)
+        for uid in list(spans):
+            if uid not in by_uid and spans[uid][1] + ttl <= wm:
+                n, a = spans.pop(uid)
+                emitted.append((uid, n, a, 1))
+
+    for i, rows in enumerate(batches):
+        wm_late = wm_evict
+        prev_max = max((r[1] for b in batches[:i] for r in b), default=epoch)
+        wm_evict = max(wm_evict, prev_max - delay)
+        tick(rows, wm_late, wm_evict)
+    wm_late = wm_evict
+    wm_evict = max(
+        wm_evict, max((r[1] for b in batches for r in b), default=epoch) - delay
+    )
+    tick([], wm_late, wm_evict)
+    return sorted(emitted)
+
+
+def _collect_tws_wm_ttl(spark, land, ttl_s, delay_s):
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stream_user_counts_wm_ttl,
+    )
+
+    out = stream_user_counts_wm_ttl(
+        spark, land, ttl_s=ttl_s, delay_s=delay_s, max_files_per_trigger=1
+    )
+    epoch = datetime(1970, 1, 1)
+    return sorted(
+        (
+            r["user_id"],
+            r["n_events"],
+            epoch + timedelta(milliseconds=r["anchor_ms"]),
+            r["expired_by"],
+        )
+        for r in out.collect()
+    )
+
+
+def test_tws_wm_ttl_scenarios(spark, tmp_path):
+    """Pinned watermark-TTL expiry scenarios (the executed-evidence
+    answer to the environment-blocked ProcessingTime ttlDurationMs
+    test above): (a) an update within TTL REFRESHES the span (count
+    accumulates, anchor advances); (b) a key re-appearing after its
+    TTL passed flushes the old span lazily (expired_by=0) and RESTARTS
+    the count — "expired state reads as absent"; (c) a quiet key
+    flushes via its event-time timer (expired_by=1), including at
+    EXACTLY anchor+ttl == watermark (<=, not <); (d) a row older than
+    the lagged late-watermark is dropped and cannot resurrect a
+    flushed span."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+    B = datetime(2024, 3, 1, 10, 0, 0)
+    s = lambda n: timedelta(seconds=n)
+
+    # (a)+(b): refresh then lazy restart; ttl 120s, delay 60s
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(1, B + s(60), "a", 1.0), (9, B + s(600), "a", 1.0)],
+        [(1, B + s(700), "a", 1.0)],
+        [(5, B + s(900), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="wmttl_a")
+    got = _collect_tws_wm_ttl(spark, land, ttl_s=120, delay_s=60)
+    assert got == _simulate_wm_ttl(batches, s(120), s(60))
+    # refreshed span flushed lazily with BOTH events and the advanced anchor
+    assert (1, 2, B + s(60), 0) in got, got
+    # quiet keys flushed by their timers
+    assert (9, 1, B + s(600), 1) in got and (1, 1, B + s(700), 1) in got, got
+
+    # (c): timer expiry exactly == final watermark -> fires
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(9, B + s(180), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="wmttl_c")
+    got = _collect_tws_wm_ttl(spark, land, ttl_s=120, delay_s=60)
+    assert (1, 1, B, 1) in got, "timer at exactly wm must fire (<=): " + repr(got)
+
+    # (d): too-late row dropped, flushed span NOT resurrected
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(9, B + s(1800), "a", 1.0)],
+        [(9, B + s(2400), "a", 1.0)],
+        [(1, B + s(30), "a", 1.0), (9, B + s(2460), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="wmttl_d")
+    got = _collect_tws_wm_ttl(spark, land, ttl_s=60, delay_s=60)
+    assert got == _simulate_wm_ttl(batches, s(60), s(60))
+    assert [g for g in got if g[0] == 1] == [(1, 1, B, 1)], "late row must not resurrect"
+
+
+@pytest.mark.parametrize(
+    "seed,ttl_s,delay_s", [(81, 120, 300), (82, 60, 60), (83, 300, 900), (84, 45, 120)]
+)
+def test_tws_wm_ttl_random_differential(spark, tmp_path, seed, ttl_s, delay_s):
+    """Seeded random clock-skewed replay (same harness as the timer
+    sessions): per-batch timestamps overlap and regress across batches,
+    users churn so timers — not input — flush most spans. Emitted set
+    (count, anchor AND expiry path) must equal the simulator exactly."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        HAS_TWS_DEPS,
+    )
+
+    if not HAS_TWS_DEPS:
+        pytest.skip("protobuf runtime unavailable for transformWithState")
+    rng = random.Random(seed)
+    users = list(range(1, 8))
+    batches = []
+    clock = 0
+    for _ in range(5):
+        clock += rng.randint(ttl_s, 4 * ttl_s)
+        rows = []
+        for uid in rng.sample(users, rng.randint(2, 5)):
+            t = clock - rng.randint(0, 3 * delay_s)
+            for _ in range(rng.randint(1, 4)):
+                rows.append((uid, BASE + timedelta(seconds=t), "a", 1.0))
+                t += rng.randint(1, 2 * ttl_s)
+        rng.shuffle(rows)
+        batches.append(rows)
+    land = _write_batches(tmp_path, batches, dirname="wmttl_rand")
+    got = _collect_tws_wm_ttl(spark, land, ttl_s=ttl_s, delay_s=delay_s)
+    want = _simulate_wm_ttl(
+        batches, timedelta(seconds=ttl_s), timedelta(seconds=delay_s)
+    )
+    assert got == want
