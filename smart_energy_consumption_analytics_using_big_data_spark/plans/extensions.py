@@ -7580,3 +7580,76 @@ def q_eval_qq_normal(spark, sf_dir):
         ),
         F.round(num / F.sqrt(den * deny), 6).alias("corr"),
     )
+
+
+@q(
+    "q_graph_triangles_canon",
+    """
+    WITH edges0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM edges0 UNION ALL SELECT v FROM edges0
+      ) t(u) GROUP BY 1
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM edges0 e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+      SELECT 1
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    """,
+)
+def q_graph_triangles_canon(spark, sf_dir):
+    """The `canonicalize=True` recovery path of oriented_triangles
+    (ext/graph.py), driver-pinned (VERDICT r13 task 2): the co-purchase
+    edge list is deliberately CORRUPTED the three ways real-world edge
+    feeds are — every edge duplicated, half the copies flipped to the
+    opposite orientation (so both (u,v) and (v,u) survive a naive
+    dedup), plus a self-loop per partkey divisible by 10 — then handed
+    to oriented_triangles(canonicalize=True), whose one
+    least/greatest + distinct pass must recover EXACTLY the canonical
+    graph: the oracle is the same triangle count q_graph_triangles
+    computes from born-canonical edges. Without the flag this input
+    silently doubles every degree and multi-counts each triangle (the
+    ADVICE r12 contract hazard; pytest differential in
+    tests/test_graph_differential.py) — this query pins the recovery
+    under the driver. The corruption is synthesized map-side from the
+    same basket-pair build as the hot path (no lineitem self-join), so
+    the query stays scale-shaped; production callers with trusted
+    canonical edges skip the flag and its shuffle."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
+        copurchase_pairs,
+        oriented_triangles,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    canon = (
+        copurchase_pairs(li, "l_orderkey", "l_partkey")
+        .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .distinct()
+    )
+    flip = (F.col("u") + F.col("v")) % 2 == 0
+    flipped = canon.select(
+        F.when(flip, F.col("v")).otherwise(F.col("u")).alias("u"),
+        F.when(flip, F.col("u")).otherwise(F.col("v")).alias("v"),
+    )
+    loops = (
+        li.select(F.col("l_partkey").alias("u"))
+        .filter(F.col("u") % 10 == 0)
+        .distinct()
+        .select("u", F.col("u").alias("v"))
+    )
+    corrupted = canon.unionAll(flipped).unionAll(loops)
+    tri = oriented_triangles(corrupted, canonicalize=True)
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
