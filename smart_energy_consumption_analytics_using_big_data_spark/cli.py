@@ -339,6 +339,7 @@ def cmd_vector_index(args) -> None:
         append_ivf_index,
         build_ivf_index,
         compact_ivf_index,
+        delete_from_ivf_index,
     )
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
 
@@ -347,8 +348,17 @@ def cmd_vector_index(args) -> None:
         meta = compact_ivf_index(spark, args.out)
         print(json.dumps({"stage": "vector-index-compact", **meta}))
         return
+    if getattr(args, "delete", None):
+        ids = [int(v) for v in args.delete.split(",") if v.strip()]
+        if not ids:
+            raise SystemExit("vector-index: --delete needs a comma-separated id list")
+        meta = delete_from_ivf_index(spark, args.out, ids)
+        print(json.dumps({"stage": "vector-index-delete", **meta}))
+        return
     if not args.embeddings:
-        raise SystemExit("vector-index: --embeddings is required unless --compact")
+        raise SystemExit(
+            "vector-index: --embeddings is required unless --compact/--delete"
+        )
     emb = load_table(spark, args.embeddings, "embeddings")
     if getattr(args, "min_id", None) is not None:
         emb = emb.filter(F.col("vec_id") >= args.min_id)
@@ -464,7 +474,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("corpus"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--shards", type=int, default=8); p.add_argument("--context", type=int, default=512); p.set_defaults(fn=cmd_corpus)
     p = sub.add_parser("tokenize"); p.add_argument("--docs", required=True, help="dir containing documents.parquet"); p.add_argument("--out", required=True); p.add_argument("--merges", type=int, default=3); p.add_argument("--vocab", type=int, default=1000); p.set_defaults(fn=cmd_tokenize)
     p = sub.add_parser("emb-audit"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", default=None); p.add_argument("--k", type=int, default=2); p.add_argument("--outlier-threshold", type=float, default=120.0); p.set_defaults(fn=cmd_embaudit)
-    p = sub.add_parser("vector-index"); p.add_argument("--embeddings", default=None, help="dir containing embeddings.parquet (required unless --compact)"); p.add_argument("--out", required=True); p.add_argument("--append", action="store_true", help="assign to the existing index's frozen centroids and append (no retrain)"); p.add_argument("--compact", action="store_true", help="rewrite the lists into few full-sized files per cell (post-append maintenance)"); p.add_argument("--min-id", type=int, default=None, help="only vec_id >= this (batch slicing for --append)"); p.add_argument("--max-id", type=int, default=None, help="only vec_id < this"); p.set_defaults(fn=cmd_vector_index)
+    p = sub.add_parser("vector-index"); p.add_argument("--embeddings", default=None, help="dir containing embeddings.parquet (required unless --compact)"); p.add_argument("--out", required=True); p.add_argument("--append", action="store_true", help="assign to the existing index's frozen centroids and append (no retrain)"); p.add_argument("--compact", action="store_true", help="rewrite the lists into few full-sized files per cell (post-append maintenance; also reclaims --delete tombstones)"); p.add_argument("--delete", default=None, metavar="IDS", help="comma-separated vec ids to tombstone (logical delete; the next --compact reclaims them)"); p.add_argument("--min-id", type=int, default=None, help="only vec_id >= this (batch slicing for --append)"); p.add_argument("--max-id", type=int, default=None, help="only vec_id < this"); p.set_defaults(fn=cmd_vector_index)
     p = sub.add_parser("vector-search"); p.add_argument("--embeddings", required=True); p.add_argument("--index", required=True); p.add_argument("--query-id", type=int, required=True); p.add_argument("--k", type=int, default=10); p.add_argument("--nprobe", type=int, default=2); p.set_defaults(fn=cmd_vector_search)
     p = sub.add_parser("curate"); p.add_argument("--embeddings", required=True, help="dir containing embeddings.parquet"); p.add_argument("--out", required=True); p.add_argument("--threshold", type=float, default=0.4); p.add_argument("--k", type=int, default=6); p.add_argument("--shards", type=int, default=8); p.add_argument("--seed", type=int, default=42); p.set_defaults(fn=cmd_curate)
     p = sub.add_parser("all")

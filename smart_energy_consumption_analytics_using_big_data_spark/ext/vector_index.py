@@ -32,6 +32,12 @@ parity cannot drift; pinned in tests/test_vector_index.py.
 ``append_ivf_index`` adds new vectors without retraining: assign to
 the frozen centroids, ``mode("append")`` into the hive partitions —
 the index-once / append-deltas / probe-many production lifecycle.
+``delete_from_ivf_index`` retires vectors logically (tombstone table,
+anti-joined away by every probe); ``compact_ivf_index`` reclaims them
+physically while fixing small-files decay, behind a verified staged
+rewrite and a rename-aside swap that ``recover_ivf_index`` can heal
+from any crash point. Maintenance is SINGLE-WRITER (see
+compact_ivf_index's docstring for the probe-racing contract).
 """
 
 from __future__ import annotations
@@ -46,6 +52,13 @@ from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity impo
     ivf_probe_cells,
     ivf_score_topk,
 )
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-factory) for a path's Hadoop filesystem."""
+    jvm = spark._jvm
+    mk = jvm.org.apache.hadoop.fs.Path
+    return mk(path).getFileSystem(spark._jsc.hadoopConfiguration()), mk
 
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -138,6 +151,7 @@ def _refresh_meta(
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     per_cell = lists.groupBy("cell_part").agg(F.count(F.lit(1)).alias("n")).collect()
     cent_rows = cents.select("cell", F.size("centroid").alias("dim")).collect()
+    tomb = _read_tombstones(spark, index_dir, id_col)
     meta = {
         "n_vectors": int(sum(r["n"] for r in per_cell)),
         "n_cells": len(cent_rows),
@@ -145,9 +159,111 @@ def _refresh_meta(
         "dim": int(cent_rows[0]["dim"]),
         "vec_col": vec_col,
         "id_col": id_col,
+        # PHYSICAL rows above; tombstoned ids stay in the lists (and in
+        # n_vectors) until compaction reclaims them — the tiny tombstone
+        # table is the only extra read this count costs
+        "n_tombstones": int(tomb.count()) if tomb is not None else 0,
     }
     _fs_write_text(spark, f"{index_dir}/index_meta.json", json.dumps(meta, indent=2))
     return meta
+
+
+def _read_tombstones(
+    spark: SparkSession, index_dir: str, id_col: str
+) -> DataFrame | None:
+    """The DISTINCT tombstoned ids, or None when nothing was ever
+    deleted. Tombstones accumulate as appended parquet (each delete is
+    one tiny file); distinct here makes repeat-deletes idempotent."""
+    path = f"{index_dir}/tombstones.parquet"
+    fs, mk = _fs(spark, path)
+    if not fs.exists(mk(path)):
+        return None
+    return spark.read.parquet(path).select(id_col).distinct()
+
+
+def delete_from_ivf_index(spark: SparkSession, index_dir: str, ids) -> dict:
+    """LOGICAL vector removal (retired documents): record the ids in a
+    tombstone table that every probe anti-joins away; the rows are
+    physically reclaimed by the next ``compact_ivf_index`` (which also
+    clears the tombstones). O(batch) — no list rewrite, no index scan:
+    the delete is one tiny parquet append, exactly like the append
+    path never rewrites existing lists.
+
+    ``ids`` is an iterable of id values or a single-column DataFrame
+    (named anything; it is cast to the index's id column). Deleting an
+    id absent from the lists is a harmless no-op (same contract as
+    re-deleting an id — distinct at read makes it idempotent), so a
+    delete can also back out a FAILED append batch: tombstone the
+    batch's ids, compact, re-append — the recovery path that makes the
+    non-atomic append safe to retry. Returns the refreshed meta
+    (``n_tombstones`` counts distinct tombstoned ids)."""
+    meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
+    id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        cols = ids.columns
+        if len(cols) != 1:
+            raise ValueError(
+                f"delete_from_ivf_index: ids DataFrame must have exactly "
+                f"one column, got {cols}"
+            )
+        tomb = ids.select(F.col(cols[0]).alias(id_col))
+    else:
+        vals = list(ids)
+        if not vals:
+            raise ValueError("delete_from_ivf_index: no ids given")
+        tomb = spark.createDataFrame([(v,) for v in vals], [id_col])
+    # match the lists' id dtype so the anti-join never compares across
+    # types (a long-vs-int mismatch would silently delete nothing)
+    lists_id_type = dict(
+        spark.read.parquet(f"{index_dir}/lists.parquet").dtypes
+    )[id_col]
+    tomb = tomb.select(F.col(id_col).cast(lists_id_type))
+    if tomb.filter(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError("delete_from_ivf_index: NULL id in delete batch")
+    tomb.coalesce(1).write.mode("append").parquet(f"{index_dir}/tombstones.parquet")
+    return _refresh_meta(spark, index_dir, meta["vec_col"], id_col)
+
+
+def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
+    """Heal the on-disk states an interrupted compaction can leave
+    (also runs automatically at the start of every compact):
+
+    - live lists MISSING + staged present  -> promote the staged copy
+      (it was row-count-verified before the swap began), drop any
+      ``.old``;
+    - live lists MISSING + only ``.old``   -> restore the old copy;
+    - live lists present + leftovers       -> drop the leftovers (a
+      ``.old`` survived a crash after promotion; a ``.compacting`` is
+      a partial rewrite that never reached the swap).
+
+    Returns {"actions": [...]} naming what it did (empty = clean)."""
+    lists_path = f"{index_dir}/lists.parquet"
+    fs, mk = _fs(spark, lists_path)
+    live, old, staged = (
+        mk(lists_path), mk(f"{lists_path}.old"), mk(f"{lists_path}.compacting")
+    )
+    actions: list[str] = []
+    if not fs.exists(live):
+        if fs.exists(staged):
+            if not fs.rename(staged, live):
+                raise IOError(f"recover_ivf_index: promote {staged} failed")
+            actions.append("promoted_staged")
+        elif fs.exists(old):
+            if not fs.rename(old, live):
+                raise IOError(f"recover_ivf_index: restore {old} failed")
+            actions.append("restored_old")
+        else:
+            raise IOError(
+                f"recover_ivf_index: no live, staged or old lists under "
+                f"{index_dir} — the index is gone, rebuild it"
+            )
+    if fs.exists(old):
+        fs.delete(old, True)
+        actions.append("dropped_old")
+    if fs.exists(staged):
+        fs.delete(staged, True)
+        actions.append("dropped_staged")
+    return {"actions": actions}
 
 
 def build_ivf_index(
@@ -199,6 +315,14 @@ def append_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
     tests/test_vector_index.py. Caller contract: the batch's ids are
     new (an id-collision check would be a full-index scan; dedup
     upstream if ids can repeat).
+
+    NOT crash-atomic (ADVICE r13): ``mode("append")`` has no staging,
+    so a mid-write failure leaves a partial batch in the lists (with
+    index_meta.json then stale), and blindly retrying the same batch
+    would duplicate the rows that did land. Recovery WITHOUT a rebuild:
+    tombstone the batch's ids (``delete_from_ivf_index`` — absent ids
+    are harmless no-ops), ``compact_ivf_index`` to reclaim, then
+    re-append the batch. Same single-writer contract as compaction.
     """
     if embeddings.isEmpty():
         raise ValueError("append_ivf_index: appended batch is empty")
@@ -221,33 +345,61 @@ def compact_ivf_index(
     small-files problem: a probe's partition pruning still skips other
     cells, but within a probed cell every tiny file costs an open).
 
+    Compaction is also the PHYSICAL reclaim step for deletes: rows
+    whose id is tombstoned (delete_from_ivf_index) are filtered out of
+    the rewrite, and the tombstone table is cleared once the swap
+    lands — after which the lists are byte-equivalent (as a rowset) to
+    packing the surviving corpus with the same frozen centroids.
+
     One shuffle sized by ``ceil(rows / target_rows_per_file)`` output
     files per cell (repartition on cell_part + a within-cell bucket
-    id). The rewrite goes to a staging directory first, so a crash
-    during the (long) rewrite leaves the live lists untouched; the
-    swap itself is delete-live + rename-staged through the path's
-    Hadoop filesystem — a crash INSIDE that short window loses only
-    the live copy while the fully-written staged directory remains on
-    disk for manual rename recovery (rename is metadata-only on
-    file://-/hdfs://, a copy on s3a). Returns the refreshed meta plus
-    files_before/files_after. Row set, meta, and the probe's
-    PartitionFilters pruning are invariant (tests/test_vector_index.py).
+    id). Crash safety: the rewrite goes to a staging directory and its
+    row count is VERIFIED against the filtered source before anything
+    touches the live lists; the swap is then rename-live-aside ->
+    rename-staged-in -> drop-old (each rename metadata-atomic on
+    file:///hdfs://, a copy on s3a), so every crash point leaves a
+    complete copy on disk and ``recover_ivf_index`` (run automatically
+    at the start of every compact) heals it without data loss.
+
+    SINGLE-WRITER CONTRACT: one maintenance writer at a time (appends,
+    deletes and compactions serialize with each other). Probes racing
+    the swap can transiently fail — a reader that listed the directory
+    just before the swap may find files replaced mid-read, and in the
+    two-rename window the live path briefly does not exist; either
+    case surfaces as a read error to RETRY, never as silently mixed or
+    partial results (each probe resolves one directory listing). Pin a
+    probe fleet to a snapshot copy if retries are unacceptable.
+
+    Returns the refreshed meta plus files_before/files_after. Row set
+    (minus tombstoned rows), meta, and the probe's PartitionFilters
+    pruning are invariant (tests/test_vector_index.py).
     """
+    recover_ivf_index(spark, index_dir)
     meta0 = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
     id_col = meta0["id_col"]
     lists_path = f"{index_dir}/lists.parquet"
     staged_path = f"{index_dir}/lists.parquet.compacting"
+    old_path = f"{index_dir}/lists.parquet.old"
     lists = spark.read.parquet(lists_path)
+    files_before = lists.select(F.input_file_name()).distinct().count()
+    tomb = _read_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        lists = lists.join(F.broadcast(tomb), id_col, "left_anti")
     per_cell = {
         r["cell_part"]: r["n"]
         for r in lists.groupBy("cell_part")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    files_before = lists.select(F.input_file_name()).distinct().count()
     # within-cell bucket count = ceil(rows / target): one file per cell
     # for normal cells, several writer tasks (no straggler) for a cell
     # bigger than the target. Broadcast-joined, never collected per row.
+    expected_rows = int(sum(per_cell.values()))
+    if expected_rows == 0:
+        raise ValueError(
+            "compact_ivf_index: every row is tombstoned — compaction "
+            "would write an empty index; rebuild instead"
+        )
     n_buckets = {
         part: max(1, -(-n // target_rows_per_file)) for part, n in per_cell.items()
     }
@@ -268,17 +420,33 @@ def compact_ivf_index(
         .partitionBy("cell_part")
         .parquet(staged_path)
     )
-    # atomic-enough swap through the Hadoop FS (works for file://,
-    # hdfs://; on s3a rename is a copy, still crash-safe: the live
-    # path is replaced only after the staged write fully succeeded)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    live = jvm.org.apache.hadoop.fs.Path(lists_path)
-    staged = jvm.org.apache.hadoop.fs.Path(staged_path)
-    fs = live.getFileSystem(conf)
-    fs.delete(live, True)
+    # VERIFY before touching the live lists: a short staged write (lost
+    # executor, partial job cleanup bug) must fail here, with the live
+    # index untouched and the staged leftovers dropped
+    fs, mk = _fs(spark, lists_path)
+    staged_rows = spark.read.parquet(staged_path).count()
+    if staged_rows != expected_rows:
+        fs.delete(mk(staged_path), True)
+        raise IOError(
+            f"compact_ivf_index: staged rewrite has {staged_rows} rows, "
+            f"expected {expected_rows} — live lists left untouched"
+        )
+    # rename-aside swap (ADVICE r13): live -> .old, staged -> live,
+    # drop .old. Every crash point leaves a complete copy on disk
+    # (recover_ivf_index heals all three states); the old delete-live-
+    # then-rename order had a window with NO live copy at all.
+    live, old, staged = mk(lists_path), mk(old_path), mk(staged_path)
+    if not fs.rename(live, old):
+        raise IOError(f"compact_ivf_index: rename {lists_path} -> {old_path} failed")
     if not fs.rename(staged, live):
+        # roll the live lists back so the index stays probe-able
+        fs.rename(old, live)
         raise IOError(f"compact_ivf_index: rename {staged_path} -> {lists_path} failed")
+    fs.delete(old, True)
+    # tombstoned rows are physically gone now — clear the tombstones
+    # (AFTER the swap: a crash before this line re-applies them to the
+    # already-filtered lists, a harmless no-op by the anti-join)
+    fs.delete(mk(f"{index_dir}/tombstones.parquet"), True)
     compacted = spark.read.parquet(lists_path)
     files_after = compacted.select(F.input_file_name()).distinct().count()
     meta = _refresh_meta(spark, index_dir, meta0["vec_col"], id_col)
@@ -330,4 +498,11 @@ def search_ivf_index(
     lists = spark.read.parquet(f"{index_dir}/lists.parquet").filter(
         F.col("cell_part").isin(probed)
     )
+    # logical deletes: tombstoned ids never rank. The anti-join sits ON
+    # TOP of the partition-pruned scan (broadcast, no shuffle), so the
+    # nprobe-cells-only read is untouched; compaction reclaims the rows
+    # and drops this join's input entirely.
+    tomb = _read_tombstones(spark, index_dir, id_col)
+    if tomb is not None:
+        lists = lists.join(F.broadcast(tomb), id_col, "left_anti")
     return ivf_score_topk(lists.drop("cell_part"), qv, k, vec_col, id_col)

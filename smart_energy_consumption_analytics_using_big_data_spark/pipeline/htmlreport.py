@@ -581,7 +581,7 @@ def serve_report(html_path: str, port: int = 8000, host: str = "127.0.0.1"):
         raise ValueError(f"serve_report: no rendered report at {html_path}")
 
     class _ReportHandler(http.server.BaseHTTPRequestHandler):
-        def do_GET(self):  # noqa: N802 (stdlib handler API)
+        def _respond(self, include_body: bool):
             if self.path.split("?", 1)[0] not in ("/", "/index.html"):
                 self.send_error(404, "this server serves the report only")
                 return
@@ -596,7 +596,14 @@ def serve_report(html_path: str, port: int = 8000, host: str = "127.0.0.1"):
             self.send_header("Content-Type", "text/html; charset=utf-8")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            if include_body:
+                self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib handler API)
+            self._respond(include_body=True)
+
+        def do_HEAD(self):  # noqa: N802 — curl -I / proxies / health checks
+            self._respond(include_body=False)
 
         def log_message(self, *args):  # quiet: the CLI prints the URL once
             pass

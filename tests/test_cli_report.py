@@ -250,6 +250,12 @@ def test_report_serve_http_chain(pipeline_out, capsys, tmp_path):
         assert "Households" in doc and f"{rpt['kpi']['households']:,}" in doc
         assert "Best forecast model" in doc
         assert urllib.request.urlopen(url + "index.html").status == 200
+        # HEAD (curl -I, proxies, health checks): same headers, no body
+        head_req = urllib.request.Request(url, method="HEAD")
+        head = urllib.request.urlopen(head_req)
+        assert head.status == 200
+        assert int(head.headers["Content-Length"]) == len(doc.encode("utf-8"))
+        assert head.read() == b""
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(url + "models/best/model_metadata.json")
         assert exc.value.code == 404

@@ -268,3 +268,178 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     }
     assert sum(per_cell.values()) == meta["n_vectors"]
     assert min(per_cell.values()) < meta["n_vectors"]
+
+
+def test_ivf_index_delete_lifecycle(spark, tmp_path):
+    """delete_from_ivf_index: tombstoned ids vanish from every probe
+    immediately (logical), survive an append, and are physically
+    reclaimed by compaction — after which the lists are rowset-equal to
+    packing the surviving corpus with the same frozen centroids and the
+    tombstone table is gone. Repeat/absent-id deletes are no-ops."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.similarity import ivf_assign
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_delete")
+    meta0 = build_ivf_index(emb.filter("vec_id < 400"), idx)
+
+    # exact search (nprobe = n_cells) before/after the delete: the
+    # victims are the query's own id and its top neighbours, so rank 1
+    # must CHANGE, not just shrink
+    query = emb.filter("vec_id = 9")
+    before = [
+        (r["vec_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, query, k=5, nprobe=meta0["n_cells"]).collect()
+    ]
+    victims = [vid for vid, _ in before[:2]]  # includes vec_id 9 itself
+    meta1 = delete_from_ivf_index(spark, idx, victims)
+    assert meta1["n_tombstones"] == 2
+    assert meta1["n_vectors"] == 400, "logical delete must not rewrite lists"
+    after = [
+        (r["vec_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, query, k=5, nprobe=meta0["n_cells"]).collect()
+    ]
+    survivors_of_before = [t for t in before if t[0] not in set(victims)]
+    assert all(t[0] not in set(victims) for t in after)
+    # exact search: the surviving prefix of the old ranking must hold
+    assert after[: len(survivors_of_before)] == survivors_of_before
+    # pruning survives the tombstone anti-join
+    out = search_ivf_index(spark, idx, query, k=5, nprobe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_part", plan), plan[:2000]
+
+    # deletes survive an append; re-delete + absent ids are no-ops
+    append_ivf_index(emb.filter("vec_id >= 400"), idx)
+    meta2 = delete_from_ivf_index(spark, idx, [victims[0], 999_999])
+    assert meta2["n_tombstones"] == 3  # victims + the absent id
+    hits = {
+        r["vec_id"]
+        for r in search_ivf_index(spark, idx, query, k=50, nprobe=meta0["n_cells"]).collect()
+    }
+    assert not hits & set(victims)
+
+    # compaction reclaims: rowset == one-shot pack of corpus-minus-
+    # victims with the SAME frozen centroids; tombstones cleared
+    out = compact_ivf_index(spark, idx)
+    assert out["n_tombstones"] == 0
+    assert out["n_vectors"] == 500 - 2
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones.parquet")
+    cents = spark.read.parquet(f"{idx}/centroids.parquet")
+    survivors = emb.filter(~F.col("vec_id").isin(victims))
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in ivf_assign(survivors, cents).select("vec_id", "cell").collect()
+    }
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    got = {(r["vec_id"], r["cell"]) for r in lists.select("vec_id", "cell").collect()}
+    assert got == want
+    # post-compact exact search == exact ANN over the surviving corpus
+    # (nprobe = n_cells scans every cell on both sides, so the frozen-
+    # vs-inline-trained centroid split cannot matter): delete+compact
+    # and rebuild-without cannot diverge
+    got_hits = [
+        (r["vec_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, query, k=5, nprobe=meta0["n_cells"]).collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_ivf(survivors, query, k=5, nprobe=meta0["n_cells"]).collect()
+    ]
+    assert got_hits == brute
+
+    # guards
+    with pytest.raises(ValueError, match="no ids"):
+        delete_from_ivf_index(spark, idx, [])
+    with pytest.raises(ValueError, match="NULL id"):
+        delete_from_ivf_index(
+            spark, idx, spark.createDataFrame([(None,)], "vec_id bigint")
+        )
+    with pytest.raises(ValueError, match="exactly one column"):
+        delete_from_ivf_index(spark, idx, emb.select("vec_id", "label"))
+
+
+def test_ivf_compact_crash_recovery(spark, tmp_path):
+    """recover_ivf_index heals every state the rename-aside swap can
+    crash in: (1) live renamed aside, staged complete -> staged is
+    promoted; (2) only .old remains -> restored; (3) leftovers beside a
+    live copy -> dropped. compact_ivf_index runs recovery automatically
+    and the healed index compacts/probes normally."""
+    import os
+    import shutil
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        compact_ivf_index,
+        recover_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_crash")
+    build_ivf_index(emb, idx)
+    live = f"{idx}/lists.parquet"
+    rows = lambda: {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(live).select("vec_id", "cell").collect()
+    }
+    want = rows()
+
+    # state 1: crash between rename-aside and promote (live missing,
+    # .old = old copy, .compacting = verified new copy) -> promote staged
+    shutil.copytree(live, f"{live}.compacting")
+    os.rename(live, f"{live}.old")
+    out = recover_ivf_index(spark, idx)
+    assert out["actions"] == ["promoted_staged", "dropped_old"]
+    assert rows() == want and not os.path.exists(f"{live}.old")
+
+    # state 2: only .old survives -> restored
+    os.rename(live, f"{live}.old")
+    assert recover_ivf_index(spark, idx)["actions"] == ["restored_old"]
+    assert rows() == want
+
+    # state 3: stale leftovers beside a live copy -> dropped (and a
+    # compact on the healed index works end to end, running recovery
+    # itself first)
+    shutil.copytree(live, f"{live}.compacting")
+    shutil.copytree(live, f"{live}.old")
+    meta = compact_ivf_index(spark, idx)
+    assert meta["n_vectors"] == len(want)
+    assert rows() == want
+    assert not os.path.exists(f"{live}.compacting") and not os.path.exists(f"{live}.old")
+
+    # nothing left at all -> explicit error, not a silent empty index
+    shutil.rmtree(live)
+    with pytest.raises(IOError, match="rebuild"):
+        recover_ivf_index(spark, idx)
+
+
+def test_cli_vector_index_delete(spark, tmp_path, capsys):
+    from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+    idx = str(tmp_path / "cli_idx_del")
+    capsys.readouterr()
+    cli.main(["vector-index", "--embeddings", SF_SMOKE, "--out", idx])
+    capsys.readouterr()
+    cli.main(["vector-index", "--out", idx, "--delete", "3,4"])
+    out = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert out["stage"] == "vector-index-delete" and out["n_tombstones"] == 2
+    # the query vector still comes from the corpus table, but the
+    # deleted ids no longer rank — id 3 is not even its own top hit
+    cli.main(
+        ["vector-search", "--embeddings", SF_SMOKE, "--index", idx,
+         "--query-id", "3", "--k", "5", "--nprobe", "2"]
+    )
+    res = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert res["hits"] and all(h["vec_id"] not in (3, 4) for h in res["hits"])
+    cli.main(["vector-index", "--out", idx, "--compact"])
+    compacted = json.loads(
+        [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert compacted["n_vectors"] == 498 and compacted["n_tombstones"] == 0
