@@ -105,6 +105,13 @@ PROBE = [
     # width A/B and hub-skew companions)
     "q_graph_triangles",
     "q_sim_knn_join",
+    # round-14: the transformWithState surface (events 100x churn-mode:
+    # keys x100, per-key state constant). The orthogonal state-DEPTH
+    # axis (same keys, open-session ListState x100 deep) lives in
+    # scripts/probe_r14_streaming.py — both measured sublinear r14
+    # (sessions 39x/17x, wm-TTL 19x/3x at 100x data).
+    "q_stream_sessions_timer",
+    "q_stream_ttl_expiry",
 ]
 
 # data_ratio overrides where the prefix rule below misclassifies the

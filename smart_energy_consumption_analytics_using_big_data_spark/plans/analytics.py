@@ -3246,3 +3246,36 @@ def q_stat_chi2(spark, sf_dir):
         ).cast("bigint").alias("dof"),
         F.round(F.sqrt(chi2 / (F.max("n") * min_dim)), 6).alias("cramers_v"),
     )
+
+
+@q(
+    "q_approx_topk_exact",
+    """
+    WITH c AS (
+      SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY est_count DESC) AS INT) AS "rank",
+           item, est_count
+    FROM c
+    """,
+)
+def q_approx_topk_exact(spark, sf_dir):
+    """approx_top_k BELOW capacity, value-checked (VERDICT r13 task 8,
+    the KMV precedent): with maxItemsTracked (100) >= the column's
+    distinct count (5 event types) the frequent-items sketch tracks
+    every item, so its "estimates" are exact counts and the full
+    ranking is a real DuckDB oracle — converting the sketch family's
+    rows-only evidence into a value check on the regime where
+    exactness is the CONTRACT, not luck (events has no count ties at
+    any test SF, so the desc ordering is deterministic). q_approx_topk
+    keeps the above-capacity regime (estimates, pytest-bounded). At
+    100 TB the capacity knob bounds executor state either way; the
+    merge stays one pass."""
+    ev = t(spark, sf_dir, "events")
+    sk = ev.select(F.expr("approx_top_k(event_type, 10, 100)").alias("top"))
+    return sk.select(F.posexplode("top").alias("rank0", "e")).select(
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("est_count"),
+    )
