@@ -343,13 +343,28 @@ def cmd_vector_index(args) -> None:
     )
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
 
+    modes = [
+        flag
+        for flag in ("compact", "delete", "append")
+        if getattr(args, flag, None)
+    ]
+    if len(modes) > 1:
+        # silent precedence would drop an operation the user asked for
+        # (e.g. --delete --compact skipping the delete)
+        raise SystemExit(
+            f"vector-index: --{' and --'.join(modes)} are mutually "
+            "exclusive; run them as separate invocations"
+        )
     spark = _spark(args)
     if getattr(args, "compact", False):
         meta = compact_ivf_index(spark, args.out)
         print(json.dumps({"stage": "vector-index-compact", **meta}))
         return
     if getattr(args, "delete", None):
-        ids = [int(v) for v in args.delete.split(",") if v.strip()]
+        try:
+            ids = [int(v) for v in args.delete.split(",") if v.strip()]
+        except ValueError as exc:
+            raise SystemExit(f"vector-index: bad --delete id list: {exc}")
         if not ids:
             raise SystemExit("vector-index: --delete needs a comma-separated id list")
         meta = delete_from_ivf_index(spark, args.out, ids)

@@ -244,14 +244,23 @@ def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     )
     actions: list[str] = []
     if not fs.exists(live):
-        if fs.exists(staged):
-            if not fs.rename(staged, live):
-                raise IOError(f"recover_ivf_index: promote {staged} failed")
+        if fs.exists(staged) and fs.rename(staged, live):
             actions.append("promoted_staged")
         elif fs.exists(old):
+            # either no staged copy, or promoting it failed (corrupt /
+            # locked / s3a copy failure): the .old copy is complete —
+            # restore it rather than leaving the index unreadable
             if not fs.rename(old, live):
-                raise IOError(f"recover_ivf_index: restore {old} failed")
+                raise IOError(
+                    f"recover_ivf_index: could not promote staged OR "
+                    f"restore {old} — manual recovery required"
+                )
             actions.append("restored_old")
+        elif fs.exists(staged):
+            raise IOError(
+                f"recover_ivf_index: promote {staged} failed and no "
+                f".old copy exists — manual recovery required"
+            )
         else:
             raise IOError(
                 f"recover_ivf_index: no live, staged or old lists under "
@@ -287,6 +296,13 @@ def build_ivf_index(
         raise ValueError("build_ivf_index: embeddings corpus is empty")
     _assert_uniform_dim(embeddings, vec_col, None, "build_ivf_index")
     spark = embeddings.sparkSession
+    # a REBUILD into an existing index dir starts a new life: stale
+    # tombstones (and interrupted-compaction leftovers) from the old
+    # index must not hide — and on next compact, destroy — the new
+    # vectors, which can share ids with deleted old ones
+    fs, mk = _fs(spark, index_dir)
+    for leftover in ("tombstones.parquet", "lists.parquet.old", "lists.parquet.compacting"):
+        fs.delete(mk(f"{index_dir}/{leftover}"), True)
     cents = ivf_centroids(embeddings, vec_col, label_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")

@@ -363,6 +363,13 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # sf0.001/sf0.01 oracle + driver-sim green locally). Plan changed,
     # so the driver re-proves it.
     ("q_graph_triangles", 12),
+    # r14: the four stateful_v2 memory-sink runner blocks were
+    # deduplicated into _run_tws_to_memory (code-review finding; conf
+    # handling and sink identical, values hash-identical locally) —
+    # the driver re-proves the one registered query that rides it.
+    # (q_stream_ttl_expiry also rides it but is r14-new: it sits at
+    # the window head as unseen already.)
+    ("q_stream_sessions_timer", 14),
 )
 
 # One-time liveness refresh of rows-only queries: a rows-only row is

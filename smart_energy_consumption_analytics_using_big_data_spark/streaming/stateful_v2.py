@@ -35,6 +35,43 @@ from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup im
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, max_value double, n_types bigint"
 
+
+def _run_tws_to_memory(
+    spark: SparkSession, stream_df: DataFrame, name_prefix: str, output_mode: str
+) -> DataFrame:
+    """Run a transformWithState stream into a uuid-named memory sink
+    (availableNow replay) and return the sink table — the one runner
+    all four operators in this module share. The RocksDB provider
+    (transformWithState requires it) and 8 shuffle partitions are
+    pinned only around query START (streaming confs are captured at
+    start) and restored immediately, so concurrent batch work in the
+    session keeps its own settings."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    query.awaitTermination()
+    return spark.table(name)
+
 # transformWithState's Python worker speaks protobuf to the JVM state
 # server; without the google.protobuf package the worker crashes at
 # startup with an opaque STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE.
@@ -118,31 +155,7 @@ def stream_user_typed_stats(
         outputMode="Update",
         timeMode="None",
     )
-    name = f"stateful_v2_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        query = (
-            stats.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_provider is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    query.awaitTermination()
-    return spark.table(name)
+    return _run_tws_to_memory(spark, stats, "stateful_v2", "update")
 
 
 SESSION_SCHEMA = "user_id bigint, start_ms bigint, end_ms bigint, n_events bigint"
@@ -262,31 +275,7 @@ def stream_user_sessions_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
-    name = f"stateful_v2_sess_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        query = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_provider is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    query.awaitTermination()
-    return spark.table(name)
+    return _run_tws_to_memory(spark, sessions, "stateful_v2_sess", "append")
 
 
 WM_TTL_SCHEMA = (
@@ -357,6 +346,13 @@ class WatermarkTtlCountProcessor(StatefulProcessor):
                 ms = pdf["ts"].astype("datetime64[ms]").astype("int64")
                 batch_n += len(pdf)
                 batch_max = max(batch_max, int(ms.max()))
+        if batch_n == 0:
+            # defensive (keys normally only appear with rows): a TRUE
+            # no-op visit — state and timers untouched, so an expired
+            # span still flushes via its timer with expired_by=1,
+            # matching the simulator's no-input path (lazy-flushing it
+            # here would mislabel it 0 and fire early)
+            return
         n, anchor = (
             (int(v[0]), int(v[1])) if (v := self._span.get() if self._span.exists() else None)
             else (0, -1)
@@ -369,10 +365,6 @@ class WatermarkTtlCountProcessor(StatefulProcessor):
             for t in list(self._handle.listTimers()):
                 self._handle.deleteTimer(t)
             n, anchor = 0, -1
-        if batch_n == 0:
-            # defensive (keys normally only appear with rows): leave
-            # surviving state/timers untouched, like a no-op visit
-            return
         n += batch_n
         anchor = max(anchor, batch_max)
         for t in list(self._handle.listTimers()):
@@ -427,31 +419,7 @@ def stream_user_counts_wm_ttl(
         outputMode="Append",
         timeMode="EventTime",
     )
-    name = f"stateful_v2_wmttl_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        query = (
-            expired.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_provider is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    query.awaitTermination()
-    return spark.table(name)
+    return _run_tws_to_memory(spark, expired, "stateful_v2_wmttl", "append")
 
 
 TTL_SCHEMA = "user_id bigint, n_since_expiry bigint, state_was_live bigint"
@@ -522,28 +490,4 @@ def stream_user_counts_ttl(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
-    name = f"stateful_v2_ttl_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_provider = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", None
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        query = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_provider is not None:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", prev_provider
-            )
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    query.awaitTermination()
-    return spark.table(name)
+    return _run_tws_to_memory(spark, counts, "stateful_v2_ttl", "update")

@@ -443,3 +443,88 @@ def test_cli_vector_index_delete(spark, tmp_path, capsys):
         [ln for ln in capsys.readouterr().out.strip().splitlines() if ln.startswith("{")][-1]
     )
     assert compacted["n_vectors"] == 498 and compacted["n_tombstones"] == 0
+
+
+def test_ivf_rebuild_clears_stale_tombstones(spark, tmp_path):
+    """A REBUILD into an existing index dir must not inherit the old
+    index's tombstones (code-review r14): the new index can legally
+    reuse deleted ids, and stale tombstones would silently hide them
+    from every probe and then physically destroy them on compact."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(emb, idx)
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        delete_from_ivf_index,
+    )
+
+    meta = delete_from_ivf_index(spark, idx, [3, 4])
+    assert meta["n_tombstones"] == 2
+    meta2 = build_ivf_index(emb, idx)  # rebuild, same dir, same ids
+    assert meta2["n_tombstones"] == 0
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones.parquet")
+    hits = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 3"), k=1, nprobe=meta2["n_cells"]
+    ).collect()
+    assert hits[0]["vec_id"] == 3 and hits[0]["cosine"] == 1.0
+
+
+def test_cli_vector_index_flag_conflicts(spark, tmp_path, capsys):
+    """Mode flags are mutually exclusive (code-review r14): silent
+    precedence would drop an operation the user asked for. Bad --delete
+    ids exit cleanly instead of raising a raw ValueError."""
+    from smart_energy_consumption_analytics_using_big_data_spark import cli
+
+    idx = str(tmp_path / "cli_idx_conflict")
+    capsys.readouterr()
+    cli.main(["vector-index", "--embeddings", SF_SMOKE, "--out", idx])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(["vector-index", "--out", idx, "--delete", "3", "--compact"])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            ["vector-index", "--embeddings", SF_SMOKE, "--out", idx,
+             "--append", "--delete", "3"]
+        )
+    with pytest.raises(SystemExit, match="bad --delete"):
+        cli.main(["vector-index", "--out", idx, "--delete", "3,x"])
+    # none of the refused invocations tombstoned anything
+    import os
+
+    assert not os.path.exists(f"{idx}/tombstones.parquet")
+
+
+def test_ivf_recover_prefers_staged_and_is_idempotent(spark, tmp_path):
+    """Mid-swap state with BOTH copies present: the verified staged
+    copy wins (it is the compaction's output), .old is dropped, and a
+    second recover on the healed index is a no-op. (The
+    promote-rename-FAILS fallback to .old is code-reviewed but not
+    forceable in this suite: tests run as root, so permission-based
+    rename failures cannot be simulated; the branch is plain
+    sequential logic over the same rename primitive pinned here.)"""
+    import os
+    import shutil
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        recover_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_fallback")
+    build_ivf_index(emb, idx)
+    live = f"{idx}/lists.parquet"
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(live).select("vec_id", "cell").collect()
+    }
+    # mid-swap crash state: live missing, .old + verified .compacting
+    os.rename(live, f"{live}.old")
+    shutil.copytree(f"{live}.old", f"{live}.compacting")
+    out = recover_ivf_index(spark, idx)
+    assert out["actions"] == ["promoted_staged", "dropped_old"]
+    assert recover_ivf_index(spark, idx)["actions"] == []
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(live).select("vec_id", "cell").collect()
+    }
+    assert got == want
