@@ -3279,3 +3279,33 @@ def q_approx_topk_exact(spark, sf_dir):
         F.col("e.item").alias("item"),
         F.col("e.count").alias("est_count"),
     )
+
+
+@q(
+    "q_approx_quantile_exact",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_quantile_exact(spark, sf_dir):
+    """approx_percentile in its EXACT regime, value-checked (the
+    q_approx_topk_exact pattern applied to the quantile family): with
+    accuracy >= the group's row count the Greenwald-Khanna sketch's
+    rank error bound n/accuracy drops below one row, so the sketch
+    must return the exact discrete quantile — engine-independent, and
+    verified to hash-match DuckDB's quantile_disc at both test SFs
+    including the integer-boundary case (p50 over even-sized groups).
+    The sketch-regime primary (q_approx_quantile, accuracy 10k at
+    100 TB group sizes) stays rows-only where GK output is legitimately
+    engine-specific; this query pins that the same aggregation path
+    degrades to exactness when the contract says it must. At 100 TB
+    the accuracy knob is the state bound; exactness is for groups that
+    fit it."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10_000_000)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10_000_000)).alias("p95"),
+    )
