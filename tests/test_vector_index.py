@@ -528,3 +528,56 @@ def test_ivf_recover_prefers_staged_and_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(live).select("vec_id", "cell").collect()
     }
     assert got == want
+
+
+def test_ivf_delete_empties_probed_cell(spark, tmp_path):
+    """Degenerate-input edges of the delete path (differential-sweep
+    doctrine: bugs live in the parameters no oracled query exercises):
+    tombstoning EVERY vector of the probed cell leaves the probe empty
+    but well-formed (no crash, zero rows at nprobe=1); compaction then
+    drops the cell directory entirely while other probes stay intact;
+    deleting ids via a single-column DataFrame (the non-list input
+    form) works end to end; compacting an all-tombstoned index refuses
+    with the rebuild message instead of writing an empty artifact."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_cellkill")
+    meta = build_ivf_index(emb, idx)
+    assert meta["n_cells"] >= 3
+    # find the cell of vec 9 and tombstone that ENTIRE cell, passing
+    # the ids as a DataFrame (exercises the DataFrame input form)
+    lists = spark.read.parquet(f"{idx}/lists.parquet")
+    cell9 = lists.filter("vec_id = 9").first()["cell"]
+    victims = lists.filter(F.col("cell") == cell9).select("vec_id")
+    n_victims = victims.count()
+    meta1 = delete_from_ivf_index(spark, idx, victims)
+    assert meta1["n_tombstones"] == n_victims
+    # nprobe=1 with vec 9's own vector probes exactly the emptied cell
+    out = search_ivf_index(spark, idx, emb.filter("vec_id = 9"), k=5, nprobe=1)
+    assert out.count() == 0  # empty, not an error
+    # exact search still ranks the other cells' vectors
+    full = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 9"), k=5, nprobe=meta["n_cells"]
+    ).collect()
+    assert full and all(r["cell"] != cell9 for r in full)
+    # compaction drops the emptied cell's partition entirely
+    out2 = compact_ivf_index(spark, idx)
+    assert out2["n_vectors"] == meta["n_vectors"] - n_victims
+    assert out2["n_nonempty_cells"] == meta1["n_nonempty_cells"] - 1
+    import os
+
+    parts = [p for p in os.listdir(f"{idx}/lists.parquet") if p.startswith("cell_part=")]
+    assert f"cell_part=c_{cell9}" not in parts
+    again = search_ivf_index(spark, idx, emb.filter("vec_id = 9"), k=5, nprobe=1)
+    assert again.count() == 0
+    # all-tombstoned index: compact refuses before writing
+    rest = spark.read.parquet(f"{idx}/lists.parquet").select("vec_id")
+    delete_from_ivf_index(spark, idx, rest)
+    with pytest.raises(ValueError, match="rebuild instead"):
+        compact_ivf_index(spark, idx)
+    # and the refused compact left the live lists probe-able
+    assert spark.read.parquet(f"{idx}/lists.parquet").count() > 0
