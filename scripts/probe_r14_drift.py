@@ -51,7 +51,12 @@ def main() -> None:
     cal1 = run_calibration(spark)
     out = {"calibration_start": cal0, "calibration_end": cal1, "solo": solo}
     print(json.dumps(out))
-    with open("drift_probe_r14.json", "w") as f:
+    # anchor to the repo root (the committed artifact's home), not CWD
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "drift_probe_r14.json",
+    )
+    with open(dest, "w") as f:
         json.dump(out, f, indent=2)
     spark.stop()
 

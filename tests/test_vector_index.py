@@ -564,14 +564,21 @@ def test_ivf_delete_empties_probed_cell(spark, tmp_path):
         spark, idx, emb.filter("vec_id = 9"), k=5, nprobe=meta["n_cells"]
     ).collect()
     assert full and all(r["cell"] != cell9 for r in full)
-    # compaction drops the emptied cell's partition entirely
+    # compaction drops the emptied cell's partition entirely — pin the
+    # rendered name POSITIVELY first, so a cell-dtype rendering change
+    # (the _cell_part ADVICE-r12 hazard) cannot make the absence check
+    # pass vacuously
+    import os
+
+    part_name = f"cell_part=c_{cell9}"
+    list_parts = lambda: [
+        p for p in os.listdir(f"{idx}/lists.parquet") if p.startswith("cell_part=")
+    ]
+    assert part_name in list_parts(), (part_name, list_parts())
     out2 = compact_ivf_index(spark, idx)
     assert out2["n_vectors"] == meta["n_vectors"] - n_victims
     assert out2["n_nonempty_cells"] == meta1["n_nonempty_cells"] - 1
-    import os
-
-    parts = [p for p in os.listdir(f"{idx}/lists.parquet") if p.startswith("cell_part=")]
-    assert f"cell_part=c_{cell9}" not in parts
+    assert part_name not in list_parts()
     again = search_ivf_index(spark, idx, emb.filter("vec_id = 9"), k=5, nprobe=1)
     assert again.count() == 0
     # all-tombstoned index: compact refuses before writing
