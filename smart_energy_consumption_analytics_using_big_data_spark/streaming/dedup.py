@@ -41,8 +41,11 @@ def stream_dedup_within_watermark(
     watermark (max event time over batches < N, minus delay); a key
     re-appearing after eviction is emitted AGAIN (at-least-once beyond
     the horizon — dedup is exact only within it); input rows with
-    ts < the PREVIOUS batch's watermark are dropped outright
-    (the lagged dual-watermark late filter, same as the rollups).
+    ts <= the PREVIOUS batch's watermark are dropped outright (the
+    lagged dual-watermark late filter; NON-strict at the boundary —
+    a row at exactly the lagged watermark drops, pinned by the r14
+    tie probe after the original strict reading turned out to be an
+    artifact of tie-free test seeds).
     """
     events = _streaming_events(
         spark, events_path, max_files_per_trigger

@@ -315,9 +315,11 @@ def test_stateful_v1_multibatch_equals_pandas(spark, tmp_path):
 def _simulate_dedup_within_watermark(batches, delay: timedelta):
     """dropDuplicatesWithinWatermark, pinned-semantics simulator:
     state expiry = FIRST occurrence ts + delay (dups do not extend);
-    late filter drops rows with ts < the PREVIOUS batch's watermark;
-    eviction at end of batch N with the in-effect watermark; a key
-    re-appearing after eviction re-emits."""
+    late filter drops rows with ts <= the PREVIOUS batch's watermark
+    (NON-strict — r14 tie probe; the r12 record said strict, but its
+    seeds never produced an exact tie, the same latent gap the TWS
+    sims had); eviction at end of batch N with the in-effect
+    watermark; a key re-appearing after eviction re-emits."""
     epoch = datetime(1970, 1, 1)
     state: dict = {}  # key -> expiry
     emitted = []
@@ -327,7 +329,7 @@ def _simulate_dedup_within_watermark(batches, delay: timedelta):
         prev_max = max((r[1] for b in batches[:i] for r in b), default=epoch)
         wm = max(wm, prev_max - delay)
         for key, ts, _etype, val in rows:
-            if ts < wm_late:
+            if ts <= wm_late:
                 continue
             if key in state:
                 continue
@@ -394,6 +396,40 @@ def test_stream_dedup_within_watermark_multibatch(spark, tmp_path, seed, delay_h
     if delay_h == 2:
         n_emitted_keys = len({k for k, *_ in want})
         assert n_emitted_keys < len(want), "no post-eviction re-emission"
+
+
+def test_stream_dedup_late_filter_tie_boundary(spark, tmp_path):
+    """Pinned (r14): dropDuplicatesWithinWatermark's late filter is
+    NON-strict — a row at EXACTLY the lagged watermark (wm_late(N) =
+    wm_evict(N-1)) is dropped. The r12 record said strict, but no r12
+    seed ever produced an exact tie; the wm-TTL differential's seed-82
+    tie exposed the same gap in the TWS sims, and this probe showed
+    dedup matches. The tie row must sit in batch >= 2 (wm_late is the
+    epoch before that, so earlier ties are vacuous)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+
+    B = BASE.replace(hour=10)
+    s = lambda n: timedelta(seconds=n)
+    # wm_evict(1) = (B+120) - 60 = B+60 = wm_late(2); batch 2 carries
+    # key 1 at exactly B+60 (the tie) and key 2 one second inside
+    batches = [
+        [(9, B + s(120), "a", 1.0)],
+        [(8, B + s(300), "a", 1.0)],
+        [(1, B + s(60), "a", 1.0), (2, B + s(61), "a", 1.0), (7, B + s(600), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="dedup_tie")
+    got = sorted(
+        r["user_id"]
+        for r in stream_dedup_within_watermark(
+            spark, land, keys=("user_id",), watermark="60 seconds",
+            max_files_per_trigger=1,
+        ).collect()
+    )
+    assert got == [2, 7, 8, 9], got  # tie dropped, one-second-later kept
+    want = _simulate_dedup_within_watermark(batches, s(60))
+    assert sorted(k for k, *_ in want) == got
 
 
 def _write_batches_keyed(tmp_path, batches) -> str:
@@ -568,8 +604,8 @@ def _simulate_timer_sessions(batches, gap: timedelta, delay: timedelta):
       - input row DROPPED iff ts <= wm_late(N) (raw event time, lagged
         wm; NON-strict — transformWithState drops a row at exactly the
         late watermark, pinned empirically r14 via the wm-TTL
-        differential's seed-82 tie, unlike dropDuplicatesWithinWatermark
-        whose raw-event filter is strict);
+        differential's seed-82 tie; the r14 tie probes showed
+        dropDuplicatesWithinWatermark behaves the same way);
       - keys WITH input merge (interval merge, boundary event at exactly
         last+gap merges) then close sessions with last+gap <= wm_evict(N);
       - keys WITHOUT input close the same way iff their registered timer
