@@ -129,6 +129,61 @@ def test_append_rollup_multibatch_random_differential(spark, tmp_path, seed, del
     assert got == want
 
 
+def test_append_rollup_tie_boundaries(spark, tmp_path):
+    """Exact-equality pins for the rollup's two watermark boundaries
+    (r14: the r12 model assumed both from calibration runs, but random
+    day-fraction timestamps essentially never tie a day-aligned window
+    end with a watermark, so neither equality had executed evidence):
+    (A) a late row whose window end == wm_late(N) is DROPPED
+    (non-strict, matching the header model `end <= wm_late`); (B) a
+    window whose end == the final watermark EMITS (non-strict
+    `end <= wm_evict`). The simulator already models both — these pins
+    keep it that way."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_daily_rollup_append,
+    )
+
+    D0 = BASE.replace(hour=0)
+    D1, D2 = D0 + timedelta(days=1), D0 + timedelta(days=2)
+    h = lambda n: timedelta(hours=n)
+
+    # (A) wm_evict(1) = b0max - 12h = D1T00 = end of [D0,D1); the b2
+    # late row's window end ties wm_late(2) exactly -> dropped
+    batches = [
+        [(9, D1 + h(12), "a", 1.0)],
+        [(9, D2 + h(0), "a", 1.0)],
+        [(1, D0 + h(18), "a", 1.0), (9, D2 + h(12), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="rollup_tie_a")
+    got = sorted(
+        (r["day"], r["n"])
+        for r in stream_daily_rollup_append(
+            spark, land, watermark="12 hours", max_files_per_trigger=1
+        ).collect()
+    )
+    assert (D0.strftime("%Y-%m-%d"), 1) not in got, "tie row must drop (<=)"
+    assert got == sorted(
+        (d, n) for d, _e, _v, n in _simulate_append_rollup(batches, h(12))
+    )
+
+    # (B) final wm = D1T12 - 12h = D1T00 == end of [D0,D1) -> emits
+    batches = [
+        [(1, D0 + h(6), "a", 1.0)],
+        [(9, D1 + h(12), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="rollup_tie_b")
+    got = sorted(
+        (r["day"], r["n"])
+        for r in stream_daily_rollup_append(
+            spark, land, watermark="12 hours", max_files_per_trigger=1
+        ).collect()
+    )
+    assert (D0.strftime("%Y-%m-%d"), 1) in got, "end == wm must emit (<=)"
+    assert got == sorted(
+        (d, n) for d, _e, _v, n in _simulate_append_rollup(batches, h(12))
+    )
+
+
 def _simulate_sessions(rows, gap: timedelta):
     """Session merge matching Spark's session_window (pinned by the
     exact-gap test below): an event at EXACTLY last+gap still MERGES —
