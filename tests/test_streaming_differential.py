@@ -505,6 +505,60 @@ def _write_event_batches(tmp_path, batches) -> str:
     )
 
 
+def test_stream_boundary_ties_join_outer_and_session_append(spark, tmp_path):
+    """r14 tie probes for the two remaining ORACLED boundary choices —
+    both committed models confirmed, now with executed evidence (no
+    random seed ever lands a watermark exactly on these boundaries):
+
+    - leftOuter stream-stream join: an unmatched left's NULL row is
+      gated STRICTLY — at global watermark == l_ts + within it is
+      still withheld (a match at exactly l_ts + within is admissible
+      input, so the window is not provably closed). Matches the
+      q_stream_join_outer oracle's `l.ts + 6h < w`.
+    - native session_window append: a session whose end (last + gap)
+      == the final watermark EMITS (non-strict, like the rollup's
+      window eviction). Matches the q_stream_session_append oracle's
+      `last_ts + gap <= m - delay`.
+
+    The asymmetry (strict null gate vs non-strict emit) is the
+    pinned fact — flipping either would silently corrupt the oracle."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_session_rollup_append,
+    )
+
+    B = BASE.replace(hour=10)
+    h = lambda n: timedelta(hours=n)
+
+    # both sides' final wm = max_ts - 1 day = B + 6h == l_ts + within
+    batches = [
+        [(1, 101, B, "view", 1.0),
+         (5, 105, B + h(30), "view", 1.0),
+         (6, 106, B + h(30), "purchase", 1.0)],
+    ]
+    land = _write_event_batches(tmp_path, batches)
+    out = stream_stream_join(spark, land, how="leftOuter", max_files_per_trigger=1)
+    rows = sorted((r["user_id"], r["purchase_id"]) for r in out.collect())
+    assert not any(u == 1 for u, _p in rows), (
+        "null row must be WITHHELD at wm == l_ts + within (strict gate): "
+        + repr(rows)
+    )
+
+    # session [B, B+30m); driver at B+90m with 1h watermark -> final
+    # wm = B+30m == session end -> emits
+    batches = [
+        [(1, B, "a", 1.0)],
+        [(9, B + timedelta(minutes=90), "a", 1.0)],
+    ]
+    land = _write_batches(tmp_path, batches, dirname="sess_tie")
+    out = stream_session_rollup_append(spark, land, gap="30 minutes", watermark="1 hour")
+    assert any(r["user_id"] == 1 and r["n_events"] == 1 for r in out.collect()), (
+        "session must EMIT at end == final wm (non-strict)"
+    )
+
+
 def test_stream_stream_join_cross_batch_scenarios(spark, tmp_path):
     """Stream-stream join state across real micro-batches (within=1h,
     watermark=30min): a right row arriving one batch later still finds
