@@ -509,3 +509,82 @@ def q_stream_ttl_expiry(spark, sf_dir):
     return stream_user_counts_wm_ttl(
         spark, f"{sf_dir}/events.parquet", ttl_s=7200, delay_s=86400
     )
+
+
+@q(
+    "q_stream_sessions_timer_mb",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(event_id % 3 AS INT) AS b,
+             epoch_us(ts) // 1000 AS ms, event_id
+      FROM events
+    ),
+    bmax AS (SELECT b, max(ms) AS mx FROM e GROUP BY b),
+    wml AS (
+      SELECT b,
+             max(mx) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS lag2max
+      FROM bmax
+    ),
+    surv AS (
+      SELECT e.user_id, e.ms, e.event_id
+      FROM e JOIN wml ON e.b = wml.b
+      WHERE wml.lag2max IS NULL OR e.ms > wml.lag2max - 86400000
+    ),
+    mx AS (SELECT max(ms) AS m FROM e),
+    g AS (
+      SELECT user_id, ms, event_id,
+             CASE WHEN ms - lag(ms) OVER (
+                    PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM surv
+    ), s AS (
+      SELECT user_id, ms,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    ), sess AS (
+      SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, start_ms, end_ms, n_events
+    FROM sess, mx
+    WHERE end_ms + 1800000 <= m - 86400000
+    """,
+)
+def q_stream_sessions_timer_mb(spark, sf_dir):
+    """MULTI-BATCH timer sessions, value-checked — the first driver
+    query whose oracle models Spark's dual-watermark progression
+    itself, converting "multi-batch streaming state" out of the
+    rows-only-by-design class. The events table is staged into three
+    deterministic landing files by event_id % 3
+    (stage_keyed_batches), replayed with maxFilesPerTrigger = 1, so
+    every user's session state genuinely spans micro-batches: state
+    re-reads, interval merges ACROSS batches, late-row drops and
+    timer-driven closes all execute under the driver's hash check.
+    The oracle reproduces the pinned model exactly in SQL: per-batch
+    max event time -> wm_evict(b) = running max of prior batches
+    minus delay; the late filter keeps rows with ms > wm_late(b) =
+    wm_evict(b-1) (lag-2 running max; NON-strict drop at the tie, the
+    r14 boundary pin); survivors sessionize batch-style; sessions
+    close when end + gap <= the final watermark. Soundness of
+    flattening the incremental merge into one batch sessionization: a
+    surviving row can never re-open an emitted session — its ms
+    exceeds wm_late(j) >= wm_evict(i) >= that session's end + gap
+    (the no-resurrection argument pinned in the scenario tests) — so
+    the emitted set is exactly the batch sessionization of survivors
+    restricted to the final watermark. Everything lives in the ms
+    domain on both sides (the r13 lesson)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_keyed_batches,
+        stream_user_sessions_tws,
+    )
+
+    land = stage_keyed_batches(
+        spark, f"{sf_dir}/events.parquet", n_batches=3, key="event_id"
+    )
+    return stream_user_sessions_tws(
+        spark, land, gap_s=1800, delay_s=86400, max_files_per_trigger=1
+    )

@@ -21,7 +21,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -491,3 +491,49 @@ def stream_user_counts_ttl(
         timeMode="ProcessingTime",
     )
     return _run_tws_to_memory(spark, counts, "stateful_v2_ttl", "update")
+
+
+def stage_keyed_batches(
+    spark: SparkSession, events_path: str, n_batches: int = 3, key: str = "user_id"
+) -> str:
+    """Split the events table into ``n_batches`` DETERMINISTIC landing
+    files (one per ``key % n_batches`` residue, replayed in residue
+    order via forced mtimes) so a multi-batch availableNow replay has a
+    reproducible micro-batch structure an external oracle can model:
+    batch b's contents are a pure function of the data, wm_evict(b) is
+    the running max event time of residues < b minus the delay, and the
+    late filter is the pinned non-strict ``ts <= wm_late(b)``. A
+    key-residue split (unlike a time split) guarantees every batch
+    after the first carries genuinely late rows, so the cross-batch
+    paths — late drops, state re-reads, timer closes — all execute
+    under the driver's value check, not just under pytest differentials.
+    Staging cost: one filtered single-file write per batch over the
+    events table (a test/verification harness, not a production path —
+    live ingest already arrives in files)."""
+    import os
+    import tempfile
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    land = tempfile.mkdtemp(prefix="tws_mb_")
+    ev = load_table(spark, os.path.dirname(events_path), "events")
+    for i in range(n_batches):
+        part_dir = os.path.join(land, f"_stage_{i}")
+        (
+            ev.filter(F.col(key) % n_batches == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = next(
+            p for p in os.listdir(part_dir)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = os.path.join(land, f"batch_{i}.parquet")
+        os.replace(os.path.join(part_dir, part), dest)
+        t = 1_700_000_000 + i * 60
+        os.utime(dest, (t, t))
+        import shutil
+
+        shutil.rmtree(part_dir)
+    return land
