@@ -588,3 +588,61 @@ def q_stream_sessions_timer_mb(spark, sf_dir):
     return stream_user_sessions_tws(
         spark, land, gap_s=1800, delay_s=86400, max_files_per_trigger=1
     )
+
+
+@q(
+    "q_stream_rollup_append_mb",
+    """
+    WITH e AS (
+      SELECT date_trunc('day', ts) AS day_start, event_type, value, ts,
+             CAST(event_id % 3 AS INT) AS b
+      FROM events
+    ),
+    bmax AS (SELECT b, max(ts) AS mxt FROM e GROUP BY b),
+    wml AS (
+      SELECT b, max(mxt) OVER (ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS lag2max
+      FROM bmax
+    ),
+    surv AS (
+      SELECT e.day_start, e.event_type, e.value
+      FROM e JOIN wml ON e.b = wml.b
+      WHERE wml.lag2max IS NULL
+         OR e.day_start + INTERVAL 1 DAY > wml.lag2max - INTERVAL 1 DAY
+    ),
+    mx AS (SELECT max(ts) AS m FROM events),
+    d AS (
+      SELECT day_start, event_type, {dsum} AS total_value, count(*) AS n
+      FROM surv GROUP BY 1, 2
+    )
+    SELECT strftime(day_start, '%Y-%m-%d') AS day, event_type, total_value, n
+    FROM d, mx
+    WHERE day_start + INTERVAL 1 DAY <= m - INTERVAL 1 DAY
+    """.format(dsum=DSUM("value")),
+)
+def q_stream_rollup_append_mb(spark, sf_dir):
+    """MULTI-BATCH append-mode daily rollup (the q_stream_sessions_
+    timer_mb treatment applied to the native windowed aggregation):
+    three deterministic event_id-residue landing files replayed one
+    per micro-batch, so windows accumulate state ACROSS batches, late
+    rows genuinely drop (window end <= the lagged watermark — the
+    non-strict boundary pinned r14), and eviction happens mid-replay
+    rather than only at the final batch. The oracle models the
+    watermark progression in SQL: survivors keep rows whose window end
+    outlives wm_late(b) = lag-2 running max of per-batch max ts minus
+    the delay; no evicted window can re-open for a surviving row
+    (survivor ts-window end > wm_late(b) >= every prior eviction
+    watermark), so the emitted set is the batch rollup of survivors
+    restricted to the final watermark. total_value stays on the
+    DECIMAL sum_exact path on both sides."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.rollup import (
+        stream_daily_rollup_append,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_keyed_batches,
+    )
+
+    land = stage_keyed_batches(
+        spark, f"{sf_dir}/events.parquet", n_batches=3, key="event_id"
+    )
+    return stream_daily_rollup_append(spark, land, max_files_per_trigger=1)
