@@ -646,3 +646,130 @@ def q_stream_rollup_append_mb(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", n_batches=3, key="event_id"
     )
     return stream_daily_rollup_append(spark, land, max_files_per_trigger=1)
+
+
+@q(
+    "q_stream_join_mb",
+    """
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delay_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_join_mb(spark, sf_dir):
+    """MULTI-BATCH stream-stream inner join over TIME-ORDERED landing
+    files (stage_time_batches: tertiles of [min_us, max_us], integer
+    arithmetic both engines compute identically): cross-batch
+    BUFFERING must be lossless. Pairs straddling a tertile boundary
+    match only via state carried across micro-batches, and the oracle
+    is the plain batch interval join because nothing else can happen —
+    provably: with arrival order == event-time order, no row is ever
+    late (each batch is newer than every prior batch's watermark), and
+    the left-eviction gate can never fire (a left's horizon
+    l_ts + within always exceeds the during-batch watermark, which is
+    built from PRIOR tertiles' maxima minus the delay, all <= l_ts).
+    So multi-batch replay == single-batch replay == batch join, and
+    any buffered-state loss would surface as missing boundary pairs.
+    The adversarial arrival-order variant where late drops AND
+    eviction genuinely fire is q_stream_join_mb_evict below."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_time_batches,
+    )
+
+    land = stage_time_batches(spark, f"{sf_dir}/events.parquet", n_batches=3)
+    return stream_stream_join(
+        spark, land, within="6 hours", watermark="1 day", max_files_per_trigger=1
+    )
+
+
+@q(
+    "q_stream_join_mb_evict",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(event_id % 3 AS INT) AS b, event_type
+      FROM events
+    ),
+    l0 AS (SELECT user_id, event_id, us, b FROM ev WHERE event_type = 'view'),
+    r0 AS (SELECT user_id, event_id, us, b FROM ev WHERE event_type = 'purchase'),
+    lmax AS (SELECT b, max(us) // 1000 * 1000 AS mx FROM l0 GROUP BY b),
+    rmax AS (SELECT b, max(us) // 1000 * 1000 AS mx FROM r0 GROUP BY b),
+    weff AS (
+      SELECT i.b,
+        CASE WHEN (SELECT max(mx) FROM lmax WHERE lmax.b < i.b) IS NULL
+               OR (SELECT max(mx) FROM rmax WHERE rmax.b < i.b) IS NULL
+             THEN NULL
+             ELSE least((SELECT max(mx) FROM lmax WHERE lmax.b < i.b),
+                        (SELECT max(mx) FROM rmax WHERE rmax.b < i.b))
+                  - 86400000000 END AS w
+      FROM (VALUES (0), (1), (2)) i(b)
+    ),
+    l AS (
+      SELECT l0.* FROM l0
+      LEFT JOIN weff wl ON wl.b = l0.b - 1
+      WHERE wl.w IS NULL OR l0.us > wl.w
+    ),
+    r AS (
+      SELECT r0.* FROM r0
+      LEFT JOIN weff wr ON wr.b = r0.b - 1
+      WHERE wr.w IS NULL OR r0.us > wr.w
+    )
+    SELECT l.user_id, l.event_id AS view_id, r.event_id AS purchase_id,
+           r.us - l.us AS delay_us
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND r.us >= l.us AND r.us <= l.us + 21600000000
+    WHERE r.b <= l.b
+       OR (SELECT w FROM weff WHERE weff.b = r.b - 1) IS NULL
+       OR l.us + 21600000000 >= (SELECT w FROM weff WHERE weff.b = r.b - 1)
+    """,
+)
+def q_stream_join_mb_evict(spark, sf_dir):
+    """MULTI-BATCH stream-stream inner join under ADVERSARIAL arrival
+    order (event_id-residue landing files, so each user's views and
+    purchases scatter across micro-batches out of time order): all
+    three cross-batch semantics of the doubly-stateful operator fire
+    and the oracle models every one —
+
+    - LATE FILTER: each side keeps rows with us > the lagged global
+      watermark wm_late(b) = weff(b-1) (min over both sides' ms-floored
+      running maxima of batches < b-1, minus the 1-day delay; NULL
+      when either side has no prior events — a silent side pins the
+      global watermark at the epoch, the pinned stream-stream fact;
+      non-strict drop at the tie, the r14 boundary pin);
+    - LEFT-STATE EVICTION: a buffered view matches a later batch's
+      purchase iff its horizon l_ts + 6h survived every end-of-batch
+      eviction, each using the watermark in effect DURING that batch
+      (weff(r.b - 1) binds by monotonicity — the binding pinned by
+      test_stream_join_eviction_uses_during_batch_wm), alive at
+      exact equality (the strict-eviction null-gate pin);
+    - RIGHT-STATE EVICTION (purchase buffered, view arrives in a
+      LATER batch — arrival order is not time order here): provably
+      redundant rather than modeled: a right evicted at r_us <
+      weff(i) (probed r14: rights are kept while r_us >= wm) implies
+      any later-arriving left has l_us <= r_us < weff(i) <=
+      wm_late(l.b) and is late-dropped itself, so the gate
+      r.b <= l.b in the oracle is exact.
+
+    Same-batch matches always emit (matching precedes end-of-batch
+    eviction, the pinned scenario fact). Complements q_stream_join_mb,
+    whose time-ordered staging proves the lossless-buffering baseline
+    with none of these paths active."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_keyed_batches,
+    )
+
+    land = stage_keyed_batches(
+        spark, f"{sf_dir}/events.parquet", n_batches=3, key="event_id"
+    )
+    return stream_stream_join(
+        spark, land, within="6 hours", watermark="1 day", max_files_per_trigger=1
+    )

@@ -537,3 +537,55 @@ def stage_keyed_batches(
 
         shutil.rmtree(part_dir)
     return land
+
+
+def stage_time_batches(
+    spark: SparkSession, events_path: str, n_batches: int = 3
+) -> str:
+    """Split the events table into ``n_batches`` landing files by TIME
+    tertiles (fixed fractions of [min_us, max_us], integer arithmetic
+    so both engines compute the identical split — double division
+    loses precision at epoch-microsecond magnitudes), replayed oldest
+    band first. Arrival order == event-time order, so the late filter
+    is provably vacuous and what a multi-batch replay isolates is pure
+    STATE EVICTION: a buffered row must survive every end-of-batch
+    eviction (each using the watermark in effect DURING that batch —
+    the binding pinned by
+    test_stream_join_eviction_uses_during_batch_wm) to match a later
+    batch's rows. The complement of stage_keyed_batches, which
+    maximizes late drops instead."""
+    import os
+    import shutil
+    import tempfile
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+
+    land = tempfile.mkdtemp(prefix="tws_tmb_")
+    ev = load_table(spark, os.path.dirname(events_path), "events").withColumn(
+        "__us", epoch_us("ts")
+    )
+    rng = ev.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi")).first()
+    lo, hi = rng["lo"], rng["hi"]
+    band = F.expr(
+        f"CAST(((__us - {lo}) * {n_batches}) DIV ({hi} - {lo} + 1) AS INT)"
+    )
+    for i in range(n_batches):
+        part_dir = os.path.join(land, f"_stage_{i}")
+        (
+            ev.filter(band == i)
+            .drop("__us")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        part = next(
+            p for p in os.listdir(part_dir)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = os.path.join(land, f"batch_{i}.parquet")
+        os.replace(os.path.join(part_dir, part), dest)
+        t = 1_700_000_000 + i * 60
+        os.utime(dest, (t, t))
+        shutil.rmtree(part_dir)
+    return land

@@ -505,6 +505,44 @@ def _write_event_batches(tmp_path, batches) -> str:
     )
 
 
+def test_stream_join_eviction_uses_during_batch_wm(spark, tmp_path):
+    """Pinned (r14): end-of-batch state eviction in the stream-stream
+    join uses the watermark in effect DURING that batch (computed from
+    batches strictly before it), NOT the new value computed at batch
+    end. Discriminator: V1@09:00 (1h horizon -> 10:00) with delay 30m;
+    wm during b1 = 09:30 (from b0 drivers @10:00), wm during b2 =
+    10:30 (from b1 drivers @11:00). V1's horizon 10:00 sits between
+    them, so end-of-b1 eviction keeps V1 iff the during-b1 wm (09:30)
+    is used — and its b2 purchase @09:40 (> wm_late(2) = 09:30, so not
+    late-dropped) must still pair. This is the binding the
+    q_stream_join_mb oracle encodes (weff(r.b - 1))."""
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    B = BASE
+
+    def ev(uid, eid, hh, mm, etype):
+        return (uid, eid, B.replace(hour=hh, minute=mm), etype, 1.0)
+
+    batches = [
+        [ev(1, 101, 9, 0, "view"),
+         ev(96, 811, 10, 0, "view"), ev(97, 911, 10, 0, "purchase")],
+        [ev(96, 812, 11, 0, "view"), ev(97, 912, 11, 0, "purchase")],
+        [ev(1, 201, 9, 40, "purchase"),
+         ev(96, 813, 13, 0, "view"), ev(97, 913, 13, 0, "purchase")],
+    ]
+    land = _write_event_batches(tmp_path, batches)
+    out = stream_stream_join(
+        spark, land, within="1 hour", watermark="30 minutes",
+        max_files_per_trigger=1,
+    )
+    pairs = sorted((r["user_id"], r["view_id"], r["purchase_id"]) for r in out.collect())
+    assert (1, 101, 201) in pairs, (
+        "end-of-b1 eviction must use the during-b1 watermark: " + repr(pairs)
+    )
+
+
 def test_stream_boundary_ties_join_outer_and_session_append(spark, tmp_path):
     """r14 tie probes for the two remaining ORACLED boundary choices —
     both committed models confirmed, now with executed evidence (no
