@@ -773,3 +773,81 @@ def q_stream_join_mb_evict(spark, sf_dir):
     return stream_stream_join(
         spark, land, within="6 hours", watermark="1 day", max_files_per_trigger=1
     )
+
+
+@q(
+    "q_stream_dedup_wm_mb",
+    """
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us, event_type, value,
+             CAST(event_id % 3 AS INT) AS r
+      FROM events
+    ),
+    m0 AS (SELECT (max(us) // 1000) * 1000 AS m FROM e WHERE r = 0),
+    tie AS (SELECT min(event_id) AS tid FROM e WHERE r = 2),
+    e2 AS (
+      SELECT event_id,
+             CASE WHEN r = 2 AND event_id = (SELECT tid FROM tie)
+                  THEN (SELECT m FROM m0) - 86400000000
+                  ELSE us END AS us,
+             event_type, value, r
+      FROM e
+    ),
+    out AS (
+      SELECT event_id, us, event_type, value FROM e2 WHERE r IN (0, 1)
+      UNION ALL
+      SELECT event_id, us, event_type, value FROM e2
+      WHERE r = 2 AND us > (SELECT m FROM m0) - 86400000000
+      UNION ALL
+      SELECT event_id, us + 259200000000 AS us, event_type, value FROM e2
+      WHERE r = 1
+        AND us + 259200000000 > (SELECT m FROM m0) - 86400000000
+        AND us + 86400000000 <= (SELECT m FROM m0) - 86400000000
+    )
+    SELECT event_id, us, event_type, value FROM out
+    """,
+)
+def q_stream_dedup_wm_mb(spark, sf_dir):
+    """MULTI-BATCH dropDuplicatesWithinWatermark, value-checked — the
+    last stateful operator whose cross-batch state was pinned only by
+    differentials (and whose r12 boundary pin was WRONG until the r14
+    tie probe, evidence the semantics are subtle) gets the
+    stage_keyed_batches treatment: stage_redelivery_batches delivers
+    residue b's rows in batch b and AGAIN in batch b+1 with ts
+    shifted +3 days (the delayed duplicate an at-least-once source
+    produces), so every duplicate straddles a micro-batch boundary
+    and all three cross-batch paths fire under the driver's hash
+    check — state-hit suppression (residue-0 redeliveries in batch 1:
+    state always live, so only the originals appear), late drops
+    (shifted or original ts at or below the lagged watermark
+    wm_late(2) = ms-floored max ts of batch 0 minus the 1-day delay;
+    NON-strict at the tie — one residue-2 row is staged at EXACTLY
+    the boundary and must vanish), and post-eviction re-emission
+    (residue-1 keys whose state expiry first_ts + delay passed the
+    end-of-batch-1 watermark re-emit their shifted copy in batch 2 —
+    the output legitimately carries their event_id twice, once per
+    emission). The oracle reproduces the pinned dual-watermark model
+    (tests/test_streaming_differential.py::_simulate_dedup_within_
+    watermark) in pure SQL over the same integer-microsecond
+    arithmetic the staging uses; at every test SF the three bands
+    are non-trivially populated (sf0.01: 2888 late redeliveries, 220
+    re-emits, 225 suppressions, 3223 late originals) and no natural
+    row sits in a boundary or sub-ms ambiguity window (probed r15),
+    so the hash check is stable."""
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_redelivery_batches,
+    )
+
+    land = stage_redelivery_batches(
+        spark, f"{sf_dir}/events.parquet", n_batches=3, shift_s=259200, delay_s=86400
+    )
+    deduped = stream_dedup_within_watermark(
+        spark, land, keys=("event_id",), watermark="1 day", max_files_per_trigger=1
+    )
+    return deduped.select(
+        "event_id", epoch_us("ts").alias("us"), "event_type", "value"
+    )

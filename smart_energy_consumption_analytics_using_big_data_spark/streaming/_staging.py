@@ -46,3 +46,26 @@ def staged_stream_dir(prefix: str, copies: dict[str, str]) -> str:
         shutil.copy(source, staging / target)
     _STAGED[key] = staging
     return str(staging)
+
+
+def memoized_landing(prefix: str, key: tuple, builder) -> str:
+    """Memoized landing-directory factory for the batch-staging
+    helpers (stage_keyed_batches and friends): ``builder(dir)``
+    populates a fresh mkdtemp dir exactly once per distinct
+    (prefix, key); repeat calls — the registered q_stream_*_mb
+    queries re-stage on every driver/bench invocation — reuse the
+    same dir instead of writing another full copy of the events
+    table, and every dir is removed at interpreter exit. Without
+    this, repeated runs accumulated unbounded /tmp usage."""
+    cache_key = (prefix, key)
+    hit = _STAGED.get(cache_key)
+    if hit is not None and hit.is_dir():
+        return str(hit)
+    staging = Path(tempfile.mkdtemp(prefix=prefix))
+    try:
+        builder(str(staging))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    _STAGED[cache_key] = staging
+    return str(staging)

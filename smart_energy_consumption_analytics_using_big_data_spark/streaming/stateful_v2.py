@@ -509,34 +509,45 @@ def stage_keyed_batches(
     under the driver's value check, not just under pytest differentials.
     Staging cost: one filtered single-file write per batch over the
     events table (a test/verification harness, not a production path —
-    live ingest already arrives in files)."""
+    live ingest already arrives in files). Landing dirs are memoized
+    per (events_path, n_batches, key) and removed at interpreter exit
+    (memoized_landing) — repeated driver/bench runs in one process
+    reuse the staged copy instead of leaking /tmp space."""
     import os
-    import tempfile
 
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+        memoized_landing,
+    )
 
-    land = tempfile.mkdtemp(prefix="tws_mb_")
-    ev = load_table(spark, os.path.dirname(events_path), "events")
-    for i in range(n_batches):
-        part_dir = os.path.join(land, f"_stage_{i}")
-        (
-            ev.filter(F.col(key) % n_batches == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
-        )
-        part = next(
-            p for p in os.listdir(part_dir)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        dest = os.path.join(land, f"batch_{i}.parquet")
-        os.replace(os.path.join(part_dir, part), dest)
-        t = 1_700_000_000 + i * 60
-        os.utime(dest, (t, t))
-        import shutil
+    def build(land: str) -> None:
+        ev = load_table(spark, os.path.dirname(events_path), "events")
+        for i in range(n_batches):
+            _write_batch_file(
+                ev.filter(F.col(key) % n_batches == i), land, i
+            )
 
-        shutil.rmtree(part_dir)
-    return land
+    return memoized_landing("tws_mb_", (events_path, n_batches, key), build)
+
+
+def _write_batch_file(df: DataFrame, land: str, i: int) -> None:
+    """Write one micro-batch landing file: single parquet named
+    batch_{i}.parquet with a forced mtime so availableNow +
+    maxFilesPerTrigger=1 replays the files in batch order."""
+    import os
+    import shutil
+
+    part_dir = os.path.join(land, f"_stage_{i}")
+    df.coalesce(1).write.mode("overwrite").parquet(part_dir)
+    part = next(
+        p for p in os.listdir(part_dir)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    dest = os.path.join(land, f"batch_{i}.parquet")
+    os.replace(os.path.join(part_dir, part), dest)
+    t = 1_700_000_000 + i * 60
+    os.utime(dest, (t, t))
+    shutil.rmtree(part_dir)
 
 
 def stage_time_batches(
@@ -553,39 +564,97 @@ def stage_time_batches(
     the binding pinned by
     test_stream_join_eviction_uses_during_batch_wm) to match a later
     batch's rows. The complement of stage_keyed_batches, which
-    maximizes late drops instead."""
+    maximizes late drops instead. Landing dirs memoized + cleaned at
+    exit like stage_keyed_batches."""
     import os
-    import shutil
-    import tempfile
 
     from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
     from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+        memoized_landing,
+    )
 
-    land = tempfile.mkdtemp(prefix="tws_tmb_")
-    ev = load_table(spark, os.path.dirname(events_path), "events").withColumn(
-        "__us", epoch_us("ts")
-    )
-    rng = ev.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi")).first()
-    lo, hi = rng["lo"], rng["hi"]
-    band = F.expr(
-        f"CAST(((__us - {lo}) * {n_batches}) DIV ({hi} - {lo} + 1) AS INT)"
-    )
-    for i in range(n_batches):
-        part_dir = os.path.join(land, f"_stage_{i}")
-        (
-            ev.filter(band == i)
-            .drop("__us")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(part_dir)
+    def build(land: str) -> None:
+        ev = load_table(spark, os.path.dirname(events_path), "events").withColumn(
+            "__us", epoch_us("ts")
         )
-        part = next(
-            p for p in os.listdir(part_dir)
-            if p.startswith("part-") and p.endswith(".parquet")
+        rng = ev.agg(F.min("__us").alias("lo"), F.max("__us").alias("hi")).first()
+        lo, hi = rng["lo"], rng["hi"]
+        band = F.expr(
+            f"CAST(((__us - {lo}) * {n_batches}) DIV ({hi} - {lo} + 1) AS INT)"
         )
-        dest = os.path.join(land, f"batch_{i}.parquet")
-        os.replace(os.path.join(part_dir, part), dest)
-        t = 1_700_000_000 + i * 60
-        os.utime(dest, (t, t))
-        shutil.rmtree(part_dir)
-    return land
+        for i in range(n_batches):
+            _write_batch_file(ev.filter(band == i).drop("__us"), land, i)
+
+    return memoized_landing("tws_tmb_", (events_path, n_batches), build)
+
+
+def stage_redelivery_batches(
+    spark: SparkSession,
+    events_path: str,
+    n_batches: int = 3,
+    shift_s: int = 259200,
+    delay_s: int = 86400,
+) -> str:
+    """Stage an AT-LEAST-ONCE redelivery stream for the multi-batch
+    dropDuplicatesWithinWatermark value check (q_stream_dedup_wm_mb):
+    batch b carries residue b's original rows (event_id % n_batches)
+    PLUS a redelivery of residue b-1's rows with ts shifted forward by
+    ``shift_s`` — the delayed duplicate a replaying at-least-once
+    source produces. Every duplicate therefore straddles a micro-batch
+    boundary, so the paths under test are all CROSS-batch: state-hit
+    suppression (residue-0 redeliveries in batch 1 — state always
+    live), late drops (shifted ts still at or below the lagged
+    watermark), and post-eviction re-emission (residue-1 keys whose
+    state expired at end of batch 1 re-emit their shifted copy in
+    batch 2 — possible because shift_s > delay_s). One residue-2 row
+    (the min event_id) has its ts OVERRIDDEN to exactly
+    max_ts(residue 0) − delay_s == wm_late(batch 2), pinning the
+    non-strict late-filter boundary (the r14 tie probe's finding) in
+    batch ≥ 2 under the driver's value check. All arithmetic stays in
+    the integer microsecond domain so the DuckDB oracle reproduces the
+    staged contents exactly. Memoized + cleaned at exit."""
+    import os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming._staging import (
+        memoized_landing,
+    )
+
+    def build(land: str) -> None:
+        ev = load_table(spark, os.path.dirname(events_path), "events")
+        cols = ev.columns
+        m0_us, tie_id = ev.agg(
+            F.max(F.when(F.col("event_id") % n_batches == 0, epoch_us("ts"))),
+            F.min(
+                F.when(F.col("event_id") % n_batches == n_batches - 1, F.col("event_id"))
+            ),
+        ).first()
+        # the engine's watermark is ms-precision: floor the anchor to a
+        # whole ms so the tie row sits at EXACTLY wm_late(last batch)
+        tie_us = (m0_us // 1000) * 1000 - delay_s * 1_000_000
+        for i in range(n_batches):
+            orig = ev.filter(F.col("event_id") % n_batches == i)
+            if i == n_batches - 1:
+                orig = orig.withColumn(
+                    "ts",
+                    F.when(
+                        F.col("event_id") == tie_id, F.timestamp_micros(F.lit(tie_us))
+                    ).otherwise(F.col("ts")),
+                )
+            batch = orig
+            if i > 0:
+                redeliver = (
+                    ev.filter(F.col("event_id") % n_batches == i - 1)
+                    .withColumn(
+                        "ts", F.timestamp_micros(epoch_us("ts") + shift_s * 1_000_000)
+                    )
+                    .select(*cols)
+                )
+                batch = orig.select(*cols).unionByName(redeliver)
+            _write_batch_file(batch, land, i)
+
+    return memoized_landing(
+        "tws_rdmb_", (events_path, n_batches, shift_s, delay_s), build
+    )

@@ -1165,3 +1165,63 @@ def test_tws_wm_ttl_random_differential(spark, tmp_path, seed, ttl_s, delay_s):
         batches, timedelta(seconds=ttl_s), timedelta(seconds=delay_s)
     )
     assert got == want
+
+
+def test_stream_dedup_wm_mb_regime(spark):
+    """Regime pins for q_stream_dedup_wm_mb's staged redelivery replay
+    (the oracle-parity test proves value equality; this pins that the
+    interesting paths actually FIRED): (1) post-eviction re-emission —
+    some event_id appears twice in the output, once at its original ts
+    and once shifted +3 days; (2) the synthetic tie row (min residue-2
+    event_id, staged at exactly the lagged watermark) is dropped
+    non-strictly; (3) state-hit suppression — every residue-0 key
+    appears exactly once, at its ORIGINAL ts (the batch-1 redelivery
+    was swallowed by live state, and no residue-0 key re-emits because
+    its redelivery lands in batch 1 before any eviction has run)."""
+    import duckdb
+
+    from smart_energy_consumption_analytics_using_big_data_spark.functions.timefns import epoch_us
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.dedup import (
+        stream_dedup_within_watermark,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming.stateful_v2 import (
+        stage_redelivery_batches,
+    )
+    from tests.conftest import SF_SMOKE
+
+    shift_us = 259_200 * 1_000_000
+    land = stage_redelivery_batches(
+        spark, f"{SF_SMOKE}/events.parquet", n_batches=3,
+        shift_s=259_200, delay_s=86_400,
+    )
+    out = (
+        stream_dedup_within_watermark(
+            spark, land, keys=("event_id",), watermark="1 day",
+            max_files_per_trigger=1,
+        )
+        .select("event_id", epoch_us("ts").alias("us"))
+        .collect()
+    )
+    con = duckdb.connect()
+    orig_us = dict(
+        con.execute(
+            f"SELECT event_id, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"
+        ).fetchall()
+    )
+    tie_id = min(k for k in orig_us if k % 3 == 2)
+
+    by_key: dict[int, list[int]] = {}
+    for r in out:
+        by_key.setdefault(r["event_id"], []).append(r["us"])
+    # (1) re-emissions exist, and each is {original, original + shift}
+    reemitted = {k: v for k, v in by_key.items() if len(v) > 1}
+    assert reemitted, "no post-eviction re-emission in the replay"
+    for k, uss in reemitted.items():
+        assert k % 3 == 1, "only residue-1 keys can re-emit"
+        assert sorted(uss) == [orig_us[k], orig_us[k] + shift_us]
+    # (2) the exact-boundary tie row vanished (non-strict late filter)
+    assert tie_id not in by_key
+    # (3) residue-0 keys: exactly once, original ts
+    r0 = {k: v for k, v in by_key.items() if k % 3 == 0}
+    assert len(r0) == sum(1 for k in orig_us if k % 3 == 0)
+    assert all(v == [orig_us[k]] for k, v in r0.items())
