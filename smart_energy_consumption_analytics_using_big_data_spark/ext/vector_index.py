@@ -43,6 +43,7 @@ compact_ivf_index's docstring for the probe-racing contract).
 from __future__ import annotations
 
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -224,17 +225,59 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, ids) -> dict:
     return _refresh_meta(spark, index_dir, meta["vec_col"], id_col)
 
 
+def _live_rows_or_none(spark: SparkSession, lists_path: str) -> int | None:
+    """Row count of the live lists, or None when the directory is
+    unreadable (a torn object-store copy can leave truncated parquet
+    files a count() cannot scan)."""
+    try:
+        return int(spark.read.parquet(lists_path).count())
+    except Exception:
+        return None
+
+
 def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     """Heal the on-disk states an interrupted compaction can leave
-    (also runs automatically at the start of every compact):
+    (also runs automatically at the start of every compact).
 
-    - live lists MISSING + staged present  -> promote the staged copy
-      (it was row-count-verified before the swap began), drop any
-      ``.old``;
-    - live lists MISSING + only ``.old``   -> restore the old copy;
-    - live lists present + leftovers       -> drop the leftovers (a
-      ``.old`` survived a crash after promotion; a ``.compacting`` is
-      a partial rewrite that never reached the swap).
+    The swap protocol writes ``swap_pending.json`` (carrying the
+    verified staged row count) BEFORE the first rename and deletes it
+    as the swap's last step, so recovery can tell which side of the
+    swap a crash landed on — required on object stores (s3a), where a
+    Hadoop "rename" is copy+delete and a crash mid staged->live copy
+    leaves a PARTIAL live directory alongside the complete .old and
+    .compacting copies. "Live exists" is therefore NOT trusted as
+    "live is complete" while a swap is pending; the live copy must
+    row-count-match the marker (the same verification strength the
+    pre-swap staged check uses).
+
+    No marker (no swap in flight, or a pre-marker build/append state):
+
+    - live MISSING + staged present  -> promote the staged copy;
+    - live MISSING + only ``.old``   -> restore the old copy;
+    - live present + leftovers       -> drop the leftovers (a ``.old``
+      is a crash after promotion — or, on s3a, a partial copy from a
+      crash mid live->.old while live is still complete; a
+      ``.compacting`` is a partial rewrite that never reached the
+      marker, let alone the swap).
+
+    Marker present (crash inside the swap window):
+
+    - live readable and row count == marker -> live IS the compacted
+      copy: drop leftovers AND clear the tombstone table — the
+      tombstoned rows were physically filtered out of this copy, and
+      leaving the tombstones would silently hide (then destroy on the
+      next compact) rows legitimately re-appended by the documented
+      failed-append recovery (tombstone -> compact -> re-append);
+    - live unreadable/mismatched + staged present -> the crash tore
+      the staged->live copy (or never started it): replace live with
+      the verified staged copy, then clear tombstones as above;
+    - live mismatched + NO staged -> live is the complete OLD copy
+      (the only state that produces this: crash mid live->.old copy —
+      a torn live implies an intact staged, because rename deletes its
+      source only after the copy completes): keep live, drop the
+      partial ``.old``, KEEP the tombstones (they were never applied);
+    - live MISSING -> promote staged (clear tombstones) or restore
+      ``.old`` (keep tombstones).
 
     Returns {"actions": [...]} naming what it did (empty = clean)."""
     lists_path = f"{index_dir}/lists.parquet"
@@ -242,8 +285,57 @@ def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     live, old, staged = (
         mk(lists_path), mk(f"{lists_path}.old"), mk(f"{lists_path}.compacting")
     )
+    marker = mk(f"{index_dir}/swap_pending.json")
     actions: list[str] = []
-    if not fs.exists(live):
+
+    def clear_tombstones() -> None:
+        tomb = mk(f"{index_dir}/tombstones.parquet")
+        if fs.exists(tomb):
+            fs.delete(tomb, True)
+            actions.append("cleared_applied_tombstones")
+
+    swap_pending = fs.exists(marker)
+    if swap_pending:
+        expected = int(
+            json.loads(_fs_read_text(spark, f"{index_dir}/swap_pending.json"))[
+                "expected_rows"
+            ]
+        )
+        live_ok = (
+            fs.exists(live)
+            and _live_rows_or_none(spark, lists_path) == expected
+        )
+        if live_ok:
+            actions.append("confirmed_live")
+            clear_tombstones()
+        elif fs.exists(staged):
+            if fs.exists(live):
+                fs.delete(live, True)
+                actions.append("dropped_partial_live")
+            if not fs.rename(staged, live):
+                raise IOError(
+                    f"recover_ivf_index: could not promote {staged} — "
+                    f"manual recovery required"
+                )
+            actions.append("promoted_staged")
+            clear_tombstones()
+        elif fs.exists(live):
+            # mismatched live, no staged: the complete pre-swap copy
+            # (see docstring) — keep it and the unapplied tombstones
+            actions.append("kept_preswap_live")
+        elif fs.exists(old):
+            if not fs.rename(old, live):
+                raise IOError(
+                    f"recover_ivf_index: could not restore {old} — "
+                    f"manual recovery required"
+                )
+            actions.append("restored_old")
+        else:
+            raise IOError(
+                f"recover_ivf_index: swap pending but no live, staged or "
+                f"old lists under {index_dir} — the index is gone, rebuild it"
+            )
+    elif not fs.exists(live):
         if fs.exists(staged) and fs.rename(staged, live):
             actions.append("promoted_staged")
         elif fs.exists(old):
@@ -269,9 +361,12 @@ def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
     if fs.exists(old):
         fs.delete(old, True)
         actions.append("dropped_old")
-    if fs.exists(staged):
+    if fs.exists(staged) and fs.exists(live):
         fs.delete(staged, True)
         actions.append("dropped_staged")
+    if swap_pending:
+        fs.delete(marker, False)
+        actions.append("cleared_swap_marker")
     return {"actions": actions}
 
 
@@ -301,7 +396,12 @@ def build_ivf_index(
     # index must not hide — and on next compact, destroy — the new
     # vectors, which can share ids with deleted old ones
     fs, mk = _fs(spark, index_dir)
-    for leftover in ("tombstones.parquet", "lists.parquet.old", "lists.parquet.compacting"):
+    for leftover in (
+        "tombstones.parquet",
+        "lists.parquet.old",
+        "lists.parquet.compacting",
+        "swap_pending.json",
+    ):
         fs.delete(mk(f"{index_dir}/{leftover}"), True)
     cents = ivf_centroids(embeddings, vec_col, label_col)
     cents.coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids.parquet")
@@ -371,20 +471,28 @@ def compact_ivf_index(
     files per cell (repartition on cell_part + a within-cell bucket
     id). Crash safety: the rewrite goes to a staging directory and its
     row count is VERIFIED against the filtered source before anything
-    touches the live lists; the swap is then rename-live-aside ->
-    rename-staged-in -> drop-old (each rename metadata-atomic on
-    file:///hdfs://, a copy on s3a), so every crash point leaves a
-    complete copy on disk and ``recover_ivf_index`` (run automatically
-    at the start of every compact) heals it without data loss.
+    touches the live lists; a ``swap_pending.json`` marker carrying
+    that count is written, then the swap runs rename-live-aside ->
+    rename-staged-in -> drop-old -> drop-tombstones -> drop-marker
+    (each rename metadata-atomic on file:///hdfs://, a copy on s3a).
+    Every crash point leaves a complete copy on disk and
+    ``recover_ivf_index`` (run automatically at the start of every
+    compact) heals it without data loss — the marker is what lets
+    recovery verify the live copy's completeness on object stores
+    (where a torn copy can masquerade as a live directory) and decide
+    whether the tombstones were applied by this swap or not.
 
     SINGLE-WRITER CONTRACT: one maintenance writer at a time (appends,
     deletes and compactions serialize with each other). Probes racing
-    the swap can transiently fail — a reader that listed the directory
-    just before the swap may find files replaced mid-read, and in the
-    two-rename window the live path briefly does not exist; either
-    case surfaces as a read error to RETRY, never as silently mixed or
-    partial results (each probe resolves one directory listing). Pin a
-    probe fleet to a snapshot copy if retries are unacceptable.
+    the swap are retried transparently: in the two-rename window the
+    live path briefly does not exist, and ``search_ivf_index`` retries
+    its listing with bounded backoff (test-pinned by
+    test_ivf_search_retries_through_swap_window) — the race never
+    surfaces as silently mixed or partial results, because each probe
+    resolves one directory listing. The narrower residue — a caller
+    holding a search plan across the swap and acting on it after —
+    still surfaces as a read error to re-plan; pin a probe fleet to a
+    snapshot copy if even that is unacceptable.
 
     Returns the refreshed meta plus files_before/files_after. Row set
     (minus tombstoned rows), meta, and the probe's PartitionFilters
@@ -450,19 +558,34 @@ def compact_ivf_index(
     # rename-aside swap (ADVICE r13): live -> .old, staged -> live,
     # drop .old. Every crash point leaves a complete copy on disk
     # (recover_ivf_index heals all three states); the old delete-live-
-    # then-rename order had a window with NO live copy at all.
+    # then-rename order had a window with NO live copy at all. The
+    # swap_pending marker (ADVICE r14) brackets the window: it carries
+    # the verified staged row count so recovery can detect a torn
+    # object-store copy (where "rename" is copy+delete and a partial
+    # live directory can coexist with complete .old/.compacting
+    # copies) and can tell applied from unapplied tombstones.
     live, old, staged = mk(lists_path), mk(old_path), mk(staged_path)
+    marker = mk(f"{index_dir}/swap_pending.json")
+    _fs_write_text(
+        spark, f"{index_dir}/swap_pending.json",
+        json.dumps({"expected_rows": int(expected_rows)}),
+    )
     if not fs.rename(live, old):
+        fs.delete(marker, False)
         raise IOError(f"compact_ivf_index: rename {lists_path} -> {old_path} failed")
     if not fs.rename(staged, live):
         # roll the live lists back so the index stays probe-able
         fs.rename(old, live)
+        fs.delete(marker, False)
         raise IOError(f"compact_ivf_index: rename {staged_path} -> {lists_path} failed")
     fs.delete(old, True)
     # tombstoned rows are physically gone now — clear the tombstones
-    # (AFTER the swap: a crash before this line re-applies them to the
-    # already-filtered lists, a harmless no-op by the anti-join)
+    # (AFTER the swap; a crash between the swap and here is healed by
+    # recover_ivf_index, which sees the pending marker, confirms the
+    # live copy and clears the tombstones itself — leaving them would
+    # hide, then destroy, rows re-appended by failed-append recovery)
     fs.delete(mk(f"{index_dir}/tombstones.parquet"), True)
+    fs.delete(marker, False)
     compacted = spark.read.parquet(lists_path)
     files_after = compacted.select(F.input_file_name()).distinct().count()
     meta = _refresh_meta(spark, index_dir, meta0["vec_col"], id_col)
@@ -493,6 +616,7 @@ def search_ivf_index(
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     qv = query.select(F.col(vec_col).alias("__qvec"))
+    lists_path = f"{index_dir}/lists.parquet"
     qrow = qv.select(F.size("__qvec").alias("d")).first()
     if qrow is None:
         raise ValueError("search_ivf_index: query has no rows")
@@ -511,14 +635,55 @@ def search_ivf_index(
         .select(_cell_part(F.col("cell")).alias("__part"))
         .collect()
     ]
-    lists = spark.read.parquet(f"{index_dir}/lists.parquet").filter(
-        F.col("cell_part").isin(probed)
-    )
-    # logical deletes: tombstoned ids never rank. The anti-join sits ON
-    # TOP of the partition-pruned scan (broadcast, no shuffle), so the
-    # nprobe-cells-only read is untouched; compaction reclaims the rows
-    # and drops this join's input entirely.
-    tomb = _read_tombstones(spark, index_dir, id_col)
-    if tomb is not None:
-        lists = lists.join(F.broadcast(tomb), id_col, "left_anti")
+    def read_plan() -> DataFrame:
+        lists = spark.read.parquet(lists_path).filter(
+            F.col("cell_part").isin(probed)
+        )
+        # logical deletes: tombstoned ids never rank. The anti-join
+        # sits ON TOP of the partition-pruned scan (broadcast, no
+        # shuffle), so the nprobe-cells-only read is untouched;
+        # compaction reclaims the rows and drops this join's input.
+        tomb = _read_tombstones(spark, index_dir, id_col)
+        if tomb is not None:
+            lists = lists.join(F.broadcast(tomb), id_col, "left_anti")
+        return lists
+
+    # a probe racing the compaction swap can catch the live path in
+    # the two-rename window where it briefly does not exist — a
+    # TRANSIENT state by the single-writer contract, so retry the
+    # listing (both reads together: the tombstone table is deleted in
+    # the same window, and a torn lists+tombstones pairing must not
+    # mix swap generations) instead of surfacing the race to callers
+    lists = _retry_transient_read(read_plan)
     return ivf_score_topk(lists.drop("cell_part"), qv, k, vec_col, id_col)
+
+
+def _retry_transient_read(
+    fn, attempts: int = 6, base_sleep_s: float = 0.1
+):
+    """Bounded exponential-backoff retry for reads racing the
+    compaction swap's missing-path window (compact_ivf_index's
+    single-writer contract). Only path-existence failures retry —
+    anything else propagates immediately. ~6 s worst case, sized to
+    dwarf the two metadata renames on file:///hdfs:// (an s3a
+    copy-based swap window can exceed it; pin probe fleets to a
+    snapshot copy there)."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "FileNotFoundException",
+                    "does not exist",
+                )
+            ):
+                raise
+            last = exc
+            time.sleep(base_sleep_s * (2**i))
+    assert last is not None
+    raise last

@@ -588,3 +588,132 @@ def test_ivf_delete_empties_probed_cell(spark, tmp_path):
         compact_ivf_index(spark, idx)
     # and the refused compact left the live lists probe-able
     assert spark.read.parquet(f"{idx}/lists.parquet").count() > 0
+
+
+def test_ivf_recover_swap_marker_states(spark, tmp_path):
+    """The swap_pending marker protocol (ADVICE r14): while a swap is
+    in flight, "live exists" is not trusted as "live is complete" —
+    recovery verifies the live row count against the marker, which on
+    object stores (copy+delete renames) is what distinguishes a torn
+    live copy from a complete one, and tells applied tombstones from
+    unapplied ones."""
+    import os
+    import shutil
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        delete_from_ivf_index,
+        recover_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_marker")
+    meta = build_ivf_index(emb, idx)
+    live = f"{idx}/lists.parquet"
+    rows = lambda: {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(live).select("vec_id", "cell").collect()
+    }
+    all_rows = rows()
+    delete_from_ivf_index(spark, idx, [3, 4])
+    filtered = {t for t in all_rows if t[0] not in (3, 4)}
+    marker = f"{idx}/swap_pending.json"
+    write_marker = lambda: open(marker, "w").write(
+        json.dumps({"expected_rows": len(filtered)})
+    )
+
+    # state A (post-swap crash before the tombstone delete): live IS
+    # the compacted copy, tombstones still on disk. Recovery must
+    # confirm live and CLEAR the tombstones — leaving them would hide,
+    # then destroy, rows re-appended by failed-append recovery.
+    staged_src = str(tmp_path / "staged_src")
+    spark.read.parquet(live).filter(~F.col("vec_id").isin(3, 4)).write.mode(
+        "overwrite"
+    ).partitionBy("cell_part").parquet(staged_src)
+    shutil.rmtree(live)
+    shutil.copytree(staged_src, live)
+    write_marker()
+    out = recover_ivf_index(spark, idx)
+    assert out["actions"] == ["confirmed_live", "cleared_applied_tombstones",
+                              "cleared_swap_marker"]
+    assert not os.path.exists(f"{idx}/tombstones.parquet")
+    assert not os.path.exists(marker)
+    assert rows() == filtered
+
+    # state B (torn staged->live copy on an object store): live is a
+    # PARTIAL directory, .old and .compacting are complete. The old
+    # recovery kept the truncated live and deleted both complete
+    # copies; marker recovery must replace live with the staged copy
+    # and clear the (applied) tombstones.
+    build_ivf_index(emb, idx)
+    delete_from_ivf_index(spark, idx, [3, 4])
+    spark.read.parquet(live).filter(~F.col("vec_id").isin(3, 4)).write.mode(
+        "overwrite"
+    ).partitionBy("cell_part").parquet(f"{live}.compacting")
+    os.rename(live, f"{live}.old")
+    shutil.copytree(f"{live}.old", live)
+    # tear the live copy: drop all but one cell directory
+    cells = sorted(p for p in os.listdir(live) if p.startswith("cell_part="))
+    for c in cells[1:]:
+        shutil.rmtree(os.path.join(live, c))
+    write_marker()
+    out = recover_ivf_index(spark, idx)
+    assert "dropped_partial_live" in out["actions"]
+    assert "promoted_staged" in out["actions"]
+    assert "cleared_applied_tombstones" in out["actions"]
+    assert rows() == filtered
+    assert not os.path.exists(f"{live}.old") and not os.path.exists(marker)
+
+    # state C (crash mid live->.old copy): live is the complete
+    # PRE-swap copy (count mismatches the marker), .old is partial,
+    # staged never existed. Live must be KEPT and the tombstones kept
+    # too (they were never applied).
+    build_ivf_index(emb, idx)
+    delete_from_ivf_index(spark, idx, [3, 4])
+    shutil.copytree(live, f"{live}.old")
+    oldcells = sorted(
+        p for p in os.listdir(f"{live}.old") if p.startswith("cell_part=")
+    )
+    for c in oldcells[1:]:
+        shutil.rmtree(os.path.join(f"{live}.old", c))
+    write_marker()
+    out = recover_ivf_index(spark, idx)
+    assert out["actions"] == ["kept_preswap_live", "dropped_old",
+                              "cleared_swap_marker"]
+    assert rows() == all_rows
+    assert os.path.exists(f"{idx}/tombstones.parquet")
+    # the kept tombstones still hide the deleted ids from probes
+    hits = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 3"), k=5, nprobe=2
+    ).collect()
+    assert all(h["vec_id"] not in (3, 4) for h in hits)
+
+
+def test_ivf_search_retries_through_swap_window(spark, tmp_path):
+    """A probe that lands in the swap's missing-path window retries
+    transparently (bounded backoff) instead of surfacing the race:
+    the live lists vanish for ~1.5 s mid-search and the search still
+    returns exactly the pre-swap result."""
+    import os
+    import threading
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_retry")
+    build_ivf_index(emb, idx)
+    live = f"{idx}/lists.parquet"
+    query = emb.filter(F.col("vec_id") == 3)
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in search_ivf_index(spark, idx, query, k=5, nprobe=2).collect()
+    ]
+
+    os.rename(live, f"{live}.swapping")  # enter the two-rename window
+    restored = threading.Timer(
+        1.5, lambda: os.rename(f"{live}.swapping", live)
+    )
+    restored.start()
+    try:
+        got_df = search_ivf_index(spark, idx, query, k=5, nprobe=2)
+    finally:
+        restored.join()
+    got = [(r["vec_id"], r["cosine"]) for r in got_df.collect()]
+    assert got == want
