@@ -3255,7 +3255,7 @@ def q_stat_chi2(spark, sf_dir):
       SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est_count
       FROM events GROUP BY 1
     )
-    SELECT CAST(row_number() OVER (ORDER BY est_count DESC) AS INT) AS "rank",
+    SELECT CAST(row_number() OVER (ORDER BY est_count DESC, item) AS INT) AS "rank",
            item, est_count
     FROM c
     """,
@@ -3267,14 +3267,26 @@ def q_approx_topk_exact(spark, sf_dir):
     every item, so its "estimates" are exact counts and the full
     ranking is a real DuckDB oracle — converting the sketch family's
     rows-only evidence into a value check on the regime where
-    exactness is the CONTRACT, not luck (events has no count ties at
-    any test SF, so the desc ordering is deterministic). q_approx_topk
-    keeps the above-capacity regime (estimates, pytest-bounded). At
-    100 TB the capacity knob bounds executor state either way; the
-    merge stays one pass."""
+    exactness is the CONTRACT, not luck. The ranking is DETERMINISTIC
+    by construction, not by fixture luck (ADVICE r14): both sides
+    rank by (est_count DESC, item) — the Spark side re-sorts the
+    sketch's emitted array with an array_sort comparator (a ≤k
+    in-row sort, no Window node) instead of trusting sketch emission
+    order, so a count tie at any future SF cannot flake the hash.
+    q_approx_topk keeps the above-capacity regime (estimates,
+    pytest-bounded). At 100 TB the capacity knob bounds executor
+    state either way; the merge stays one pass."""
     ev = t(spark, sf_dir, "events")
     sk = ev.select(F.expr("approx_top_k(event_type, 10, 100)").alias("top"))
-    return sk.select(F.posexplode("top").alias("rank0", "e")).select(
+    ranked = sk.select(
+        F.expr(
+            "array_sort(top, (l, r) -> CASE"
+            " WHEN l.count > r.count THEN -1 WHEN l.count < r.count THEN 1"
+            " WHEN l.item < r.item THEN -1 WHEN l.item > r.item THEN 1"
+            " ELSE 0 END)"
+        ).alias("top")
+    )
+    return ranked.select(F.posexplode("top").alias("rank0", "e")).select(
         (F.col("rank0") + 1).alias("rank"),
         F.col("e.item").alias("item"),
         F.col("e.count").alias("est_count"),

@@ -370,6 +370,18 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # (q_stream_ttl_expiry also rides it but is r14-new: it sits at
     # the window head as unseen already.)
     ("q_stream_sessions_timer", 14),
+    # r15: tie-proofing (ADVICE r14) — the Spark side now re-sorts the
+    # sketch's emitted array by (count DESC, item) with an array_sort
+    # comparator instead of trusting emission order, and the oracle
+    # gained the same tiebreaker. Values identical on tie-free
+    # fixtures (driver-sim sf0.01 re-PASSed) but the plan changed.
+    ("q_approx_topk_exact", 15),
+    # r15: the three staged multi-batch replays now memoize their
+    # landing dirs (memoized_landing) — staging I/O only, stream plan
+    # untouched, but the input-production path changed; one
+    # representative rides the pin (the other _mb queries share the
+    # identical helper).
+    ("q_stream_sessions_timer_mb", 15),
 )
 
 # One-time liveness refresh of rows-only queries: a rows-only row is
