@@ -130,3 +130,96 @@ def q_ml_als(spark, sf_dir):
         F.col("rec.item").cast("bigint").alias("part_id"),
         F.round(F.col("rec.rating").cast("double"), 6).alias("score"),
     )
+
+
+def _ols_exact_sql() -> str:
+    """Oracle for q_ml_ols_exact, GENERATED from the same formula
+    machinery the Spark side executes (ml/ols_exact.py): identical
+    statistic expressions, identical canonical Cramer expansion, so
+    the two engines evaluate one expression tree on one set of
+    decimal-exact inputs."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ml.ols_exact import (
+        cramer4_sql,
+        ols_stats_exprs,
+    )
+
+    xs = ["1", "lag_1", "dow", "dom"]
+    stats = ",\n         ".join(
+        f"{sql} AS {name}" for name, sql in ols_stats_exprs(xs).items()
+    )
+    betas = cramer4_sql()
+    beta_cols = ",\n       ".join(
+        f"{b} AS beta{k}" for k, b in enumerate(betas)
+    )
+    pred = (
+        f"({betas[0]}) + ({betas[1]}) * 100.0 + ({betas[2]}) * 3 "
+        f"+ ({betas[3]}) * 15"
+    )
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS date,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS label
+      FROM events GROUP BY 1, 2
+    ),
+    feat AS (
+      SELECT label AS y,
+             lag(label) OVER (PARTITION BY user_id ORDER BY date) AS lag_1,
+             CAST(((date - DATE '1970-01-01') + 4) % 7 AS INT) AS dow,
+             CAST(EXTRACT(day FROM date) AS INT) AS dom
+      FROM daily
+    ),
+    f AS (SELECT * FROM feat WHERE lag_1 IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+         {stats}
+      FROM f
+    )
+    SELECT n,
+       {beta_cols},
+       {pred} AS pred_ref
+    FROM s
+    """
+
+
+@q("q_ml_ols_exact", _ols_exact_sql())
+def q_ml_ols_exact(spark, sf_dir):
+    """The forecast family's first VALUE-level correctness row
+    (VERDICT r14 task 3): ordinary least squares — the forecaster's
+    regParam=0 regime — fit by closed-form normal equations instead
+    of LBFGS, on the forecaster's own base table (per-user daily
+    series) with a minimal feature set that stays SQL-expressible:
+    intercept, lag_1 (previous observed day's total), day-of-week
+    (epoch-day arithmetic, engine-neutral unlike dayofweek()'s
+    1/0-based split), day-of-month. The daily label uses the decimal
+    sum_exact path so the BASE table is already order-independent;
+    every Gram/moment entry decimal-accumulates its per-row product;
+    the 4x4 solve is one generated Cramer expansion both engines
+    evaluate left-associatively on identical doubles (ml/ols_exact.py
+    docstring has the bit-identity argument). Output: n, the four
+    coefficients, and the fitted value at a fixed reference point.
+    One aggregation pass, 14 numbers shuffled per partition, O(1)
+    driver solve — the cheapest distributed regression at 100 TB."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ml.ols_exact import ols_fit_exact
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import (
+        sum_exact,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("date")
+    ).agg(sum_exact("value").alias("label"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("date")
+    feat = (
+        daily.select(
+            F.col("label").alias("y"),
+            F.lag("label").over(w).alias("lag_1"),
+            ((F.datediff("date", F.lit("1970-01-01")) + F.lit(4)) % 7)
+            .cast("int")
+            .alias("dow"),
+            F.dayofmonth("date").cast("int").alias("dom"),
+        )
+        .filter(F.col("lag_1").isNotNull())
+    )
+    return ols_fit_exact(feat, ["1", "lag_1", "dow", "dom"], "y")

@@ -55,3 +55,51 @@ def test_rf_importance_is_a_distribution(spark):
     assert abs(total - 1.0) < 1e-3
     assert all(r["importance"] >= 0 for r in rows)
     assert len(rows) == len({r["feature"] for r in rows})
+
+
+def test_ols_exact_matches_mllib_normal_solver(spark):
+    """The closed-form Cramer solve (ml/ols_exact.py) IS the
+    forecaster's regParam=0 regime: MLlib LinearRegression with
+    regParam=0 / solver='normal' on the identical feature rows must
+    produce the same coefficients up to solver float noise. This is
+    what licenses the q_ml_ols_exact claim that the oracle checks the
+    forecast family's math, not a lookalike."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.sql import Window, functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ml.ols_exact import ols_fit_exact
+    from smart_energy_consumption_analytics_using_big_data_spark.operators.aggregates import (
+        sum_exact,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("date")).agg(
+        sum_exact("value").alias("label")
+    )
+    w = Window.partitionBy("user_id").orderBy("date")
+    feat = daily.select(
+        F.col("label").alias("y"),
+        F.lag("label").over(w).alias("lag_1"),
+        ((F.datediff("date", F.lit("1970-01-01")) + F.lit(4)) % 7)
+        .cast("int").alias("dow"),
+        F.dayofmonth("date").cast("int").alias("dom"),
+    ).filter(F.col("lag_1").isNotNull())
+
+    exact = ols_fit_exact(feat, ["1", "lag_1", "dow", "dom"], "y").first()
+
+    asm = VectorAssembler(
+        inputCols=["lag_1", "dow", "dom"], outputCol="features"
+    )
+    lr = LinearRegression(
+        featuresCol="features", labelCol="y", regParam=0.0, solver="normal"
+    )
+    model = lr.fit(asm.transform(feat.withColumn("dow", F.col("dow").cast("double"))
+                                 .withColumn("dom", F.col("dom").cast("double"))))
+    import math
+
+    assert math.isclose(model.intercept, exact["beta0"], rel_tol=1e-6)
+    for got, want in zip(model.coefficients, (exact["beta1"], exact["beta2"], exact["beta3"])):
+        assert math.isclose(got, want, rel_tol=1e-5, abs_tol=1e-9)
