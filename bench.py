@@ -111,7 +111,13 @@ def run_calibration(spark, reps: int = 3) -> dict:
       throughput;
     * ``arrow``: an identity mapInPandas over a 32-partition range —
       tracks the Python-worker fork + Arrow IPC path, the part that
-      swung 5x between regimes.
+      swung 5x between regimes;
+    * ``pyworker``: a mapInPandas doing real numpy arithmetic (8-round
+      integer mix over 4M rows) — added r15 (VERDICT r14 task 4)
+      because the identity arrow probe under-captured the r14 regime:
+      the biggest in-suite movers (simhash_arrow, winnow, bfs) spend
+      their time in Python-side numpy CPU, a dimension the IPC-only
+      probe misses. Worker-heavy movers divide by THIS probe.
 
     Compare `value / calibration` across rounds, not raw `value`.
     """
@@ -133,8 +139,25 @@ def run_calibration(spark, reps: int = 3) -> dict:
         df = spark.range(0, 2_000_000, 1, 32)
         df.mapInPandas(lambda it: it, "id long").count()
 
+    def pyworker_probe() -> None:
+        def work(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                h = pdf["id"].to_numpy().astype(np.uint64)
+                for _ in range(8):
+                    h = (h * np.uint64(0x9E3779B97F4A7C15)) ^ (h >> np.uint64(7))
+                yield pd.DataFrame({"id": h.astype(np.int64)})
+
+        spark.range(0, 4_000_000, 1, 32).mapInPandas(work, "id long").count()
+
     out = {}
-    for name, fn in (("jvm", jvm_probe), ("arrow", arrow_probe)):
+    for name, fn in (
+        ("jvm", jvm_probe),
+        ("arrow", arrow_probe),
+        ("pyworker", pyworker_probe),
+    ):
         fn()  # plan/codegen warm-up, not measured
         ts = []
         for _ in range(reps):
@@ -237,9 +260,10 @@ def main() -> None:
     timings = {name: median(samples[name]) for name in BENCH_QUERIES}
     diagnostics = {name: median(samples[name]) for name in DIAGNOSTIC_QUERIES}
     total = round(sum(timings.values()), 3)
-    calibration["jvm_end"], calibration["arrow_end"] = (
-        lambda c: (c["jvm"], c["arrow"])
-    )(run_calibration(spark))
+    end_cal = run_calibration(spark)
+    calibration["jvm_end"] = end_cal["jvm"]
+    calibration["arrow_end"] = end_cal["arrow"]
+    calibration["pyworker_end"] = end_cal["pyworker"]
 
     # Suite-only mode for measurement harnesses (scripts/drift_probe.py):
     # skip the three pipeline passes so a session costs ~1/3 the wall

@@ -123,9 +123,15 @@ def main() -> None:
         # calibration exists to correct regime-SCALE shifts (>=1.3x),
         # not to polish single-digit-percent noise.
         def _denom(c: dict) -> float:
-            probes = [c["jvm"], c["arrow"]]
-            if "jvm_end" in c and "arrow_end" in c:
-                probes += [c["jvm_end"], c["arrow_end"]]
+            # include the r15 pyworker probe when both records carry it
+            # (older BENCH_r*.json lack it; mixing denominators across
+            # sessions would skew the comparison, so require all-or-none
+            # within the record itself)
+            keys = ["jvm", "arrow"] + (["pyworker"] if "pyworker" in c else [])
+            probes = [c[k] for k in keys]
+            end_keys = [f"{k}_end" for k in keys]
+            if all(k in c for k in end_keys):
+                probes += [c[k] for k in end_keys]
                 return sum(probes) / 2
             return sum(probes)
 

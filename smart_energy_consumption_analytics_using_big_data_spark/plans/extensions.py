@@ -508,9 +508,32 @@ def q_mm_meta(spark, sf_dir):
     )
 
 
-@q("q_mm_decode")  # rows-only: decode stub is engine-internal (mapInPandas)
+@q(
+    "q_mm_decode",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CASE WHEN text IS NULL OR strlen(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(
+                       generate_series(1, strlen(text)),
+                       i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)))
+                     AS DOUBLE) / strlen(text) END AS mean_byte,
+           CAST(CASE WHEN text IS NULL OR strlen(text) = 0 THEN 0 ELSE 4 END
+                AS INTEGER) AS feature_dim
+    FROM documents
+    """,
+)
 def q_mm_decode(spark, sf_dir):
-    """Arrow-batched decode/feature-extract stub over binary payloads."""
+    """Arrow-batched decode/feature-extract stub over binary payloads,
+    value-checked (VERDICT r14 task 6 — the q_mm_resize precedent
+    applied to decode_features): the deterministic fake decode (mean
+    byte value over the UTF-8 payload + a fixed feature dim) is
+    reproducible in SQL because the corpus is ASCII (strlen ==
+    octet_length, probed at every test SF r15), so the whole
+    mapInPandas stage — schema, Arrow batch shape, empty-payload
+    guard — runs under the driver's hash check. The multimodal family
+    is now fully value-checked; swapping the stub for a real PIL/ffmpeg
+    decode changes only the Python body, not the verified plumbing."""
     docs = MM.with_binary_payload(t(spark, sf_dir, "documents"))
     return MM.decode_features(docs)
 
