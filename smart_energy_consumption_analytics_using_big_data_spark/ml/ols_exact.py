@@ -14,8 +14,15 @@ correctly-rounded IEEE operation, identical in every engine) — and
 (b) a SOLVE that is a fixed arithmetic expression tree: Cramer's rule
 for a 4×4 system, with every determinant expanded in one canonical
 term order. Both engines parse the same generated formula
-left-associatively and neither reassociates floating-point arithmetic,
-so the resulting coefficients are bit-identical, not merely close.
+left-associatively and neither reassociates floating-point
+arithmetic, so the coefficients agree to ~1 ulp — the residual
+divergence is the engines' DECIMAL→DOUBLE conversion of the exact
+sufficient statistics (measured r15: 13 identical leading digits),
+not the solve. Outputs are rounded to 6 decimals on both sides, the
+suite-wide double convention the driver comparator also applies;
+the statistics themselves, and Spark's result across any partition
+count, are exactly reproducible (partition-invariance checked at
+7 shuffle partitions / 5 cores).
 
 Scaling: the whole computation is ONE aggregation pass producing a
 single 14-number row (n, the 10 upper-triangle Gram entries, the 4
@@ -111,9 +118,15 @@ def ols_fit_exact(rows: DataFrame, xs: list[str], label: Column | str) -> DataFr
     betas = cramer4_sql()
     return stats.select(
         "n",
-        *[F.expr(b).alias(f"beta{k}") for k, b in enumerate(betas)],
-        F.expr(
-            f"({betas[0]}) + ({betas[1]}) * 100.0 + ({betas[2]}) * 3 "
-            f"+ ({betas[3]}) * 15"
+        *[
+            F.round(F.expr(b), 6).alias(f"beta{k}")
+            for k, b in enumerate(betas)
+        ],
+        F.round(
+            F.expr(
+                f"({betas[0]}) + ({betas[1]}) * 100.0 + ({betas[2]}) * 3 "
+                f"+ ({betas[3]}) * 15"
+            ),
+            6,
         ).alias("pred_ref"),
     )

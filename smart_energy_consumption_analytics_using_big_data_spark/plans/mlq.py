@@ -149,11 +149,11 @@ def _ols_exact_sql() -> str:
     )
     betas = cramer4_sql()
     beta_cols = ",\n       ".join(
-        f"{b} AS beta{k}" for k, b in enumerate(betas)
+        f"round({b}, 6) AS beta{k}" for k, b in enumerate(betas)
     )
     pred = (
-        f"({betas[0]}) + ({betas[1]}) * 100.0 + ({betas[2]}) * 3 "
-        f"+ ({betas[3]}) * 15"
+        f"round(({betas[0]}) + ({betas[1]}) * 100.0 + ({betas[2]}) * 3 "
+        f"+ ({betas[3]}) * 15, 6)"
     )
     return f"""
     WITH daily AS (

@@ -382,6 +382,10 @@ _REVERIFY_PRIORITY: tuple[tuple[str, int], ...] = (
     # representative rides the pin (the other _mb queries share the
     # identical helper).
     ("q_stream_sessions_timer_mb", 15),
+    # r15: q_mm_decode converted rows-only -> oracled (VERDICT r14
+    # task 6); its existing driver rows are all `err: no_oracle`, so
+    # pin it until the first HASH-green row exists.
+    ("q_mm_decode", 15),
 )
 
 # One-time liveness refresh of rows-only queries: a rows-only row is
