@@ -1225,3 +1225,36 @@ def test_stream_dedup_wm_mb_regime(spark):
     r0 = {k: v for k, v in by_key.items() if k % 3 == 0}
     assert len(r0) == sum(1 for k in orig_us if k % 3 == 0)
     assert all(v == [orig_us[k]] for k, v in r0.items())
+
+
+def test_memoized_landing_reuses_and_registers_cleanup(tmp_path):
+    """memoized_landing (ADVICE r14): one builder call per distinct
+    key per process — repeated driver/bench invocations reuse the
+    staged dir instead of writing another events copy — and a failed
+    builder leaves nothing behind."""
+    import os
+
+    import pytest
+
+    from smart_energy_consumption_analytics_using_big_data_spark.streaming import _staging
+
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        open(os.path.join(d, "x"), "w").write("1")
+
+    d1 = _staging.memoized_landing("t_", ("k",), build)
+    d2 = _staging.memoized_landing("t_", ("k",), build)
+    assert d1 == d2 and len(calls) == 1
+    d3 = _staging.memoized_landing("t_", ("other",), build)
+    assert d3 != d1 and len(calls) == 2
+    # all tracked for interpreter-exit removal
+    assert {str(p) for p in _staging._STAGED.values()} >= {d1, d3}
+
+    def boom(d):
+        raise RuntimeError("builder failed")
+
+    with pytest.raises(RuntimeError):
+        _staging.memoized_landing("t_", ("bad",), boom)
+    assert ("t_", ("bad",)) not in _staging._STAGED
