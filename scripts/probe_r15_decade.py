@@ -55,7 +55,14 @@ def build(spark, out_dir: str, replicas: int) -> None:
     docs = load_table(spark, SF01, "documents")
     d_parts = []
     for i in range(replicas):
-        k = i % 10
+        # class = i // 10 (NOT i % 10 — caught in r15 code review: the
+        # modulus keyed every x10 replica into a DIFFERENT class, i.e.
+        # zero near-dup pairs at x10 vs 45-per-doc-per-class at x100,
+        # putting the quadratic output term back into the decade-2
+        # factor). With i // 10 the x10 point is one class of 10
+        # near-dup replicas and x100 is ten such classes: cluster size
+        # pinned at 10 at both points.
+        k = i // 10
         rot = LOWER[k:] + LOWER[:k]
         d_parts.append(
             docs.select(

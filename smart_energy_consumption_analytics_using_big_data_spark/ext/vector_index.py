@@ -197,7 +197,14 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, ids) -> dict:
     delete can also back out a FAILED append batch: tombstone the
     batch's ids, compact, re-append — the recovery path that makes the
     non-atomic append safe to retry. Returns the refreshed meta
-    (``n_tombstones`` counts distinct tombstoned ids)."""
+    (``n_tombstones`` counts distinct tombstoned ids).
+
+    Heals a crashed compaction first when one is pending (marker on
+    disk) — code-review r15: a tombstone appended AFTER a post-swap
+    crash but BEFORE the next recovery would otherwise be wiped by
+    recovery's clear-applied-tombstones step, silently resurrecting
+    the deleted vector."""
+    _heal_if_swap_pending(spark, index_dir)
     meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
     id_col = meta["id_col"]
     if isinstance(ids, DataFrame):
@@ -223,6 +230,17 @@ def delete_from_ivf_index(spark: SparkSession, index_dir: str, ids) -> dict:
         raise ValueError("delete_from_ivf_index: NULL id in delete batch")
     tomb.coalesce(1).write.mode("append").parquet(f"{index_dir}/tombstones.parquet")
     return _refresh_meta(spark, index_dir, meta["vec_col"], id_col)
+
+
+def _heal_if_swap_pending(spark: SparkSession, index_dir: str) -> None:
+    """Run recover_ivf_index iff a swap marker is on disk — the cheap
+    (one fs.exists) guard every maintenance writer calls before
+    touching tombstones or lists, so crash healing is not deferred to
+    the next compact (single-writer contract: these never race a live
+    compaction, only its remains)."""
+    fs, mk = _fs(spark, index_dir)
+    if fs.exists(mk(f"{index_dir}/swap_pending.json")):
+        recover_ivf_index(spark, index_dir)
 
 
 def _live_rows_or_none(spark: SparkSession, lists_path: str) -> int | None:
@@ -262,12 +280,19 @@ def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
 
     Marker present (crash inside the swap window):
 
-    - live readable and row count == marker -> live IS the compacted
-      copy: drop leftovers AND clear the tombstone table — the
-      tombstoned rows were physically filtered out of this copy, and
+    - live readable and row count == marker -> live is a COMPLETE
+      copy of the expected rowset: drop leftovers AND clear the
+      tombstone table — the tombstoned rows are absent from this copy
+      (either it is the compacted copy, or it is the pre-swap copy in
+      the zero-rows-removed case where the two rowsets coincide), and
       leaving the tombstones would silently hide (then destroy on the
       next compact) rows legitimately re-appended by the documented
-      failed-append recovery (tombstone -> compact -> re-append);
+      failed-append recovery (tombstone -> compact -> re-append).
+      Caveat (benign): when the compaction removed no rows, this state
+      cannot distinguish a pre-first-rename crash from a post-swap
+      one, so it may keep the pre-swap FILE LAYOUT and discard the
+      staged rewrite — the rowset is identical either way; re-run
+      compact to redo the small-files fix;
     - live unreadable/mismatched + staged present -> the crash tore
       the staged->live copy (or never started it): replace live with
       the verified staged copy, then clear tombstones as above;
@@ -296,11 +321,24 @@ def recover_ivf_index(spark: SparkSession, index_dir: str) -> dict:
 
     swap_pending = fs.exists(marker)
     if swap_pending:
-        expected = int(
-            json.loads(_fs_read_text(spark, f"{index_dir}/swap_pending.json"))[
-                "expected_rows"
-            ]
-        )
+        try:
+            expected = int(
+                json.loads(_fs_read_text(spark, f"{index_dir}/swap_pending.json"))[
+                    "expected_rows"
+                ]
+            )
+        except Exception:
+            # a torn/empty marker means the crash hit between the
+            # marker's create and its write — strictly BEFORE the
+            # first rename, so the live copy is the intact pre-swap
+            # index: drop the unreadable marker and heal as no-swap
+            # (code-review r15: an unhandled parse error here would
+            # permanently wedge every future compact on exactly the
+            # crash artifact recovery exists to clean up)
+            fs.delete(marker, False)
+            actions.append("dropped_corrupt_marker")
+            swap_pending = False
+    if swap_pending:
         live_ok = (
             fs.exists(live)
             and _live_rows_or_none(spark, lists_path) == expected
@@ -443,6 +481,7 @@ def append_ivf_index(embeddings: DataFrame, index_dir: str) -> dict:
     if embeddings.isEmpty():
         raise ValueError("append_ivf_index: appended batch is empty")
     spark = embeddings.sparkSession
+    _heal_if_swap_pending(spark, index_dir)
     meta = json.loads(_fs_read_text(spark, f"{index_dir}/index_meta.json"))
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     _assert_uniform_dim(embeddings, vec_col, meta["dim"], "append_ivf_index")
@@ -570,14 +609,25 @@ def compact_ivf_index(
         spark, f"{index_dir}/swap_pending.json",
         json.dumps({"expected_rows": int(expected_rows)}),
     )
+    # on either rename failure the marker is deliberately LEFT IN
+    # PLACE (code-review r15): a failed rename on an object store can
+    # itself leave a torn directory, and deleting the marker would
+    # hand recovery the trusted no-swap-in-flight path over exactly
+    # the states the marker exists to disambiguate. recover_ivf_index
+    # heals a marker-present state from any of these crash points.
     if not fs.rename(live, old):
-        fs.delete(marker, False)
-        raise IOError(f"compact_ivf_index: rename {lists_path} -> {old_path} failed")
+        raise IOError(
+            f"compact_ivf_index: rename {lists_path} -> {old_path} failed "
+            f"(swap marker left for recover_ivf_index)"
+        )
     if not fs.rename(staged, live):
-        # roll the live lists back so the index stays probe-able
+        # best-effort rollback so the index stays probe-able; marker
+        # stays either way, so recovery re-verifies whatever this left
         fs.rename(old, live)
-        fs.delete(marker, False)
-        raise IOError(f"compact_ivf_index: rename {staged_path} -> {lists_path} failed")
+        raise IOError(
+            f"compact_ivf_index: rename {staged_path} -> {lists_path} failed "
+            f"(swap marker left for recover_ivf_index)"
+        )
     fs.delete(old, True)
     # tombstoned rows are physically gone now — clear the tombstones
     # (AFTER the swap; a crash between the swap and here is healed by
@@ -617,6 +667,34 @@ def search_ivf_index(
     cents = spark.read.parquet(f"{index_dir}/centroids.parquet")
     qv = query.select(F.col(vec_col).alias("__qvec"))
     lists_path = f"{index_dir}/lists.parquet"
+    # crashed-compaction guard (code-review r15): a swap marker on
+    # disk means a compact crashed mid-swap; on an object store the
+    # live dir can then be a partial-but-READABLE copy, which without
+    # this check would silently rank over a fraction of the corpus.
+    # Probes are read-only (single-writer contract), so verify rather
+    # than heal: count == marker -> complete expected rowset, proceed;
+    # count > marker -> the complete PRE-swap copy (tombstones still
+    # anti-joined below), proceed; count < marker (or unreadable) ->
+    # torn copy, refuse and name the fix. An unreadable marker means
+    # the crash predates the first rename — live is intact.
+    fs_g, mk_g = _fs(spark, index_dir)
+    if fs_g.exists(mk_g(f"{index_dir}/swap_pending.json")):
+        try:
+            expected = int(
+                json.loads(_fs_read_text(spark, f"{index_dir}/swap_pending.json"))[
+                    "expected_rows"
+                ]
+            )
+        except Exception:
+            expected = None
+        if expected is not None:
+            n_live = _live_rows_or_none(spark, lists_path)
+            if n_live is None or n_live < expected:
+                raise IOError(
+                    f"search_ivf_index: a compaction crashed mid-swap and "
+                    f"the live lists are incomplete ({n_live} rows, swap "
+                    f"expected {expected}) — run recover_ivf_index({index_dir!r})"
+                )
     qrow = qv.select(F.size("__qvec").alias("d")).first()
     if qrow is None:
         raise ValueError("search_ivf_index: query has no rows")

@@ -512,7 +512,7 @@ def q_mm_meta(spark, sf_dir):
     "q_mm_decode",
     """
     SELECT doc_id,
-           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           CAST(coalesce(strlen(text), 0) AS INTEGER) AS n_bytes,
            CASE WHEN text IS NULL OR strlen(text) = 0 THEN 0.0
                 ELSE CAST(list_sum(list_transform(
                        generate_series(1, strlen(text)),

@@ -36,16 +36,14 @@ atexit.register(_cleanup)
 def staged_stream_dir(prefix: str, copies: dict[str, str]) -> str:
     """Return a directory containing ``{target_name: source_file}``
     copies, created once per distinct (prefix, copies) and removed at
-    interpreter exit."""
-    key = (prefix, tuple(sorted(copies.items())))
-    hit = _STAGED.get(key)
-    if hit is not None and hit.is_dir():
-        return str(hit)
-    staging = Path(tempfile.mkdtemp(prefix=prefix))
-    for target, source in copies.items():
-        shutil.copy(source, staging / target)
-    _STAGED[key] = staging
-    return str(staging)
+    interpreter exit (memoized_landing provides the cache, the exit
+    cleanup, and removal of a half-populated dir on copy failure)."""
+
+    def build(staging: str) -> None:
+        for target, source in copies.items():
+            shutil.copy(source, Path(staging) / target)
+
+    return memoized_landing(prefix, tuple(sorted(copies.items())), build)
 
 
 def memoized_landing(prefix: str, key: tuple, builder) -> str:

@@ -717,3 +717,80 @@ def test_ivf_search_retries_through_swap_window(spark, tmp_path):
         restored.join()
     got = [(r["vec_id"], r["cosine"]) for r in got_df.collect()]
     assert got == want
+
+
+def test_ivf_swap_marker_hardening(spark, tmp_path):
+    """Code-review r15 follow-ups on the marker protocol: (1) a torn/
+    empty marker (crash between marker create and write — strictly
+    pre-swap) heals instead of wedging recovery; (2) a tombstone added
+    AFTER a post-swap crash survives the healing (delete runs recovery
+    first, so the clear-applied-tombstones step cannot wipe it);
+    (3) a probe against a torn live copy with a pending swap refuses
+    with an instructive error rather than silently ranking over a
+    fraction of the corpus, while a complete pre-swap live (count >
+    marker) still probes fine."""
+    import os
+    import shutil
+
+    import pytest
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.vector_index import (
+        delete_from_ivf_index,
+        recover_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "ivf_hard")
+    live = f"{idx}/lists.parquet"
+    marker = f"{idx}/swap_pending.json"
+
+    # (1) corrupt marker: live intact, staged leftover — recovery
+    # drops the marker and proceeds on the trusted no-swap path
+    build_ivf_index(emb, idx)
+    shutil.copytree(live, f"{live}.compacting")
+    open(marker, "w").close()  # zero-byte marker
+    out = recover_ivf_index(spark, idx)
+    assert "dropped_corrupt_marker" in out["actions"]
+    assert "dropped_staged" in out["actions"]
+    assert not os.path.exists(marker)
+
+    # (2) post-swap crash (live already compacted, tombstones [3,4]
+    # applied but not yet cleared, marker present), then a NEW delete
+    # of id 7 arrives: the delete must heal first, then tombstone 7 —
+    # 7 stays hidden, 3/4 stay physically gone
+    delete_from_ivf_index(spark, idx, [3, 4])
+    filtered_rows = spark.read.parquet(live).filter(
+        ~F.col("vec_id").isin(3, 4)
+    )
+    staged_src = str(tmp_path / "hard_staged")
+    filtered_rows.write.mode("overwrite").partitionBy("cell_part").parquet(staged_src)
+    n_expected = filtered_rows.count()
+    shutil.rmtree(live)
+    shutil.copytree(staged_src, live)
+    open(marker, "w").write(json.dumps({"expected_rows": n_expected}))
+    meta = delete_from_ivf_index(spark, idx, [7])
+    assert not os.path.exists(marker)
+    assert meta["n_tombstones"] == 1  # only the new delete survives
+    hits = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 7"), k=5, nprobe=2
+    ).collect()
+    assert all(h["vec_id"] not in (3, 4, 7) for h in hits)
+
+    # (3a) torn live + pending marker: probe refuses with the fix named
+    cells = sorted(p for p in os.listdir(live) if p.startswith("cell_part="))
+    torn = str(tmp_path / "hard_torn_backup")
+    shutil.copytree(live, torn)
+    for c in cells[1:]:
+        shutil.rmtree(os.path.join(live, c))
+    open(marker, "w").write(json.dumps({"expected_rows": n_expected}))
+    with pytest.raises(IOError, match="recover_ivf_index"):
+        search_ivf_index(spark, idx, emb.filter("vec_id = 10"), k=3, nprobe=2)
+    # (3b) complete pre-swap live (count >= marker): probe proceeds
+    shutil.rmtree(live)
+    shutil.copytree(torn, live)
+    open(marker, "w").write(json.dumps({"expected_rows": n_expected - 5}))
+    got = search_ivf_index(
+        spark, idx, emb.filter("vec_id = 10"), k=3, nprobe=2
+    ).collect()
+    assert len(got) == 3
+    os.remove(marker)
