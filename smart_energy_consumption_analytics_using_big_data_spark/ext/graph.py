@@ -202,19 +202,23 @@ def pagerank(
     # composition behavior), not a DIVIDE_BY_ZERO from the 1/n literals
     if n == 0:
         return _finish_ranks(nodes.select("id", F.lit(0.0).alias("rank")), ed, nodes)
-    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    # Degrees persist ONCE (|V| rows): the r15 shape joins deg into the
+    # |V|-sized rank table BEFORE the edge join, so each iteration pays
+    # ONE |E|-sized join instead of two ((ed JOIN ranks) JOIN deg made
+    # the deg lookup process |E| rows, and the unpersisted deg subplan
+    # re-aggregated the cached edge list inside every iteration's
+    # plan). Contributions are bit-identical — same round(rank/deg, 12)
+    # on the same inputs — verified exact (exceptAll = 0 both ways) on
+    # the textrank and 10x co-purchase graphs (OPTIMIZATION_r15.md).
+    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).persist()
     base = 1.0 - damping
     ranks = nodes.select("id", F.round(F.lit(1.0) / n, 12).alias("rank"))
     for _ in range(iters):
-        contrib = (
-            ed.join(ranks, "id")
-            .join(deg, "id")
-            .select(
-                F.col("__dst").alias("id"),
-                F.round(F.col("rank") / F.col("deg"), 12)
-                .cast("decimal(28,12)")
-                .alias("c"),
-            )
+        contrib = ed.join(ranks.join(deg, "id"), "id").select(
+            F.col("__dst").alias("id"),
+            F.round(F.col("rank") / F.col("deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
         )
         summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
         ranks = nodes.join(summed, "id", "left").select(
@@ -225,19 +229,27 @@ def pagerank(
                 12,
             ).alias("rank"),
         )
-    return _finish_ranks(ranks, edges, nodes)
+    return _finish_ranks(ranks, edges, nodes, deg)
 
 
-def _finish_ranks(ranks: DataFrame, edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def _finish_ranks(
+    ranks: DataFrame,
+    edges: DataFrame,
+    nodes: DataFrame,
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """Materialize the final rank table, then release the edge/node
-    caches the iteration needed — the caller owns only the returned
-    (persisted) result. Without the release each call parked the edge
-    pipeline and node table in the block manager for the session's
-    lifetime (round-5 advice)."""
+    (and, for the r15 pagerank shape, degree) caches the iteration
+    needed — the caller owns only the returned (persisted) result.
+    Without the release each call parked the edge pipeline and node
+    table in the block manager for the session's lifetime (round-5
+    advice)."""
     out = ranks.select("id", F.round("rank", 6).alias("rank")).persist()
     out.count()
     nodes.unpersist()
     edges.unpersist()
+    if deg is not None:
+        deg.unpersist()
     return out
 
 
@@ -431,7 +443,10 @@ def personalized_pagerank(
         raise ValueError(
             f"personalized_pagerank: no seed nodes (id % {seed_mod} == 0) in the graph"
         )
-    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    # same r15 iteration shape as `pagerank`: persisted |V|-sized deg
+    # joined into ranks BEFORE the |E|-sized edge join (one big join
+    # per iteration instead of two; values bit-identical).
+    deg = ed.groupBy("id").agg(F.count(F.lit(1)).alias("deg")).persist()
     base = 1.0 - damping
     ranks = nodes.select(
         "id",
@@ -440,15 +455,11 @@ def personalized_pagerank(
         ),
     )
     for _ in range(iters):
-        contrib = (
-            ed.join(ranks, "id")
-            .join(deg, "id")
-            .select(
-                F.col("__dst").alias("id"),
-                F.round(F.col("rank") / F.col("deg"), 12)
-                .cast("decimal(28,12)")
-                .alias("c"),
-            )
+        contrib = ed.join(ranks.join(deg, "id"), "id").select(
+            F.col("__dst").alias("id"),
+            F.round(F.col("rank") / F.col("deg"), 12)
+            .cast("decimal(28,12)")
+            .alias("c"),
         )
         summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
         ranks = nodes.join(summed, "id", "left").select(
@@ -459,4 +470,4 @@ def personalized_pagerank(
                 12,
             ).alias("rank"),
         )
-    return _finish_ranks(ranks, edges, nodes)
+    return _finish_ranks(ranks, edges, nodes, deg)
