@@ -567,7 +567,19 @@ def simhash_candidate_pairs(
             .drop("__bsize")
         )
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    # Verify hamming BEFORE the pair dedup (r15): a pair agreeing on j
+    # of the n_blocks blocks comes out of the bucket join j times, and
+    # the old shape shuffled every copy (plus both 8-byte fingerprints)
+    # into the distinct only to filter most rows afterwards. The
+    # xor+bit_count runs map-side on each copy (two instructions, far
+    # cheaper than shuffling the row), so the distinct's exchange now
+    # carries only surviving near-dup pairs at (doc_a, doc_b, hamming)
+    # width. hamming is a pure function of the pair, so
+    # filter-then-distinct ≡ distinct-then-filter — identical output
+    # (oracle + pytest parity re-verified; same-session A/B in
+    # OPTIMIZATION_r15.md).
+    hamming = F.bit_count(F.col("a.fp_int").bitwiseXOR(F.col("b.fp_int")))
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -577,16 +589,10 @@ def simhash_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.fp_int").alias("fp_a"),
-            F.col("b.fp_int").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
