@@ -105,7 +105,7 @@ def bfs_hops(
         .select("id", F.lit(0).alias("dist"))
         .persist()
     )
-    dist.count()
+    n_settled = dist.count()
     # Frontier-delta relaxation (r11): with unit weights a settled
     # node's distance never improves, so round k only needs the nodes
     # FIRST settled at k-1 on the join's probe side — every edge out
@@ -140,19 +140,25 @@ def bfs_hops(
         # pin this round's blocks BEFORE releasing its predecessor, so
         # the unpersist can never trigger the exponential recompute it
         # exists to prevent
-        dist.count()
+        cnt = dist.count()
         if prev is not None:
             prev.unpersist()
         prev = dist
+        # exhausted frontier: the remaining rounds are identity
+        # min-aggs (no hop rows) — skipping them changes nothing but
+        # the wasted jobs. A settled node's distance never changes
+        # (frontier-delta invariant: hop rows carry dist == k >= any
+        # settled value, and min keeps the older one), so the node
+        # count grows IFF this round settled new nodes — the persist
+        # pin's count doubles as the emptiness test, replacing the
+        # extra take(1) job per round (r15; not a convergence test:
+        # the round count stays fixed).
+        if cnt == n_settled:
+            break
+        n_settled = cnt
         # nodes first settled this round; final dist == k can only be
         # assigned at round k, so the filter IS the frontier delta
         frontier = dist.filter(F.col("dist") == k)
-        # exhausted frontier: the remaining rounds are identity
-        # min-aggs (no hop rows) — skipping them changes nothing but
-        # the wasted jobs (one cheap cached-scan boolean per round,
-        # not a convergence test: the round count stays fixed)
-        if not frontier.take(1):
-            break
     ed.unpersist()
     return dist
 
