@@ -878,7 +878,22 @@ def minhash_lsh_arrow(
     the hash family. Candidates are bucket-confined; the only wide
     shuffles are the band-key join and the two doc_id text joins.
     """
-    sigs = minhash_signatures_arrow(docs, num_hashes, n, text_col, id_col)
+    # Materialize the signature table ONCE (r15): the banded self-join
+    # consumes it on both sides and Spark does not CSE the branches, so
+    # the vectorized Python signature kernel (the corpus-sized
+    # mapInPandas pass) executed twice per call. The table is tiny (one
+    # row of k hex strings per document), so a lazy localCheckpoint
+    # wins where the md5/JVM path's persist measured slower (r4): here
+    # the duplicated subtree is a Python-worker pass, not a cheap JVM
+    # recompute. Same-session interleaved A/B at sf0.1: 1.50 -> 1.26 s
+    # median, 5/5 reps faster, identical pairs (OPTIMIZATION_r15.md);
+    # eager=False + ContextCleaner reclaim (oriented_triangles
+    # lifecycle pattern). The md5 paths stay unmaterialized — re-probed
+    # this round, still a wash (the r4 conclusion holds for JVM
+    # recomputes).
+    sigs = minhash_signatures_arrow(docs, num_hashes, n, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sigs, num_hashes, band_size, max_bucket=max_bucket)
     texts = docs.select(F.col(id_col), F.col(text_col))
     paired = (

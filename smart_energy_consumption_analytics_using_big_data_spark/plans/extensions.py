@@ -2151,7 +2151,16 @@ def q_dedup_simhash_arrow(spark, sf_dir):
     the identical pair join 1.33 s vs 3.12 s (2.3x). Invariants pinned
     in tests/test_minhash_arrow.py; md5 path (q_dedup_simhash) stays
     the oracled baseline."""
-    fps = D.simhash_arrow(t(spark, sf_dir, "documents"))
+    # lazy-checkpoint the fingerprint table (r15): the block-banding
+    # self-join consumes it on both sides and Spark does not CSE the
+    # branches — without materialization the vectorized Python
+    # signature kernel ran twice per call. One row per document, so
+    # the blocks are tiny; same-session interleaved A/B at sf0.1:
+    # 3.40 -> 1.48 s median, 5/5 reps faster, identical pairs
+    # (OPTIMIZATION_r15.md). The md5 twin (q_dedup_simhash_pairs)
+    # stays unmaterialized — re-probed this round, a wash (JVM
+    # recompute is cheaper than the checkpoint write, the r4 lesson).
+    fps = D.simhash_arrow(t(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     return D.simhash_candidate_pairs(fps)
 
 
