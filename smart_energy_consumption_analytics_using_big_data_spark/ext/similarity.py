@@ -14,9 +14,24 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import cosine
+from smart_energy_consumption_analytics_using_big_data_spark.functions.vectorfns import (
+    cosine,
+    dot,
+    norm,
+)
+
+
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine(a, b)` with the two norms hoisted to precomputed columns.
+
+    Bit-identical to `cosine`: same dot, same `norm(a) * norm(b)`
+    operand order, same try_divide — only WHERE the norms are computed
+    moves (once per row before a pair join instead of once per joined
+    pair). Callers must build `na`/`nb` with `norm()` on the exact
+    array column they pass as `a`/`b`."""
+    return F.try_divide(dot(a, b), na * nb)
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[float]:
@@ -85,10 +100,21 @@ def neardup_pairs(
     dedup pipeline. At corpus scale use neardup_pairs_lsh, which joins
     only within LSH buckets.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        "cosine",
+        F.round(
+            _cosine_pre(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6
+        ),
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
@@ -104,15 +130,24 @@ def neardup_pairs_lsh(
     """Near-dup pairs restricted to same-LSH-bucket candidates - the
     scale path: shuffle on bucket, pair join per bucket."""
     buckets = lsh_buckets(embeddings, n_planes, dim, vec_col, id_col)
-    tagged = embeddings.join(buckets, id_col)
+    tagged = embeddings.withColumn("__n", norm(F.col(vec_col))).join(buckets, id_col)
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket")
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("__na"),
+        F.col("bucket"),
     )
     b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"),
+        F.col("bucket"),
     )
     pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b")).withColumn(
-        "cosine", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        "cosine",
+        F.round(
+            _cosine_pre(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6
+        ),
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
@@ -175,11 +210,25 @@ def ivf_assign(
     """Assign every vector to its nearest (max-cosine) centroid cell -
     the inverted-list build. Centroids broadcast; one scan over the
     corpus, k cosine evaluations per row, row_number picks the cell
-    (round(,6) + cell tiebreak for cross-engine determinism)."""
+    (round(,6) + cell tiebreak for cross-engine determinism). The
+    vector's own norm is hoisted out of the per-centroid cosine (k
+    dot products per row instead of 3k; centroid norms ride the
+    broadcast) — bit-identical, see _cosine_pre."""
     from pyspark.sql import Window
 
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "cell_cosine", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    cents = centroids.withColumn("__cn", norm(F.col("centroid")))
+    scored = (
+        embeddings.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_cosine",
+            F.round(
+                _cosine_pre(
+                    F.col(vec_col), F.col("centroid"), F.col("__vn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cell_cosine"), F.asc("cell"))
     return (
@@ -411,17 +460,33 @@ def semantic_dedup(
         .select(id_col, "cell")
         .persist()
     )
-    tagged = embeddings.select(id_col, vec_col).join(cells, id_col)
+    # each row meets ~|cell| partners in the pair join below: hoist its
+    # norm out of the per-pair cosine (one dot per pair instead of
+    # three; bit-identical, see _cosine_pre)
+    tagged = embeddings.select(
+        id_col, vec_col, norm(F.col(vec_col)).alias("__n")
+    ).join(cells, id_col)
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col("cell"), F.col(vec_col).alias("va")
+        F.col(id_col).alias("id_a"),
+        F.col("cell"),
+        F.col(vec_col).alias("va"),
+        F.col("__n").alias("__na"),
     )
     b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col("cell"), F.col(vec_col).alias("vb")
+        F.col(id_col).alias("id_b"),
+        F.col("cell"),
+        F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"),
     )
     dups = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .filter(
+            F.round(
+                _cosine_pre(F.col("va"), F.col("vb"), F.col("__na"), F.col("__nb")), 6
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
@@ -460,16 +525,30 @@ def knn_join(
     and the second stage touches only Q*n_salt*k rows). Ties break on
     the corpus id, so the output is deterministic and SQL-oracle-able.
     """
+    # every corpus row is scored against all |Q| queries: hoist the
+    # corpus norm out of the per-(row, query) cosine and ship the query
+    # norms inside the broadcast batch (bit-identical, see _cosine_pre)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("__cn"),
+        )
         .crossJoin(F.broadcast(q))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    F.col(vec_col), F.col("__qvec"), F.col("__cn"), F.col("__qn")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     order = [F.desc("cosine"), F.asc("neighbor_id")]
