@@ -847,13 +847,48 @@ def q_sql_min_cost_supplier(spark, sf_dir):
     on partkey, so the per-row re-aggregation Q2 naively implies never
     executes. Region/size/type filters prune the dim scans before any
     fact-side shuffle; min over identical IEEE doubles is order-
-    independent, so the cost-equality join is exact on both engines."""
+    independent, so the cost-equality join is exact on both engines.
+
+    Size-gated pre-filter (r15, OPTIMIZATION_r15.md): both inlined CTE
+    consumers aggregate ALL lineitem rows and join the selective part
+    filter (537/20,000 keys at sf0.1) only afterwards. Restricting the
+    CTE with `l_partkey IN (qualifying parts)` is result-identical
+    (every consumer inner-joins or is correlated on a filtered
+    p_partkey) and plans as a broadcast LeftSemi BELOW both
+    aggregation shuffles (-97% fact rows into them) — but the two
+    extra part scans/broadcast builds are fixed overhead that measured
+    5/5 SLOWER at sf0.1 (0.90 -> 1.20 s) and 4/4 FASTER at 10x
+    (2.77 -> 1.93 s, scripts/probe_r15_mcs_scale.py). So the Spark
+    text applies the pre-filter only when the fact table's on-storage
+    size clears a threshold between those two measured points (64 MB;
+    sf0.1 is 11 MB, the 10x probe 108 MB) — a manual cost-based plan
+    choice, identical output on both branches, each branch
+    oracle-verified. `SPARK_GRAFT_MCS_PREFILTER_BYTES` overrides the
+    threshold for cluster deployments."""
+    import os as _os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
+        table_size_bytes,
+    )
+
     register_views(spark, sf_dir)
-    return spark.sql(
+    threshold = int(
+        _os.environ.get("SPARK_GRAFT_MCS_PREFILTER_BYTES", 64 * 1024 * 1024)
+    )
+    li_bytes = table_size_bytes(spark, sf_dir, "lineitem")
+    prefilter = (
         """
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_size < 10 AND p_type = 'SMALL')
+        """
+        if li_bytes is not None and li_bytes >= threshold
+        else ""
+    )
+    return spark.sql(
+        f"""
         WITH offers AS (
           SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
-          FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
+          FROM lineitem WHERE l_quantity > 0 {prefilter} GROUP BY 1, 2
         )
         SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name, p_partkey, p_name
         FROM part

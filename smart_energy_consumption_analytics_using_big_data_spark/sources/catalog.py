@@ -75,6 +75,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_size_bytes(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """On-storage byte size of one testdata table, or None if the
+    filesystem cannot answer (treat as "unknown, assume small").
+
+    Goes through the Hadoop FileSystem API so it works for any scheme
+    Spark can read (local, HDFS, s3a), not just the local filesystem.
+    Used for manual cost-based plan choices (e.g. the
+    q_sql_min_cost_supplier offers pre-filter, OPTIMIZATION_r15.md):
+    the same role table statistics play for Catalyst's own join
+    planning, exposed where a query builder needs the decision before
+    the optimizer sees the plan."""
+    try:
+        sc = spark.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(f"{sf_dir}/{name}.parquet")
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(path).getLength())
+    except Exception:  # noqa: BLE001 - size is advisory, never fatal
+        return None
+
+
 def load_time_range(
     spark: SparkSession,
     sf_dir: str,
