@@ -665,22 +665,44 @@ def winnow_pairs(
     ``hash_fn="arrow"`` routes the fingerprint stage through the O(n)
     Arrow/numpy path (winnow_fingerprints_arrow) — measured 5x faster
     than the native xxhash64 O(n*w) path at sf0.1 (PERFORMANCE.md
-    round 4); selection guarantees are hash-family-independent."""
+    round 4); selection guarantees are hash-family-independent.
+
+    Pair shape (r15): group-and-enumerate, not a self-join. The old
+    ``a JOIN b ON fp`` consumed the fingerprint subtree on BOTH join
+    inputs — Spark does not CSE, so the arrow path ran its corpus-
+    sized mapInPandas kernel twice — and the df-prune paid its own
+    window sort+exchange first. One ``groupBy(fp)`` now collects the
+    (already-distinct) doc set per fingerprint, the boilerplate prune
+    becomes a ``size() <= max_df`` filter on the SAME aggregation, and
+    the surviving (<= max_df, so <= C(max_df,2) per row) pairs are
+    enumerated in-row with the ext/graph.basket_pairs upper-triangle
+    expression. Exact equality with the join (exceptAll 0 both ways on
+    all three hash paths): rows-per-fp == size(collect_set) because
+    both fingerprint producers emit distinct (doc, fp); the sorted
+    upper triangle IS the doc_a < doc_b join output; the explicit
+    non-null fp filter mirrors the inner equi-join. Interleaved A/B at
+    sf0.1 (scripts/probe_r15_winnow_pairs_ab.py): arrow 2.25 -> 1.66 s
+    median (5/5), xxhash64 4.84 -> 4.12 (5/5), md5 a wash (digest-
+    bound). Scale note: like basket_pairs, one aggregation buffer
+    holds a hot fingerprint's full doc set before the prune filter
+    drops it — the same per-fp row set the window prune buffered per
+    partition, in array form."""
     if hash_fn == "arrow":
         fps = winnow_fingerprints_arrow(docs, k, w, text_col, id_col)
     else:
         fps = winnow_fingerprints(docs, k, w, text_col, id_col, hash_fn)
-    w_df = Window.partitionBy("fp")
-    pruned = (
-        fps.withColumn("__df", F.count(F.lit(1)).over(w_df))
-        .filter(F.col("__df") <= max_df)
-        .drop("__df")
+    tri = (
+        "flatten(transform(__docs, (x, i) -> "
+        "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
     )
-    a = pruned.select(F.col(id_col).alias("doc_a"), "fp")
-    b = pruned.select(F.col(id_col).alias("doc_b"), "fp")
     return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        fps.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("__docs"))
+        .filter(F.size("__docs") <= max_df)
+        .select(F.explode(F.expr(tri)).alias("__p"))
+        .select("__p.doc_a", "__p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -337,6 +337,58 @@ def test_winnow_guarantee_shared_substring_detected(spark):
     assert all(3 not in p for p in got)
 
 
+def test_winnow_pairs_fused_shape_matches_self_join(spark):
+    """The r15 group-and-enumerate rewrite (ext/dedup.winnow_pairs):
+    the pair plan must contain NO join (one aggregation replaces the
+    fingerprint self-join and the window df-prune), and its output
+    must equal the reference self-join formulation on a fixture whose
+    boilerplate fingerprints (shared by all 5 docs > max_df=4) are
+    pruned — without the prune every doc would pair with every other
+    through the common header; with it only the true shared-run pairs
+    survive."""
+    from pyspark.sql import Window, functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    boiler = "commonboilerplateheaderthateverydocumentshares!!"
+    body_ab = "zqxjkvwpyhgfdnmbltrcse##uniqueduplicatedrunhere"
+    body_cd = "anotherlongsharedrunof~textthatonlycdcontain%%"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + body_ab + " one tail"),
+            (2, boiler + " " + body_ab + " two tail"),
+            (3, boiler + " " + body_cd + " three t"),
+            (4, boiler + " " + body_cd + " four ta"),
+            (5, boiler + " standalone five filler content"),
+        ],
+        "doc_id long, text string",
+    )
+    got = winnow_pairs(docs, max_df=4, min_shared=2)
+    assert "Join" not in got._jdf.queryExecution().executedPlan().toString()
+
+    fps = winnow_fingerprints(docs)
+    pruned = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= 4)
+        .drop("__df")
+    )
+    ref = (
+        pruned.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(pruned.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    surviving = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    assert (1, 2) in surviving and (3, 4) in surviving
+    assert not any(5 in p for p in surviving)  # boilerplate-only doc pairs with no one
+
+
 def test_fuzzy_join_blocks_without_all_pairs(spark):
     # deletion-neighborhood completeness at distance 1: substitution,
     # insertion, deletion, and identity all matched; distance-2 not.
