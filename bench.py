@@ -168,6 +168,37 @@ def run_calibration(spark, reps: int = 3) -> dict:
     return out
 
 
+def compact_fullscale(fullscale: dict) -> dict:
+    """Scalar-only summary of PIPELINE_FULLSCALE.json for the stdout
+    line (the full record's multi-KB notes/description prose overflowed
+    the driver's ~2 KB tail-capture window and truncated the JSON —
+    VERDICT r15 item 1)."""
+    keys = (
+        "total_sec",
+        "speedup_total",
+        "flagged",
+        "rmse",
+        "raw_rows",
+        "households",
+        "grid",
+    )
+    out = {k: fullscale[k] for k in keys if k in fullscale}
+    out["detail"] = "PIPELINE_FULLSCALE.json"
+    return out
+
+
+def emit_line(out: dict, limit: int = 2000) -> str:
+    """One-line JSON for stdout, guaranteed under `limit` bytes as long
+    as the mandatory keys fit: the fullscale summary is the only
+    optional payload and is dropped first (it lives in the sidecar and
+    in PIPELINE_FULLSCALE.json regardless)."""
+    line = json.dumps(out)
+    if len(line) > limit:
+        out = {k: v for k, v in out.items() if k != "energy_pipeline_fullscale"}
+        line = json.dumps(out)
+    return line
+
+
 def run_one(spark, sf_dir: str, name: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
@@ -187,7 +218,96 @@ def run_one(spark, sf_dir: str, name: str) -> float:
     return elapsed
 
 
+# Shuffle-heavy subset timed by `bench.py --scale` on the derived
+# 10x/100x fixtures (scripts/scale_probe.build_derived). Rationale
+# (VERDICT r15 item 3 / task 7): at sf0.1 an 8-core run matches or
+# beats 32 cores on every suite query — per-stage scheduling overhead
+# exceeds the compute the extra cores absorb — so the graded bench
+# cannot demonstrate parallel speedup. This opt-in mode measures the
+# same queries on data large enough that the c8/c32 ratio
+# discriminates; it NEVER runs by default and shares the driver's
+# env-var contract (local[$SPARK_GRAFT_CPUS], one JSON line).
+SCALE_QUERIES = [
+    "q_flagship",          # events 100x: agg + two windows
+    "q_agg_multikey",      # events 100x: multi-key rollup
+    "q_graph_bfs",         # lineitem 10x: edge build + 4 relax rounds
+    "q_text_textrank",     # customer 10x: iterative rank joins
+    "q_dedup_minhash_lsh", # documents 10x: md5 sig + banded self-join
+    "q_dedup_minhash_arrow",
+    "q_dedup_winnow_arrow",
+    "q_dedup_simhash_arrow",
+    "q_dedup_ppjoin",
+    "q_feature_quantile_norm",
+    "q_sim_knn_join",      # embeddings 100x: broadcast-scored top-k
+]
+SCALE_REPS = 3
+
+
+def run_scale() -> None:
+    """Time SCALE_QUERIES on the derived large fixtures; print ONE JSON
+    line {"metric": "scale_suite_total", ...}. Forcing uses the
+    sum-of-row-hashes action (not count()) for the same reason
+    scripts/scale_probe.py does: count() lets Catalyst prune whole
+    Window/projection subtrees. Fixtures are built once into
+    $SPARK_GRAFT_SCALE_DIR (default /tmp/spark_graft_scale_probe) and
+    reused, so a c8 run and a c32 run measure identical bytes."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale_probe")
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+    )
+    from scale_probe import build_derived
+
+    if not os.path.isdir(os.path.join(out_dir, "events.parquet")):
+        build_derived(spark, out_dir)
+
+    def force(df) -> None:
+        h = F.pmod(F.xxhash64(*df.columns), F.lit(1_000_003))
+        df.agg(F.sum(h)).collect()
+
+    samples: dict[str, list[float]] = {name: [] for name in SCALE_QUERIES}
+    for name in SCALE_QUERIES:  # plan-shape warm-up at the small SF
+        force(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        spark.catalog.clearCache()
+    for _rep in range(SCALE_REPS):
+        for name in SCALE_QUERIES:
+            spark.sparkContext.setJobDescription(f"scale {name}")
+            t0 = time.time()
+            force(QUERIES[name](spark, out_dir))
+            samples[name].append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+    spark.sparkContext.setJobDescription(None)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 3)
+
+    timings = {name: median(samples[name]) for name in SCALE_QUERIES}
+    print(
+        json.dumps(
+            {
+                "metric": "scale_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "samples": samples,
+                "scale_dir": out_dir,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "suite_reps": SCALE_REPS,
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--scale" in sys.argv:
+        run_scale()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
@@ -347,16 +467,24 @@ def main() -> None:
     # Full-scale pipeline anchor (5,566 households / ~167.9M raw rows,
     # reference grid — scripts/pipeline_fullscale.py): measured once
     # per build that touches the pipeline (a ~20-min run, too slow for
-    # every bench invocation) and recorded in PIPELINE_FULLSCALE.json;
-    # embedded here so BENCH_r*.json carries the BASELINE.md-comparable
-    # number with its provenance.
+    # every bench invocation) and recorded in PIPELINE_FULLSCALE.json.
+    # The stdout line carries only a COMPACT summary of it: the full
+    # record embeds multi-KB description/notes prose that pushed the
+    # one-line JSON past the driver's ~2 KB tail-capture window and
+    # truncated it mid-JSON (BENCH_r14.json parsed: null — VERDICT r15
+    # item 1); the complete record still lands in the BENCH_local.json
+    # sidecar below and in PIPELINE_FULLSCALE.json itself.
     fullscale_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "PIPELINE_FULLSCALE.json"
     )
+    fullscale = None
     if os.path.exists(fullscale_path):
         with open(fullscale_path) as fh:
-            out["energy_pipeline_fullscale"] = json.load(fh)
+            fullscale = json.load(fh)
+        out["energy_pipeline_fullscale"] = compact_fullscale(fullscale)
     full = dict(out)
+    if fullscale is not None:
+        full["energy_pipeline_fullscale"] = fullscale
     full["energy_pipeline"] = pipeline
     full["energy_pipeline_reference_grid"] = pipeline_ref
     full["samples"] = samples
@@ -388,7 +516,7 @@ def main() -> None:
         out["value_small"] = full["value_small"]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"), "w") as fh:
         json.dump(full, fh, indent=1)
-    print(json.dumps(out))
+    print(emit_line(out))
     spark.stop()
 
 

@@ -64,12 +64,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- equality + plan-shape check per query/variant ---------------
+    # ADVICE r15: compare on live DataFrames with lineage cut by an
+    # EAGER localCheckpoint (no full collect to the driver, scales past
+    # sf0.1; eager so the baseline materializes under variant A's conf,
+    # not lazily under whichever variant runs the first action), and
+    # raise an explicit error instead of a bare assert (which
+    # `python -O` would silently skip).
     for name in CASES:
         set_variant(spark, VARIANTS["A_smj"])
-        base = QUERIES[name](spark, sf_dir)
-        base_rows = base.collect()
-        base_df = spark.createDataFrame(base_rows, base.schema)
-        spark.catalog.clearCache()
+        base_df = QUERIES[name](spark, sf_dir).localCheckpoint()
         for vn in ("B_planner_shj", "C_aqe_shj"):
             set_variant(spark, VARIANTS[vn])
             df = QUERIES[name](spark, sf_dir)
@@ -77,11 +80,14 @@ def main():
             missing = base_df.exceptAll(df).count()
             print(f"[{name}][{vn}] exceptAll: new-base={extra} base-new={missing}",
                   flush=True)
-            assert extra == 0 and missing == 0, f"{name}/{vn} results differ"
+            if extra or missing:
+                raise RuntimeError(f"{name}/{vn} results differ")
             spark.catalog.clearCache()
         set_variant(spark, VARIANTS["A_smj"])
+        spark.catalog.clearCache()
 
     # --- plan shape: does the variant actually change the join? ------
+    plan_changed: dict[str, set[str]] = {}
     for name in CASES:
         shapes = {}
         for vn, conf in VARIANTS.items():
@@ -93,13 +99,24 @@ def main():
             shapes[vn] = (plan.count("SortMergeJoin"), plan.count("ShuffledHashJoin"))
             spark.catalog.clearCache()
         print(f"[{name}] (SMJ, SHJ) per variant: {shapes}", flush=True)
+        # ADVICE r15: a variant whose executed join mix matches the
+        # baseline is a no-op — timing it adds a third of the probe's
+        # wall time as pure position-bias ballast. Time only variants
+        # whose plan actually changed (plus the baseline).
+        plan_changed[name] = {"A_smj"} | {
+            vn for vn in VARIANTS if vn != "A_smj" and shapes[vn] != shapes["A_smj"]
+        }
     set_variant(spark, VARIANTS["A_smj"])
 
     # --- interleaved timing ------------------------------------------
     for name in CASES:
-        ts: dict[str, list[float]] = {vn: [] for vn in VARIANTS}
+        timed = {vn: VARIANTS[vn] for vn in VARIANTS if vn in plan_changed[name]}
+        skipped = [vn for vn in VARIANTS if vn not in plan_changed[name]]
+        if skipped:
+            print(f"[{name}] skipping plan-identical variants: {skipped}", flush=True)
+        ts: dict[str, list[float]] = {vn: [] for vn in timed}
         for r in range(reps):
-            for vn, conf in VARIANTS.items():
+            for vn, conf in timed.items():
                 set_variant(spark, conf)
                 spark.sparkContext.setJobDescription(f"{name} {vn} rep{r}")
                 t0 = time.monotonic()
