@@ -84,6 +84,10 @@ BENCH_QUERIES = [
 # (measured ~5x faster). They stay registered, oracled, and timed every
 # round so the speedup claim remains a measurement — but OUT of the
 # headline total, which should track the engine's shipped plans.
+# (r16: an xxhash64 fast twin of q_dedup_minhash_lsh was registered,
+# measured, and REVERTED — the signature stage is shingle-build-bound,
+# not digest-bound, so the twin was a wash-to-slower;
+# scripts/probe_r16_minhash_fast_ab.py is the record.)
 DIAGNOSTIC_QUERIES = [
     "q_dedup_winnow",
     "q_dedup_winnow_fast",

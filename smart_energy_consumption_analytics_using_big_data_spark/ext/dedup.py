@@ -291,6 +291,12 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 6) -> DataFrame:
     Hash family h_i(s) = md5(i || '|' || s); the signature component is
     the lexicographic minimum - engine-portable and deterministic.
     One aggregation produces all components (single shuffle).
+
+    (r16 note: an xxhash64 fast variant was implemented, measured, and
+    reverted — the signature stage is shingle-build-bound, not
+    digest-bound, so the native hash bought ~5% of the stage and
+    nothing on the full query; scripts/probe_r16_minhash_fast_ab.py is
+    the record and keeps the variant expression for a future revisit.)
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
@@ -655,6 +661,7 @@ def winnow_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    skew_guard: bool = False,
 ) -> DataFrame:
     """Exact-substring-overlap candidates: documents sharing >=
     `min_shared` winnowing fingerprints. Boilerplate fingerprints
@@ -683,10 +690,25 @@ def winnow_pairs(
     non-null fp filter mirrors the inner equi-join. Interleaved A/B at
     sf0.1 (scripts/probe_r15_winnow_pairs_ab.py): arrow 2.25 -> 1.66 s
     median (5/5), xxhash64 4.84 -> 4.12 (5/5), md5 a wash (digest-
-    bound). Scale note: like basket_pairs, one aggregation buffer
-    holds a hot fingerprint's full doc set before the prune filter
-    drops it — the same per-fp row set the window prune buffered per
-    partition, in array form."""
+    bound).
+
+    ``skew_guard=True`` (r16, VERDICT r15 item 2): without it, one
+    aggregation buffer holds a hot fingerprint's FULL doc set before
+    the size filter drops it — a degenerate boilerplate fp shared by
+    10^7+ docs is a single-buffer OOM candidate at scale. The guard
+    count-gates fingerprints BEFORE the collect: a count(*)-per-fp
+    aggregation (buffer = one long per group, skew-safe partial agg)
+    keeps only df <= max_df fps, a left-semi join prunes the fps rows,
+    and only then does collect_set run — no over-max_df doc array is
+    ever buffered. Output-identical (rows-per-fp == size(collect_set),
+    so dropping groups before the collect == the size filter after;
+    exceptAll 0 both ways on all three hash paths,
+    scripts/probe_r16_winnow_gate_ab.py). The fps subtree is consumed
+    twice (the r15 checkpoint probe measured recompute cheaper than
+    caching the corpus-sized table), costing ~5-10%% at sf0.1 — so
+    callers gate it on corpus size, the q_sql_min_cost_supplier
+    pattern: robustness is only needed where the data is big enough to
+    carry a degenerate fp."""
     if hash_fn == "arrow":
         fps = winnow_fingerprints_arrow(docs, k, w, text_col, id_col)
     else:
@@ -696,12 +718,27 @@ def winnow_pairs(
         "transform(slice(__docs, i + 2, size(__docs) - i - 1), "
         "y -> struct(x AS doc_a, y AS doc_b))))"
     )
+    fps = fps.filter(F.col("fp").isNotNull())
+    if skew_guard:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fp")
+        )
+        grouped = (
+            fps.join(ok.hint("shuffle_hash"), "fp", "left_semi")
+            .groupBy("fp")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("__docs"))
+        )
+    else:
+        grouped = (
+            fps.groupBy("fp")
+            .agg(F.array_sort(F.collect_set(id_col)).alias("__docs"))
+            .filter(F.size("__docs") <= max_df)
+        )
     return (
-        fps.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("__docs"))
-        .filter(F.size("__docs") <= max_df)
-        .select(F.explode(F.expr(tri)).alias("__p"))
+        grouped.select(F.explode(F.expr(tri)).alias("__p"))
         .select("__p.doc_a", "__p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -23,6 +23,7 @@ def bfs_hops(
     dst: str = "dst",
     dedupe: bool = False,
     symmetric_edges: bool = False,
+    adjacency: bool = False,
 ) -> DataFrame:
     """Bounded multi-source BFS: hop distance from a seed set.
 
@@ -63,12 +64,35 @@ def bfs_hops(
     and let this fused dedup bound the per-round join fan-out instead
     — measured 5.05 -> 4.70 s on the sf0.1 co-purchase graph, and at
     data scale it removes a whole |E|-sized stage.
+
+    ``adjacency=True`` (r16) folds the deduped, id-partitioned edge
+    rows into per-node neighbor arrays before persisting — a groupBy
+    on the SAME HashPartitioning(id), so the fold adds NO exchange —
+    and each round joins the frontier against |V| array rows instead
+    of |E| edge rows, exploding the matched neighbor arrays AFTER the
+    join. The hop-row multiset per round is identical (each frontier
+    node contributes exactly its distinct neighbor set either way), so
+    results are byte-identical; `adjacency` implies the dedup. The
+    trade is scale-conditional, the q_sql_min_cost_supplier pattern:
+    the fold's ObjectHashAggregate and the extra array materialization
+    are fixed overhead that loses at sf0.1 (rotated interleaved A/B
+    1/6, +10%) but wins on the 10x derived co-purchase graph (4-6/6,
+    median 6.69 -> 5.98 s; persisting ~24M edge rows vs ~200k array
+    rows — scripts/probe_r16_bfs_adj_ab.py), so callers gate it on
+    input size. Scale caveat: a hub node's full neighbor set sits in
+    one aggregation buffer (the standard adjacency-list trade); the
+    edge-row path has no such buffer, which is one more reason the
+    small/default branch keeps it.
     """
     ed = edges.select(F.col(src).alias("id"), F.col(dst).alias("__dst")).repartition(
         "id"
     )
-    if dedupe:
+    if dedupe or adjacency:
         ed = ed.dropDuplicates(["id", "__dst"])
+    if adjacency:
+        ed = ed.groupBy("id").agg(
+            F.array_sort(F.collect_set("__dst")).alias("__nbrs")
+        )
     ed = ed.persist()
     ed.count()
     # Seeds are GRAPH nodes (either endpoint) with id % seed_mod == 0.
@@ -95,16 +119,20 @@ def bfs_hops(
     # is skipped. Correct-by-default stays "both endpoints".
     if symmetric_edges:
         seed_rows = ed.select("id")
+    elif adjacency:
+        seed_rows = ed.select(
+            F.explode(F.concat(F.array(F.col("id")), F.col("__nbrs"))).alias("id")
+        )
     else:
         seed_rows = ed.select(
             F.explode(F.array(F.col("id"), F.col("__dst"))).alias("id")
         )
-    dist = (
-        seed_rows.filter(F.col("id") % seed_mod == 0)
-        .distinct()
-        .select("id", F.lit(0).alias("dist"))
-        .persist()
-    )
+    # adjacency keys are already distinct (groupBy output), so the
+    # symmetric seed scan skips the distinct's aggregation entirely
+    seed_rows = seed_rows.filter(F.col("id") % seed_mod == 0)
+    if not (adjacency and symmetric_edges):
+        seed_rows = seed_rows.distinct()
+    dist = seed_rows.select("id", F.lit(0).alias("dist")).persist()
     n_settled = dist.count()
     # Frontier-delta relaxation (r11): with unit weights a settled
     # node's distance never improves, so round k only needs the nodes
@@ -123,9 +151,14 @@ def bfs_hops(
     frontier = dist
     prev = dist  # the seed table is released by round 1 like any superseded round
     for k in range(1, max_hops + 1):
-        hop = ed.join(frontier, "id").select(
-            F.col("__dst").alias("id"), F.lit(k).cast("int").alias("dist")
-        )
+        if adjacency:
+            hop = ed.join(frontier, "id").select(
+                F.explode("__nbrs").alias("id"), F.lit(k).cast("int").alias("dist")
+            )
+        else:
+            hop = ed.join(frontier, "id").select(
+                F.col("__dst").alias("id"), F.lit(k).cast("int").alias("dist")
+            )
         # each round references dist TWICE (carry + next frontier);
         # persisting the round result keeps the lineage linear —
         # without it the duplicated subplan re-executes ~2^round times

@@ -247,23 +247,41 @@ def run_pipeline_bench(
         F.col("daily_energy_kwh").alias("label_value"),
     )
     feats = FC.add_forecast_features(daily_ml, entity="user_id").cache()
+    # The LR and RF searches are independent until the `best` pick, so
+    # they run from two driver threads (guide §2.6: Spark schedules
+    # concurrent jobs FIFO, the RF fits back-fill executors freed by
+    # the LR tail — the grid POINTS inside each family already overlap
+    # this way, r3). Each fit sees the same cached `feats` with its
+    # pinned seed, so models, metrics, and the selection are
+    # byte-identical to the sequential order (verified: rmse/params
+    # signature equality across interleaved reps in
+    # scripts/probe_r16_forecast_overlap_ab.py, and flags/RMSE on the
+    # full-scale anchor).
+    from concurrent.futures import ThreadPoolExecutor
+
     if grid == "reference":
-        lr = FC.train_linear_forecast(
-            feats,
-            test_cutoff,
-            val_cutoff,
-            reg_params=(0.01, 0.1, 1.0),
-            elastic_net_params=(0.0, 0.5, 1.0),
-        )
-        rf = FC.train_rf_forecast(
-            feats,
-            test_cutoff,
-            grid=((50, 5), (50, 10), (100, 5), (100, 10)),
-            val_cutoff=val_cutoff,
-        )
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            lr_f = ex.submit(
+                FC.train_linear_forecast,
+                feats,
+                test_cutoff,
+                val_cutoff,
+                reg_params=(0.01, 0.1, 1.0),
+                elastic_net_params=(0.0, 0.5, 1.0),
+            )
+            rf_f = ex.submit(
+                FC.train_rf_forecast,
+                feats,
+                test_cutoff,
+                grid=((50, 5), (50, 10), (100, 5), (100, 10)),
+                val_cutoff=val_cutoff,
+            )
+            lr, rf = lr_f.result(), rf_f.result()
     else:
-        lr = FC.train_linear_forecast(feats, test_cutoff, val_cutoff)
-        rf = FC.train_rf_forecast(feats, test_cutoff)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            lr_f = ex.submit(FC.train_linear_forecast, feats, test_cutoff, val_cutoff)
+            rf_f = ex.submit(FC.train_rf_forecast, feats, test_cutoff)
+            lr, rf = lr_f.result(), rf_f.result()
     best = lr if lr.metrics["rmse"] <= rf.metrics["rmse"] else rf
     writers.write_parquet(
         best.predictions.select("user_id", "date", "label_value", "prediction"),

@@ -1598,6 +1598,26 @@ def q_join_fuzzy(spark, sf_dir):
     return J.fuzzy_join_ed1(c, c, "c_custkey", "c_name", "c_custkey", "c_name")
 
 
+def _winnow_skew_guard(spark, sf_dir) -> bool:
+    """Size gate for winnow_pairs' count-gated collect (r16): the
+    guard's extra fps pass costs ~5-10% at sf0.1 and buys bounded
+    aggregation buffers, so it turns on only where a degenerate
+    boilerplate fingerprint could actually carry an OOM-sized doc set.
+    Threshold override: SPARK_GRAFT_WINNOW_GUARD_BYTES (same pattern as
+    the q_sql_min_cost_supplier pre-filter gate)."""
+    import os as _os
+
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
+        table_size_bytes,
+    )
+
+    threshold = int(
+        _os.environ.get("SPARK_GRAFT_WINNOW_GUARD_BYTES", 64 * 1024 * 1024)
+    )
+    n = table_size_bytes(spark, sf_dir, "documents")
+    return n is not None and n >= threshold
+
+
 @q(
     "q_dedup_winnow",
     """
@@ -1632,7 +1652,9 @@ def q_dedup_winnow(spark, sf_dir):
     suffix-array-free way to run Lee et al.-style substring dedup as a
     pure equi-join pipeline. Boilerplate fingerprints df-pruned before
     the pair join."""
-    return D.winnow_pairs(t(spark, sf_dir, "documents"))
+    return D.winnow_pairs(
+        t(spark, sf_dir, "documents"), skew_guard=_winnow_skew_guard(spark, sf_dir)
+    )
 
 
 @q(
@@ -1787,10 +1809,21 @@ def q_graph_bfs(spark, sf_dir):
     r9 fused pair dedup into bfs_hops' own id-repartition
     (dedupe=True), dropping the dedicated distinct exchange — BFS
     min-relaxation is duplicate-insensitive, so results are identical
-    and the edge build is one exchange shorter.)"""
+    and the edge build is one exchange shorter; r16 folds the deduped
+    edges into per-node adjacency arrays when the fact table clears a
+    size gate, so the rounds join |V| rows instead of |E| — results
+    byte-identical, crossover measured between 11 MB (sf0.1, slower)
+    and 103 MB (10x graph, faster) in
+    scripts/probe_r16_bfs_adj_ab.py; `SPARK_GRAFT_BFS_ADJ_BYTES`
+    overrides the threshold for cluster deployments.)"""
+    import os as _os
+
     from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import (
         bfs_hops,
         copurchase_pairs,
+    )
+    from smart_energy_consumption_analytics_using_big_data_spark.sources.catalog import (
+        table_size_bytes,
     )
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -1804,9 +1837,20 @@ def q_graph_bfs(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst")
 
+    threshold = int(
+        _os.environ.get("SPARK_GRAFT_BFS_ADJ_BYTES", 64 * 1024 * 1024)
+    )
+    li_bytes = table_size_bytes(spark, sf_dir, "lineitem")
     # symmetric_edges: this query explodes both orientations itself two
     # lines up, so the src-only seed scan is provably complete
-    return bfs_hops(edges, seed_mod=10, max_hops=4, dedupe=True, symmetric_edges=True)
+    return bfs_hops(
+        edges,
+        seed_mod=10,
+        max_hops=4,
+        dedupe=True,
+        symmetric_edges=True,
+        adjacency=li_bytes is not None and li_bytes >= threshold,
+    )
 
 
 @q(
@@ -2121,7 +2165,11 @@ def q_dedup_winnow_fast(spark, sf_dir):
     cheaper, same winnowing guarantee). Pair semantics pytest-verified
     against the md5 path on exact-duplicate fixtures; the md5 variant
     (q_dedup_winnow) remains the oracled baseline."""
-    return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="xxhash64")
+    return D.winnow_pairs(
+        t(spark, sf_dir, "documents"),
+        hash_fn="xxhash64",
+        skew_guard=_winnow_skew_guard(spark, sf_dir),
+    )
 
 
 @q("q_dedup_winnow_arrow")  # rows-only: numpy rolling hash not in DuckDB
@@ -2134,7 +2182,11 @@ def q_dedup_winnow_arrow(spark, sf_dir):
     join downstream. Guarantee invariants and brute-force hash parity
     are pinned by tests/test_winnow_arrow.py; the md5 variant
     (q_dedup_winnow) remains the oracled baseline."""
-    return D.winnow_pairs(t(spark, sf_dir, "documents"), hash_fn="arrow")
+    return D.winnow_pairs(
+        t(spark, sf_dir, "documents"),
+        hash_fn="arrow",
+        skew_guard=_winnow_skew_guard(spark, sf_dir),
+    )
 
 
 @q("q_dedup_simhash_arrow")  # rows-only: siphash bit family not in DuckDB

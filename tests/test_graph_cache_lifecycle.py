@@ -110,3 +110,72 @@ def test_bfs_dedupe_matches_distinct_edges_with_no_extra_exchange(spark):
     )
     plan = prep._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bfs_adjacency_matches_edge_rows(spark):
+    """r16: `adjacency=True` folds the deduped edges into per-node
+    neighbor arrays (|V| persisted rows instead of |E|) and each round
+    explodes matched arrays AFTER the frontier join. The hop-row
+    multiset per round is identical to the edge-row path, so results
+    must match row-for-row on every seed/hop combination; the cache
+    lifecycle contract (exactly one table left, the caller-owned
+    result) holds unchanged."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    spark.catalog.clearCache()
+    base = _persistent_ids(spark)
+    for kw in (
+        dict(seed_mod=10, max_hops=4),
+        dict(seed_mod=7, max_hops=2),
+        dict(seed_mod=10, max_hops=3, dedupe=True),
+    ):
+        a = bfs_hops(_edges(spark), **kw)
+        b = bfs_hops(_edges(spark), adjacency=True, **kw)
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        a.unpersist()
+        b.unpersist()
+        assert ra == rb and len(ra) > 0, kw
+    assert _persistent_ids(spark) - base == set()
+
+
+def test_bfs_adjacency_symmetric_seed_path(spark):
+    """adjacency + symmetric_edges: seeds come from the adjacency KEYS
+    (distinct by construction, no distinct aggregation) — results must
+    still match the edge-row symmetric path on a symmetrized graph."""
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.graph import bfs_hops
+
+    sym = _edges(spark)
+    sym = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = bfs_hops(sym, seed_mod=10, max_hops=3, dedupe=True, symmetric_edges=True)
+    b = bfs_hops(
+        sym, seed_mod=10, max_hops=3, dedupe=True, symmetric_edges=True, adjacency=True
+    )
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    a.unpersist()
+    b.unpersist()
+    assert ra == rb and len(ra) > 0
+
+
+def test_graph_bfs_query_size_gate(spark, monkeypatch):
+    """q_graph_bfs turns the adjacency fold on only past the fact-size
+    gate: at testdata scale the plan keeps the edge-row build (no
+    collect_set in the edge prep), with the env override forcing the
+    fold on for the scale path — both branches produce identical rows
+    (the oracle re-proves values; this pins the gating itself)."""
+    from smart_energy_consumption_analytics_using_big_data_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_BFS_ADJ_BYTES", raising=False)
+    off = QUERIES["q_graph_bfs"](spark, sf)
+    rows_off = sorted(map(tuple, off.collect()))
+    off.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_BFS_ADJ_BYTES", "1")  # force the fold on
+    on = QUERIES["q_graph_bfs"](spark, sf)
+    rows_on = sorted(map(tuple, on.collect()))
+    on.unpersist()
+    spark.catalog.clearCache()
+    assert rows_off == rows_on and len(rows_off) > 0

@@ -199,3 +199,51 @@ def test_asof_forward_and_tolerance(spark):
     }
     assert back[(1, "2024-01-01 10:00:00")] is None
     assert back[(1, "2024-01-01 12:00:00")] == "a"
+
+
+def test_winnow_skew_guard_output_identical_and_count_gated(spark):
+    """r16 skew guard (VERDICT r15 item 2): count-gating fingerprints
+    before collect_set must not change results on any hash path, must
+    put the count aggregation + semi join BELOW the collect in the
+    plan (so no over-max_df doc array is ever buffered), and must
+    complete on a skew-ramped fixture where one fingerprint family is
+    shared by 10^4 docs (the hot fps die at the count gate, never
+    collected)."""
+    from pyspark.sql import functions as F
+
+    from smart_energy_consumption_analytics_using_big_data_spark.ext.dedup import winnow_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base + " with one extra tail"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, "totally different content here " * 4)],
+        "doc_id long, text string",
+    )
+    for hash_fn in ("md5", "xxhash64"):
+        a = sorted(map(tuple, winnow_pairs(docs, hash_fn=hash_fn).collect()))
+        b = sorted(
+            map(tuple, winnow_pairs(docs, hash_fn=hash_fn, skew_guard=True).collect())
+        )
+        assert a == b and len(a) > 0, hash_fn
+
+    # plan property: the guarded shape joins the fps against the
+    # count-gate BEFORE any collect_set buffers docs
+    plan = (
+        winnow_pairs(docs, hash_fn="xxhash64", skew_guard=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan
+
+    # skew ramp: 10^4 docs sharing a 45-char boilerplate prefix -> hot
+    # fingerprints with df=10^4, all dropped at the count gate (long
+    # buffers), never collected into one array
+    boiler = "the quick brown fox jumps over the lazy dog "
+    skew = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler), F.col("id").cast("string")).alias("text"),
+    )
+    guarded = winnow_pairs(skew, hash_fn="xxhash64", skew_guard=True).count()
+    plain = winnow_pairs(skew, hash_fn="xxhash64").count()
+    assert guarded == plain
